@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytics core (SURVEY §2.B).
+  *
+  * Oracle-fidelity rules (see SURVEY §4):
+  *  - money sums go through DECIMAL(38,6) so they are exact and
+  *    independent of Spark's parallel summation order, then are cast
+  *    back to double and rounded to 6 dp — the DuckDB SQL does the
+  *    identical decimal cast;
+  *  - event timestamps are nanosecond parquet; Spark truncates to
+  *    microseconds on read, so the SQL casts ts to microsecond
+  *    TIMESTAMP before any arithmetic;
+  *  - every result has a total order (ORDER BY on output columns).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a 2-dp money double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+  private def asD(c: Column): Column = round(c.cast("double"), 6)
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q1-style pricing summary. Filter reaches the parquet scan
+    * (PushedFilters), aggregation is partial (map-side combine). */
+  def q11PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asD(dsum(col("l_quantity"))).as("sum_qty"),
+        asD(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        asD(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(dsum(col("l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Top-10 customers by order revenue. Dims (customer, nation) are
+    * broadcast; the only shuffle is the groupBy on o_custkey. */
+  def q12TopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("order_count"))
+    rev
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(10)
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        asD(col("rev")).as("revenue"), col("order_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name, n_name AS nation,
+      |  round(CAST(rev AS DOUBLE), 6) AS revenue, order_count
+      |FROM (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev,
+      |         count(*) AS order_count
+      |  FROM orders GROUP BY o_custkey) r
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY rev DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Revenue share of each region per order year (join + conditional
+    * agg + window share). Share division happens in double on both
+    * sides after exact decimal sums. */
+  def q13MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val joined = o
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).as("o_year"), col("r_name"), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)).as("filled_price"))
+    val byRegion = joined.groupBy(col("o_year"), col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("rev"), dsum(col("filled_price")).as("filled_rev"))
+    val w = Window.partitionBy(col("o_year"))
+    byRegion
+      .withColumn("year_rev", sum(col("rev")).over(w))
+      .select(col("o_year"), col("r_name"),
+        asD(col("rev")).as("revenue"),
+        asD(col("filled_rev")).as("filled_revenue"),
+        round(col("rev").cast("double") / col("year_rev").cast("double"), 6).as("share"))
+      .orderBy(col("o_year"), col("r_name"))
+  }
+
+  val q13Sql: String =
+    """WITH by_region AS (
+      |  SELECT year(o_orderdate) AS o_year, r_name,
+      |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev,
+      |    sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS filled_rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT o_year, r_name,
+      |  round(CAST(rev AS DOUBLE), 6) AS revenue,
+      |  round(CAST(filled_rev AS DOUBLE), 6) AS filled_revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS share
+      |FROM by_region
+      |ORDER BY o_year, r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Window functions: top-5 customers per nation by account balance
+    * with running balance total (rank + cumulative sum). */
+  def q14WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val order = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("bal_rank", row_number().over(order))
+      .withColumn("running_bal",
+        asD(sum(col("c_acctbal").cast(DecimalType(38, 6))).over(order)))
+      .filter(col("bal_rank") <= 5)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 6).as("acctbal"), col("bal_rank"), col("running_bal"))
+      .orderBy(col("c_nationkey"), col("bal_rank"))
+  }
+
+  val q14Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_nationkey, c_custkey,
+      |    round(c_acctbal, 6) AS acctbal,
+      |    row_number() OVER w AS bal_rank,
+      |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS running_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      |WHERE bal_rank <= 5
+      |ORDER BY c_nationkey, bal_rank""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Event sessionization: a session breaks after a >30-minute gap.
+    * lag + cumulative-flag-sum inside a per-user window — one shuffle
+    * on user_id, everything else stays in the sorted partition. */
+  def q15Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    // ts is a nanosecond bigint (see GraftSession nanosAsLong); floor
+    // to µs exactly as DuckDB's CAST(ts AS TIMESTAMP) truncates.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val flagged = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        asD(dsum(col("value"))).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q15Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Tumbling 1-hour window aggregation over the event stream (batch
+    * twin of the Structured Streaming pipeline in graft.streaming). */
+  def q16TumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(expr("(ts div 3600000000000) * 3600000000").as("window_start_us"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), asD(dsum(col("value"))).as("total_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  val q16Sql: String =
+    """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_pricing_summary" -> q11PricingSummary,
+    "q12_top_customers" -> q12TopCustomers,
+    "q13_market_share" -> q13MarketShare,
+    "q14_window_rank" -> q14WindowRank,
+    "q15_sessionize" -> q15Sessionize,
+    "q16_tumbling_window" -> q16TumblingWindow)
+
+  val oracles: Map[String, String] = Map(
+    "q11_pricing_summary" -> q11Sql,
+    "q12_top_customers" -> q12Sql,
+    "q13_market_share" -> q13Sql,
+    "q14_window_rank" -> q14Sql,
+    "q15_sessionize" -> q15Sql,
+    "q16_tumbling_window" -> q16Sql)
+}

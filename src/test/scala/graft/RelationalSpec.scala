@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+class RelationalSpec extends GraftSpec {
+
+  test("q11 pricing summary groups by flag+status and sums exactly") {
+    val rows = RelationalQueries.q11PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 1000, s"expected a large share of ~6000 lineitems, got $total")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("avg_price") > 0)
+    }
+  }
+
+  test("q12 top customers returns 10 descending revenues") {
+    val rows = RelationalQueries.q12TopCustomers(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q13 market shares sum to 1 per year") {
+    val rows = RelationalQueries.q13MarketShare(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Int]("o_year")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"shares sum to $s")
+    }
+  }
+
+  test("q14 window rank keeps at most 5 per nation, running total monotone") {
+    val rows = RelationalQueries.q14WindowRank(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Int]("c_nationkey")).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_.getAs[Int]("bal_rank"))
+      val run = sorted.map(_.getAs[Double]("running_bal"))
+      assert(run.zip(run.tail).forall { case (a, b) => b >= a - 1e-9 || sorted.exists(_.getAs[Double]("acctbal") < 0) })
+    }
+  }
+
+  test("q15 sessionization covers every event exactly once") {
+    val sessions = RelationalQueries.q15Sessionize(spark, sfDir).collect()
+    val nEvents = sessions.map(_.getAs[Long]("n_events")).sum
+    val total = Tables.events(spark, sfDir).count()
+    assert(nEvents == total)
+    sessions.foreach { r =>
+      assert(r.getAs[Long]("session_end_us") >= r.getAs[Long]("session_start_us"))
+    }
+  }
+
+  test("q16 tumbling window partitions all events") {
+    val rows = RelationalQueries.q16TumblingWindow(spark, sfDir).collect()
+    val n = rows.map(_.getAs[Long]("n_events")).sum
+    assert(n == Tables.events(spark, sfDir).count())
+    assert(rows.forall(_.getAs[Long]("window_start_us") % 3600000000L == 0))
+  }
+}
