@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The derived web graph (SURVEY §5): testdata has no link table, so
+  * consecutive lineitems of the same order link their parts' pages.
+  * URLs are `http://part<pk % Hosts>.example.com/p<pk>` so the URL ops
+  * (fragments, trim, host projection) are exercised; duplicates and
+  * fragments occur by construction. Every derivation here has a twin
+  * CTE in graft.oracle.Sql (rawEdgesCte / edgesCte / graphCtes).
+  *
+  * Scale: edge derivation is one shuffle (window over l_orderkey);
+  * dedup is a distinct on (src,dst). At 100 TB the same plan holds —
+  * the window partitions by order key (high cardinality, no skew).
+  */
+object WebGraph {
+
+  val Hosts = 50
+
+  def urlOf(pk: Column): Column =
+    concat(lit("http://part"), pmod(pk, lit(Hosts)).cast("string"),
+      lit(".example.com/p"), pk.cast("string"))
+
+  /** Raw page edges, pre-cleanup: some targets carry a '#secN' fragment
+    * and a leading space so removeDuplicateLinks has work to do. */
+  def rawEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("next_pk", lead(col("l_partkey"), 1).over(w))
+      .withColumn("next_ln", lead(col("l_linenumber"), 1).over(w))
+      .filter(col("next_pk").isNotNull)
+      .select(
+        urlOf(col("l_partkey")).as("src"),
+        concat(
+          when(pmod(col("next_ln"), lit(5)) === 0, lit(" ")).otherwise(lit("")),
+          urlOf(col("next_pk")),
+          when(pmod(col("next_ln"), lit(3)) === 0,
+            concat(lit("#sec"), col("next_ln").cast("string"))).otherwise(lit("")))
+          .as("dst"))
+  }
+
+  /** removeDuplicateLinks (LinkRankComputation.java:304-340): trim both
+    * ends, strip the #fragment from the target, drop case-insensitive
+    * self-links, distinct targets per source. */
+  def dedupEdges(raw: DataFrame): DataFrame = {
+    val src = trim(col("src"))
+    val dst = substring_index(trim(col("dst")), "#", 1)
+    raw.select(src.as("src"), dst.as("dst"))
+      .filter(lower(col("dst")) =!= lower(col("src")))
+      .distinct()
+  }
+
+  /** The cleaned page graph. */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEdges(rawEdges(spark, sfDir))
+
+  /** Host projection (HostRank input): host(src) -> host(dst), cleaned
+    * of self-links, distinct (Nutch2HostInputFormat semantics). */
+  def hostEdges(pageEdges: DataFrame): DataFrame =
+    pageEdges.select(
+        graft.functions.UrlFunctions.urlHost(col("src")).as("src"),
+        graft.functions.UrlFunctions.urlHost(col("dst")).as("dst"))
+      .filter(lower(col("dst")) =!= lower(col("src")))
+      .distinct()
+
+  /** Vertex set of an edge list: distinct src ∪ dst. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct()
+}
