@@ -7,14 +7,14 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q11_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q01_linkrank")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ UrlQueries.queries
+    RelationalQueries.queries ++ UrlQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ UrlQueries.oracles
+    RelationalQueries.oracles ++ UrlQueries.oracles ++ GraphQueries.oracles
 }

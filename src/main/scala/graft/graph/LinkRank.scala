@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.MathFunctions
+
+/** Iterative LinkRank / TrustRank on DataFrames.
+  *
+  * Semantics re-express the reference exactly
+  * (LinkRankComputation.java:192-296, TrustRankComputation.java:214-329):
+  * with the default superstepCount=10 the Giraph job performs 9
+  * synchronous score updates
+  *   v' = (1-d)/N + d * (Σ_{w→v} v_w/outdeg(w) + danglingTerm)
+  * where the dangling mass D = Σ score of zero-out-degree vertices from
+  * the PREVIOUS step; danglingTerm = D/N for LinkRank, and for
+  * TrustRank D/|trusted| applied ONLY to trusted vertices (trusted =
+  * initial score within 1e-3 of 1.0). Afterwards scores are normalized
+  * through a log-normal CDF (LinkRankComputation.java:213-256): with
+  * l = ln(v), mu = mean(l), sigma = population stdev (1e-10 when 0),
+  * final = Phi_{mu,sigma}(l) * scale.
+  *
+  * Scale posture (100 TB / 1000 executors):
+  *  - edges+outdeg are joined once, hash-partitioned on src, cached;
+  *    every iteration's join reuses that partitioning (no re-shuffle of
+  *    the big edge table);
+  *  - the per-iteration contribution aggregation is a groupBy(dst) with
+  *    map-side partial aggregation;
+  *  - dangling mass is a scalar agg collected to the driver (O(1) rows)
+  *    and injected as a literal — never a per-row join;
+  *  - lineage is truncated every iteration with localCheckpoint (on a
+  *    real cluster swap in checkpoint-to-DFS) so 9 iterations don't
+  *    build a 9-deep re-plan.
+  */
+object LinkRank {
+
+  /** @param init (id, score) — one row per vertex, initial scores
+    *             (uniform 1.0 per LinkRankVertexUniformInputFormat).
+    * @param edges (src, dst) — cleaned (deduped) directed edges.
+    * @return (id, score) — normalized scores in [0, scale], unrounded.
+    */
+  def run(spark: SparkSession, edges: DataFrame, init: DataFrame,
+          iters: Int = 9, damping: Double = 0.85, scale: Double = 10.0,
+          trustedMode: Boolean = false): DataFrame = {
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+
+    // (src, dst, od): the loop-invariant edge side, partitioned once.
+    val eod = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Vertex frame with loop-invariant flags.
+    val base = init.join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), col("score"),
+        col("od").isNull.as("dangling"),
+        (if (trustedMode) abs(col("score") - 1.0) < 1e-3 else lit(false)).as("trusted"))
+
+    val n = base.count().toDouble
+    val divisor =
+      if (trustedMode) base.filter(col("trusted")).count().toDouble else n
+
+    var ranks = base.repartition(col("id")).localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val dSum = ranks.filter(col("dangling"))
+        .agg(coalesce(sum(col("score")), lit(0.0))).first().getDouble(0)
+      val dTerm =
+        if (trustedMode) when(col("trusted"), lit(dSum / divisor)).otherwise(lit(0.0))
+        else lit(dSum / n)
+      val contribs = eod
+        .join(ranks.select(col("id"), col("score")), eod("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("score") / col("od")).as("contrib"))
+        .withColumnRenamed("dst", "cid")
+      ranks = ranks.drop("score")
+        .join(contribs, col("id") === col("cid"), "left")
+        .select(col("id"), col("dangling"), col("trusted"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + dTerm)).as("score"))
+        .localCheckpoint()
+    }
+
+    // Log-normal CDF normalization — two explicit passes (sum, then
+    // squared deviations) so the oracle's CTE arithmetic is identical.
+    val logs = ranks.select(col("id"), log(col("score")).as("l"))
+      .localCheckpoint()
+    val mu = logs.agg(sum(col("l"))).first().getDouble(0) / n
+    val sig0 = math.sqrt(
+      logs.agg(sum((col("l") - lit(mu)) * (col("l") - lit(mu)))).first().getDouble(0) / n)
+    val sigma = if (sig0 == 0.0) 1e-10 else sig0
+
+    val out = logs.select(col("id"),
+      (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
+    eod.unpersist()
+    out
+  }
+
+  /** Uniform-1.0 init over the vertex set of `edges`
+    * (LinkRankVertexUniformInputFormat: score 1.0, NOT 1/N). */
+  def uniformInit(edges: DataFrame): DataFrame =
+    WebGraph.vertices(edges).withColumn("score", lit(1.0))
+}

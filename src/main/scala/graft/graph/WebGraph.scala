@@ -18,7 +18,11 @@ import graft.Tables
   */
 object WebGraph {
 
-  val Hosts = 50
+  /** 200 hosts: at sf0.01 (2000 parts, ~45k page edges) the projected
+    * host graph covers ~2/3 of the 200×199 ordered pairs — real degree
+    * variance for HostRank, instead of the complete digraph a smaller
+    * host count degenerates to. */
+  val Hosts = 200
 
   def urlOf(pk: Column): Column =
     concat(lit("http://part"), pmod(pk, lit(Hosts)).cast("string"),

@@ -87,12 +87,12 @@ object Sql {
   /** CTEs `li` and `raw_edges`: consecutive lineitems of an order link
     * their parts' pages (SURVEY §5). Twin of WebGraph.rawEdges. */
   val rawEdgesCte: String =
-    s"""li AS (
+    s"""li AS MATERIALIZED (
   SELECT l_partkey,
     lead(l_partkey)    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS next_pk,
     lead(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS next_ln
   FROM lineitem),
-raw_edges AS (
+raw_edges AS MATERIALIZED (
   SELECT ${urlOf("l_partkey")} AS src,
     ((CASE WHEN next_ln % 5 = 0 THEN ' ' ELSE '' END) ||
      ${urlOf("next_pk")} ||
@@ -103,7 +103,7 @@ raw_edges AS (
     * (LinkRankComputation.java:304-340) — trim, strip #fragment, drop
     * case-insensitive self-links, distinct. Twin of WebGraph.edges. */
   val edgesCte: String =
-    """edges AS (
+    """edges AS MATERIALIZED (
   SELECT DISTINCT trim(src) AS src, split_part(trim(dst), '#', 1) AS dst
   FROM raw_edges
   WHERE lower(split_part(trim(dst), '#', 1)) <> lower(trim(src)))"""

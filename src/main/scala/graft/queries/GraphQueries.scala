@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{LinkRank, WebGraph}
+import graft.functions.UrlFunctions
+import graft.oracle.{RankSql, Sql}
+
+/** Graph surface of the reference (SURVEY §2.A q01–q03, q07–q10):
+  * LinkRank / TrustRank / HostRank plus topology + IO operators, all on
+  * the derived web graph (SURVEY §5, WebGraph).
+  */
+object GraphQueries {
+
+  /** part key back out of a page url/id: ...'/p<pk>' suffix. */
+  private def pkOf(id: Column): Column =
+    regexp_extract(id, "p([0-9]+)$", 1).cast("long")
+  private def pkOfSql(c: String): String =
+    s"CAST(regexp_extract($c, 'p([0-9]+)$$', 1) AS BIGINT)"
+
+  private val pageGraphCtes =
+    s"""${Sql.rawEdgesCte},
+${Sql.edgesCte}"""
+
+  // ---------------------------------------------------------------- q01
+  /** LinkRank on the cleaned page graph: uniform 1.0 init, 9 damped
+    * updates with dangling redistribution, log-normal CDF scale.
+    * (LinkRankComputation.java:192-296.) */
+  def q01LinkRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.edges(spark, sfDir)
+    LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q01Sql: String =
+    s"""WITH $pageGraphCtes,
+${RankSql.chain("edges", "1.0")}
+SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
+
+  // ---------------------------------------------------------------- q02
+  /** TrustRank: trusted seeds are parts with p_partkey % 17 = 0 (init
+    * 1.0, others 0.1); dangling mass goes only to trusted vertices,
+    * divided by |trusted| (TrustRankComputation.java:214-329). */
+  def q02TrustRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.edges(spark, sfDir)
+    val init = WebGraph.vertices(edges).withColumn("score",
+      when(pmod(pkOf(col("id")), lit(17)) === 0, lit(1.0)).otherwise(lit(0.1)))
+    LinkRank.run(spark, edges, init, trustedMode = true)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q02Sql: String = {
+    val pred = (c: String) => s"(${pkOfSql(c)} % 17 = 0)"
+    s"""WITH $pageGraphCtes,
+${RankSql.chain("edges", s"CASE WHEN ${pred("id")} THEN 1.0 ELSE 0.1 END",
+        trustedPred = Some(pred))}
+SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** HostRank: page edges projected to host edges (dedup + self-drop),
+    * then the LinkRank core on the host graph (Nutch2HostInputFormat /
+    * HostRankHBaseTest semantics). */
+  def q03HostRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.edges(spark, sfDir))
+    LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q03Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+${RankSql.chain("hedges", "1.0")}
+SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
+
+  // ---------------------------------------------------------------- q07
+  /** Graph topology: in/out-degree and dangling flag per vertex. */
+  def q07Degrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.edges(spark, sfDir)
+    val outd = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val ind = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    WebGraph.vertices(edges)
+      .join(outd, Seq("id"), "left")
+      .join(ind, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        col("out_degree").isNull.as("dangling"))
+      .orderBy(col("id"))
+  }
+
+  val q07Sql: String =
+    s"""WITH $pageGraphCtes,
+vertices AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+outd AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+ind AS (SELECT dst AS id, count(*) AS ind FROM edges GROUP BY dst)
+SELECT v.id, coalesce(o.od, 0) AS out_degree, coalesce(i.ind, 0) AS in_degree,
+  (o.od IS NULL) AS dangling
+FROM vertices v LEFT JOIN outd o ON v.id = o.id LEFT JOIN ind i ON v.id = i.id
+ORDER BY v.id"""
+
+  // ---------------------------------------------------------------- q08
+  /** UsageRank (reference README): normalize host visit counts to
+    * [0, scale] — visits = lineitems landing on the part's host. */
+  def q08UsageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val visits = Tables.lineitem(spark, sfDir)
+      .select(concat(lit("part"), pmod(col("l_partkey"), lit(WebGraph.Hosts)).cast("string"),
+        lit(".example.com")).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("visits"))
+    val Array(mn, mx) = visits.agg(min(col("visits")), max(col("visits")))
+      .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val score =
+      if (mx == mn) lit(0.0)
+      else (col("visits") - lit(mn)).cast("double") / lit((mx - mn).toDouble) * lit(10.0)
+    visits.select(col("host"), col("visits"), round(score, 6).as("score"))
+      .orderBy(col("host"))
+  }
+
+  val q08Sql: String =
+    s"""WITH visits AS (
+  SELECT 'part' || (l_partkey % ${WebGraph.Hosts}) || '.example.com' AS host,
+         count(*) AS visits
+  FROM lineitem GROUP BY 1),
+mm AS (SELECT min(visits) AS mn, max(visits) AS mx FROM visits)
+SELECT host, visits,
+  round(CASE WHEN mm.mx = mm.mn THEN 0.0
+    ELSE CAST(visits - mm.mn AS DOUBLE) / CAST(mm.mx - mm.mn AS DOUBLE) * 10.0 END, 6) AS score
+FROM visits CROSS JOIN mm
+ORDER BY host"""
+
+  // ---------------------------------------------------------------- q09
+  /** Text vertex IO roundtrip: write `id<tab>score` / `id score` / bare
+    * `id` lines to a text file, read them back through the parser
+    * (LinkRankVertexInputFormat + LinkRankVertexUniformInputFormat:
+    * missing score = uniform 1.0). */
+  def q09VertexIo(spark: SparkSession, sfDir: String): DataFrame = {
+    val pk = col("p_partkey")
+    // score text built from integer math — no float formatting involved
+    val scoreStr = concat((pmod(pk, lit(7)) + 1).cast("string"), lit("."),
+      pmod(pk, lit(9)).cast("string"))
+    val line = when(pmod(pk, lit(3)) === 0,
+        concat(lit("p"), pk.cast("string"), lit("\t"), scoreStr))
+      .when(pmod(pk, lit(3)) === 1,
+        concat(lit("p"), pk.cast("string"), lit(" "), scoreStr))
+      .otherwise(concat(lit("p"), pk.cast("string")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vio").toString
+    Tables.part(spark, sfDir).select(line.as("value"))
+      .write.mode("overwrite").text(dir)
+    graft.graph.TextGraphIO.readVertices(spark, dir)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q09Sql: String =
+    s"""WITH lines AS (
+  SELECT (CASE
+    WHEN p_partkey % 3 = 0 THEN 'p' || p_partkey || chr(9) || (p_partkey % 7 + 1) || '.' || (p_partkey % 9)
+    WHEN p_partkey % 3 = 1 THEN 'p' || p_partkey || ' ' || (p_partkey % 7 + 1) || '.' || (p_partkey % 9)
+    ELSE 'p' || p_partkey END) AS line
+  FROM part)
+SELECT regexp_extract(line, '^([^\t ]+)', 1) AS id,
+  round(CASE WHEN regexp_extract(line, '[\t ]+(.+)$$', 1) = '' THEN 1.0
+    ELSE CAST(regexp_extract(line, '[\t ]+(.+)$$', 1) AS DOUBLE) END, 6) AS score
+FROM lines ORDER BY id"""
+
+  // ---------------------------------------------------------------- q10
+  /** Top-k ranked vertices (LinkRankVertexOutputFormat ordering
+    * contract): top 20 by normalized score, id tiebreak. */
+  def q10TopRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.edges(spark, sfDir)
+    LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""WITH $pageGraphCtes,
+${RankSql.chain("edges", "1.0")}
+SELECT id, round(score, 6) AS score FROM ranked
+ORDER BY score DESC, id LIMIT 20"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_linkrank" -> q01LinkRank,
+    "q02_trustrank" -> q02TrustRank,
+    "q03_hostrank" -> q03HostRank,
+    "q07_degrees" -> q07Degrees,
+    "q08_usagerank" -> q08UsageRank,
+    "q09_vertex_io" -> q09VertexIo,
+    "q10_toprank" -> q10TopRank)
+
+  val oracles: Map[String, String] = Map(
+    "q01_linkrank" -> q01Sql,
+    "q02_trustrank" -> q02Sql,
+    "q03_hostrank" -> q03Sql,
+    "q07_degrees" -> q07Sql,
+    "q08_usagerank" -> q08Sql,
+    "q09_vertex_io" -> q09Sql,
+    "q10_toprank" -> q10Sql)
+}

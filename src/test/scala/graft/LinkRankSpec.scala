@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{LinkRank, WebGraph}
+
+/** Gold fixtures from the reference's own test suite
+  * (LinkRankComputationTest.java:42-169): same graphs, same expected
+  * normalized scores, same 1e-3 tolerance the reference asserts with.
+  */
+class LinkRankSpec extends GraftSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def scores(edges: Seq[(String, String)],
+                     init: Map[String, Double] = Map.empty,
+                     trustedMode: Boolean = false): Map[String, Double] = {
+    val e = edges.toDF("src", "dst")
+    val ini =
+      if (init.isEmpty) LinkRank.uniformInit(e)
+      else init.toSeq.toDF("id", "score")
+    LinkRank.run(spark, e, ini, trustedMode = trustedMode)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("LinkRank gold: {a→b, b→c, a→c} matches LinkRankComputationTest.testToyData1") {
+    val s = scores(Seq("a" -> "b", "b" -> "c", "a" -> "c"))
+    assert(math.abs(s("a") - 1.3515060339386287) < 1e-3, s)
+    assert(math.abs(s("b") - 4.144902009567587) < 1e-3, s)
+    assert(math.abs(s("c") - 9.06389778197704) < 1e-3, s)
+  }
+
+  test("LinkRank gold: uniform init equals explicit 1.0 init (testUniformToyData1)") {
+    val a = scores(Seq("a" -> "b", "b" -> "c", "a" -> "c"))
+    val b = scores(Seq("a" -> "b", "b" -> "c", "a" -> "c"),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
+  test("LinkRank gold: 2-cycle {a→b, b→a} → 5.0, 5.0 (testToyData2, sigma=0 path)") {
+    val s = scores(Seq("a" -> "b", "b" -> "a"))
+    assert(math.abs(s("a") - 5.0) < 1e-3, s)
+    assert(math.abs(s("b") - 5.0) < 1e-3, s)
+  }
+
+  test("TrustRank: dangling mass flows only to trusted seeds") {
+    // b is dangling; a is trusted (init 1.0), c untrusted (init 0.1).
+    // After one update a's score includes d*D/|trusted| while c's does not.
+    val e = Seq("a" -> "b", "c" -> "b").toDF("src", "dst")
+    val ini = Seq(("a", 1.0), ("b", 0.1), ("c", 0.1)).toDF("id", "score")
+    val out = LinkRank.run(spark, e, ini, trustedMode = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // trusted vertex ends strictly above the symmetric untrusted one
+    assert(out("a") > out("c"), out)
+  }
+
+  test("edge dedup matches removeDuplicateLinks semantics") {
+    val raw = Seq(
+      ("http://a.com/x", " http://b.com/y#frag"),
+      ("http://a.com/x", "http://b.com/y"),      // dup after strip+trim
+      ("http://a.com/x", "HTTP://A.COM/X"),      // self-link, case-insensitive
+      ("http://a.com/x", "http://c.com/z")).toDF("src", "dst")
+    val got = WebGraph.dedupEdges(raw).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("http://a.com/x", "http://b.com/y"),
+      ("http://a.com/x", "http://c.com/z")))
+  }
+}
