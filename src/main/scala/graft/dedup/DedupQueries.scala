@@ -1,0 +1,327 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{MathFunctions => MF, VectorFunctions => VF}
+import graft.oracle.Sql
+
+/** Deduplication suite (SURVEY §2.C q20–q24) over the documents table.
+  *
+  * The synthetic corpus has no duplicates, so each query runs on a
+  * deterministically augmented corpus: exact copies (doc_id%15==0 →
+  * +200000) and near-duplicates with appended marker tokens
+  * (doc_id%10==0 → +100000). Both sides (Spark / DuckDB oracle) build
+  * the identical corpus.
+  *
+  * Scale posture: every operator is a band/bucket join — candidates
+  * come from groupBy(bucket key) equality joins, NEVER an O(n²) cross
+  * join. Signatures are integer arithmetic over md5 (portable) and all
+  * transforms are built-in codegen'd expressions.
+  */
+object DedupQueries {
+
+  private val NearDupSuffix = " graft dup marker tokens"
+
+  // -------------------------------------------------- shared: corpus
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.unionAll(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(NearDupSuffix)).as("text")))
+      .unionAll(
+        d.filter(pmod(col("doc_id"), lit(15)) === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  private val corpusCte: String =
+    s"""corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '$NearDupSuffix' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0)"""
+
+  // ------------------------------------------- shared: word shingles
+  /** Word 3-gram shingles; docs under 3 words shingle to [text]. */
+  private def shingleCol(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array(text))
+  }
+
+  private def shingleSql(text: String): String =
+    s"""(CASE WHEN len(string_split($text, ' ')) >= 3
+      THEN list_transform(range(1, len(string_split($text, ' ')) - 1),
+             i -> string_split($text, ' ')[i] || ' ' || string_split($text, ' ')[i+1] || ' ' || string_split($text, ' ')[i+2])
+      ELSE [$text] END)"""
+
+  /** Exploded (doc_id, sh) with the 32-bit shingle hash, as a CTE. */
+  private val shingleHashCte: String =
+    s"""sh AS MATERIALIZED (
+  SELECT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS h
+  FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s)"""
+
+  private def shingleHashes(c: DataFrame): DataFrame =
+    c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+      .select(col("doc_id"), MF.hash32(col("sh")).as("h"))
+
+  // ---------------------------------------------------------------- q20
+  /** Exact dedup: hash-group on md5(text), canonical = min(doc_id). */
+  def q20DedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    corpus(spark, sfDir)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q20Sql: String =
+    s"""WITH $corpusCte
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  (doc_id <> min(doc_id) OVER (PARTITION BY md5(text))) AS is_dup
+FROM corpus ORDER BY doc_id"""
+
+  // ------------------------------------------------- q21 MinHash-LSH
+  val K = 12 // minhash functions
+  val Bands = 4 // x 3 rows per band
+
+  /** (doc_id, mh0..mh11) minhash signatures. */
+  private def signatures(c: DataFrame): DataFrame =
+    shingleHashes(c).groupBy(col("doc_id"))
+      .agg(min(MF.universalHash(col("h"), 0)).as("mh0"),
+        (1 until K).map(j => min(MF.universalHash(col("h"), j)).as(s"mh$j")): _*)
+
+  private val signaturesCte: String = {
+    val mins = (0 until K)
+      .map(j => s"min(${Sql.universalHash("h", j)}) AS mh$j").mkString(", ")
+    s"""sigs AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"""
+  }
+
+  /** (doc_id, band, key): band key = concat of 3 minhash values. */
+  private def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("key"))
+    }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private val bandsCte: String = {
+    val rows = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS band, (mh${3 * b} || '_' || mh${3 * b + 1} || '_' || mh${3 * b + 2}) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bands AS MATERIALIZED (\n  $rows)"""
+  }
+
+  /** Candidate pairs: equal (band, key), a < b, distinct. */
+  private val candCte: String =
+    """cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  private def candidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("doc_id").as("da"), col("band"), col("key"))
+    val b = bandsDf.select(col("doc_id").as("db"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with estimated Jaccard = matching
+    * signature fraction. Band-bucket join — no cross join anywhere. */
+  def q21MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = signatures(corpus(spark, sfDir)).cache()
+    val cand = candidates(bands(sigs))
+    val sa = sigs.toDF("da" +: (0 until K).map(j => s"a$j"): _*)
+    val sb = sigs.toDF("db" +: (0 until K).map(j => s"b$j"): _*)
+    val matches = (0 until K)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"),
+        round(matches.cast("double") / K, 6).as("est_jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q21Sql: String = {
+    val matches = (0 until K)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $corpusCte,
+$shingleHashCte,
+$signaturesCte,
+$bandsCte,
+$candCte
+SELECT c.da, c.db, round(CAST(($matches) AS DOUBLE) / $K, 6) AS est_jaccard
+FROM cand c JOIN sigs sa ON sa.doc_id = c.da JOIN sigs sb ON sb.doc_id = c.db
+ORDER BY c.da, c.db"""
+  }
+
+  // ----------------------------------------------------- q22 SimHash
+  val SimBits = 32
+  /** hamming <= 2: at 32 bits over same-vocabulary synthetic docs, the
+    * random-pair hamming mass sits at 4-6; 2 keeps exact/near dups and
+    * drops the noise floor. */
+  val MaxHamming = 2
+
+  /** 32-bit SimHash over word tokens + byte-band candidate join +
+    * hamming filter. */
+  def q22SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = corpus(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), MF.hash32(col("w")).as("h"))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until SimBits).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")): _*)
+    val simhash = (0 until SimBits)
+      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhash.as("sim")).cache()
+    val bandsDf = sig.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(255).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bandsDf.select(col("doc_id").as("da"), col("sim").as("sima"), col("band"), col("key"))
+    val b = bandsDf.select(col("doc_id").as("db"), col("sim").as("simb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        expr("bit_count(sima ^ simb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q22Sql: String = {
+    val sums = (0 until SimBits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val sim = (0 until SimBits)
+      .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, sim, $b AS band, (sim >> ${8 * b}) & 255 AS key FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusCte,
+tok AS MATERIALIZED (
+  SELECT doc_id, ${Sql.hash32OfHex("md5(t.w)")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus) t),
+sums AS MATERIALIZED (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, ($sim) AS sim FROM sums),
+sbands AS MATERIALIZED (
+  $bandRows),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM sbands a JOIN sbands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db"""
+  }
+
+  // --------------------------------------------- q23 n-gram Jaccard
+  /** Exact 3-gram Jaccard over the LSH candidate pairs (blocked — the
+    * expensive set intersection only runs on band-matched pairs). */
+  def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val sh = c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+      .distinct().cache()
+    val sigs = signatures(c)
+    val cand = candidates(bands(sigs)).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("da", "sha")
+    val shB = sh.toDF("db", "shb")
+    val interDf = cand.join(shA, "da").join(shB, "db")
+      .filter(col("sha") === col("shb"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val na = counts.toDF("da", "na")
+    val nb = counts.toDF("db", "nb")
+    cand.join(interDf, Seq("da", "db"), "left")
+      .join(na, "da").join(nb, "db")
+      .select(col("da"), col("db"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q23Sql: String =
+    s"""WITH $corpusCte,
+shd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s),
+sh AS MATERIALIZED (SELECT doc_id, ${Sql.hash32OfHex("md5(sh)")} AS h FROM shd),
+$signaturesCte,
+$bandsCte,
+$candCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM cand c JOIN shd a ON a.doc_id = c.da JOIN shd b ON b.doc_id = c.db AND b.sh = a.sh
+  GROUP BY c.da, c.db)
+SELECT c.da, c.db,
+  round(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        CAST(na.n + nb.n - coalesce(i.inter, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+JOIN cnt na ON na.doc_id = c.da JOIN cnt nb ON nb.doc_id = c.db
+ORDER BY c.da, c.db"""
+
+  // ------------------------------------------ q24 embedding near-dup
+  val EmbDims = 64
+  val CodeBits = 8
+  val CosThreshold = 0.99
+
+  /** Embedding-cosine near-dup: LSH-code blocking (8 hyperplane-sign
+    * bits), cosine only within buckets, threshold 0.99. Near-dups are
+    * injected (vec_id%10==0 → +100000, slight deterministic
+    * perturbation). */
+  def q24EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+    val perturbed = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * lit(1.01) + (pmod(i, lit(5)) - 2).cast("double") * lit(0.001)).as("v"))
+    val vc = e.unionAll(perturbed)
+      .withColumn("code", VF.lshCode(col("v"), EmbDims, CodeBits))
+    val a = vc.toDF("va", "va_v", "code")
+    val b = vc.toDF("vb", "vb_v", "code")
+    a.join(b, "code").filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(VF.cosine(col("va_v"), col("vb_v")), 6).as("cosine"))
+      .filter(col("cosine") >= CosThreshold)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val q24Sql: String = {
+    val pert = s"list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * 1.01 + CAST(((i - 1) % 5) - 2 AS DOUBLE) * 0.001)"
+    s"""WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+vc AS MATERIALIZED (
+  SELECT vec_id, v FROM ed
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, $pert AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+coded AS MATERIALIZED (SELECT vec_id, v, ${Sql.lshCode("v", EmbDims, CodeBits)} AS code FROM vc),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, round(${Sql.listCosine("a.v", "b.v")}, 6) AS cosine
+  FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id)
+SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> q20DedupExact,
+    "q21_minhash_lsh" -> q21MinHashLsh,
+    "q22_simhash" -> q22SimHash,
+    "q23_ngram_jaccard" -> q23NgramJaccard,
+    "q24_embedding_dedup" -> q24EmbeddingDedup)
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> q20Sql,
+    "q21_minhash_lsh" -> q21Sql,
+    "q22_simhash" -> q22Sql,
+    "q23_ngram_jaccard" -> q23Sql,
+    "q24_embedding_dedup" -> q24Sql)
+}

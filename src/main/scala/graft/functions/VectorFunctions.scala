@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector kernels over `array<float|double>` columns — built-in
+  * higher-order functions only (zip_with / aggregate / transform), so
+  * everything stays in codegen and distributes per-row with no UDF
+  * serialization. DuckDB twins in graft.oracle.Sql use list_transform +
+  * list_reduce with the same left-to-right fold, so sums associate
+  * identically.
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right fold of elementwise products (init 0.0). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane j,
+    * dim i): parity of the k=0 universal hash of (j*128 + i). Pure
+    * integer arithmetic — Sql.signList bakes the identical values. */
+  def signAt(j: Int, i: Int): Int = {
+    val h = (MathFunctions.hashA(0) * (j * 128L + i) + MathFunctions.hashB(0)) % MathFunctions.HashP
+    if (h % 2 == 1) 1 else -1
+  }
+
+  /** ±1 hyperplane as a literal array column. */
+  def signVec(j: Int, dims: Int): Column =
+    array((0 until dims).map(i => lit(signAt(j, i).toDouble)): _*)
+
+  /** `bits`-bit random-hyperplane LSH code of a double vector. */
+  def lshCode(v: Column, dims: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(dot(v, signVec(j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -79,6 +79,27 @@ object Sql {
     s"(($a * $h + $b) % $p)"
   }
 
+  // ------------------------------------------------------------ vectors
+  /** Twin of VectorFunctions.dot over a double list: left-to-right
+    * list_reduce, same association as Spark's aggregate fold. */
+  def listDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  def listCosine(a: String, b: String): String =
+    s"(${listDot(a, b)} / (sqrt(${listDot(a, a)}) * sqrt(${listDot(b, b)})))"
+
+  /** Literal ±1 hyperplane j as a DuckDB list — identical values to
+    * VectorFunctions.signVec. */
+  def signList(j: Int, dims: Int): String =
+    (0 until dims).map(i => s"${graft.functions.VectorFunctions.signAt(j, i)}.0")
+      .mkString("[", ", ", "]")
+
+  /** Twin of VectorFunctions.lshCode: `v` must hold a double list. */
+  def lshCode(v: String, dims: Int, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN ${listDot(v, signList(j, dims))} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   // ----------------------------------------------------- derived graph
   /** Twin of WebGraph.urlOf. `pk` must be a non-negative int column. */
   def urlOf(pk: String): String =
