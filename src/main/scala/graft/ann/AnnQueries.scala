@@ -1,0 +1,199 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import graft.oracle.Sql
+
+/** Similarity search (SURVEY §2.D q30–q32) over the embeddings table.
+  *
+  * Query set: vec_id % 25 == 0. k = 5 neighbors. Ordering is always on
+  * round(cosine, 6) DESC with vec_id tiebreak so both engines rank
+  * identically.
+  *
+  * Scale posture:
+  *  - q30 brute force: the QUERY set is broadcast (small side), the
+  *    base table streams — no shuffle of the big side; top-k per query
+  *    runs through rank()<=k which Spark rewrites to WindowGroupLimit
+  *    (partial per-partition top-k before the shuffle).
+  *  - q31 LSH: 4 bands x 4 hyperplane-sign bits — candidates come from
+  *    a band-equality join, never a cross join.
+  *  - q32 IVF: coarse centroids (vec_id % 50 == 0), vectors assigned to
+  *    nearest centroid once; queries probe their nprobe=2 nearest
+  *    centroid buckets only.
+  */
+object AnnQueries {
+
+  val K = 5
+  val QueryMod = 25
+  val CentroidMod = 50
+  val NProbe = 2
+  val Dims = 64
+  val LshBits = 16 // 4 bands x 4 bits
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+
+  private val vecsCte =
+    "ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  // ---------------------------------------------------------------- q30
+  /** Brute-force cosine top-k: broadcast query set x full table. */
+  def q30KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q30Sql: String =
+    s"""WITH $vecsCte,
+qs AS (SELECT vec_id AS qid, v AS qv FROM ed WHERE vec_id % $QueryMod = 0),
+scored AS (
+  SELECT q.qid, e.vec_id, round(${Sql.listCosine("q.qv", "e.v")}, 6) AS cosine
+  FROM qs q JOIN ed e ON q.qid <> e.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id AS neighbor, rank, cosine FROM ranked
+WHERE rank <= $K ORDER BY qid, rank"""
+
+  // ---------------------------------------------------------------- q31
+  /** LSH ANN: 16 hyperplane-sign bits split into 4 bands of 4; a
+    * candidate shares at least one band with the query. Top-k among
+    * candidates only. */
+  def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val coded = vecs(spark, sfDir)
+      .withColumn("code", VF.lshCode(col("v"), Dims, LshBits))
+    val bandsOf = (idCol: String, vCol: String) =>
+      coded.select(col("vec_id").as(idCol), col("v").as(vCol),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), shiftright(col("code"), 4 * b).bitwiseAND(15).as("key"))
+        }: _*)).as("bk"))
+        .select(col(idCol), col(vCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val qb = bandsOf("qid", "qv").filter(pmod(col("qid"), lit(QueryMod)) === 0)
+    val eb = bandsOf("vec_id", "v")
+    val cand = qb.join(eb, Seq("band", "key"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.select(col("qid"), col("vec_id"),
+        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q31Sql: String = {
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT vec_id, v, $b AS band, (code >> ${4 * b}) & 15 AS key FROM coded")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vecsCte,
+coded AS MATERIALIZED (SELECT vec_id, v, ${Sql.lshCode("v", Dims, LshBits)} AS code FROM ed),
+bands AS MATERIALIZED (
+  $bandRows),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, e.vec_id, e.v
+  FROM bands q JOIN bands e ON q.band = e.band AND q.key = e.key
+  WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> e.vec_id),
+scored AS (
+  SELECT qid, vec_id, round(${Sql.listCosine("qv", "v")}, 6) AS cosine FROM cand),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id AS neighbor, rank, cosine FROM ranked
+WHERE rank <= $K ORDER BY qid, rank"""
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** IVF ANN: coarse centroids = vec_id % 50 == 0; every vector joins
+    * its nearest centroid's bucket; queries probe their 2 nearest
+    * centroids and search only those buckets. */
+  def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = e.filter(pmod(col("vec_id"), lit(CentroidMod)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // assignment: nearest centroid per vector (broadcast centroids)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(VF.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // probes: nprobe nearest centroids per query
+    val probes = assigned.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(VF.cosine(col("qv"), col("cv")), 6).as("ccos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("prank") <= NProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned.select(col("vec_id"), col("v"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q32Sql: String =
+    s"""WITH $vecsCte,
+cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id % $CentroidMod = 0),
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(${Sql.listCosine("e.v", "c.cv")}, 6) DESC, c.cid) AS arank
+    FROM ed e CROSS JOIN cents c)
+  WHERE arank = 1),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(${Sql.listCosine("q.v", "c.cv")}, 6) DESC, c.cid) AS prank
+    FROM ed q CROSS JOIN cents c WHERE q.vec_id % $QueryMod = 0)
+  WHERE prank <= $NProbe),
+scored AS (
+  SELECT p.qid, a.vec_id, round(${Sql.listCosine("p.qv", "a.v")}, 6) AS cosine
+  FROM probes p JOIN assigned a ON a.cid = p.cid AND p.qid <> a.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id AS neighbor, rank, cosine FROM ranked
+WHERE rank <= $K ORDER BY qid, rank"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_brute" -> q30KnnBrute,
+    "q31_knn_lsh" -> q31KnnLsh,
+    "q32_ivf_knn" -> q32IvfKnn)
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_brute" -> q30Sql,
+    "q31_knn_lsh" -> q31Sql,
+    "q32_ivf_knn" -> q32Sql)
+}
