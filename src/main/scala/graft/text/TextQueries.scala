@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{MathFunctions => MF}
+import graft.oracle.Sql
+
+/** Text analysis (SURVEY §2.E q40–q43) over the documents table: all
+  * single-pass scans of built-in expressions (array/regexp/window) —
+  * no UDFs, no shuffles except the q43 per-doc window + aggregation.
+  */
+object TextQueries {
+
+  private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val StopFr = Seq("le", "la", "de", "et", "les", "des", "une")
+  private val StopDe = Seq("der", "die", "und", "das", "von", "ein", "zu")
+
+  private def hitRatio(w: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w)
+  }
+
+  private def hitRatioSql(w: String, stop: Seq[String]): String = {
+    val lst = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"(CAST(len(list_filter($w, x -> list_contains($lst, x))) AS DOUBLE) / len($w))"
+  }
+
+  // ---------------------------------------------------------------- q40
+  /** Language-ID heuristic: stopword-hit ratio per language, argmax
+    * with fixed en>es>fr>de precedence; below 0.05 → 'und'. */
+  def q40LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        hitRatio(w, StopEn).as("r_en"), hitRatio(w, StopEs).as("r_es"),
+        hitRatio(w, StopFr).as("r_fr"), hitRatio(w, StopDe).as("r_de"))
+    val best = greatest(col("r_en"), col("r_es"), col("r_fr"), col("r_de"))
+    d.select(col("doc_id"), col("lang"),
+        when(best < 0.05, lit("und"))
+          .when(col("r_en") === best, lit("en"))
+          .when(col("r_es") === best, lit("es"))
+          .when(col("r_fr") === best, lit("fr"))
+          .otherwise(lit("de")).as("detected"),
+        round(best, 6).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q40Sql: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH r AS (
+  SELECT doc_id, lang,
+    ${hitRatioSql(w, StopEn)} AS r_en, ${hitRatioSql(w, StopEs)} AS r_es,
+    ${hitRatioSql(w, StopFr)} AS r_fr, ${hitRatioSql(w, StopDe)} AS r_de
+  FROM documents)
+SELECT doc_id, lang,
+  (CASE WHEN greatest(r_en, r_es, r_fr, r_de) < 0.05 THEN 'und'
+        WHEN r_en = greatest(r_en, r_es, r_fr, r_de) THEN 'en'
+        WHEN r_es = greatest(r_en, r_es, r_fr, r_de) THEN 'es'
+        WHEN r_fr = greatest(r_en, r_es, r_fr, r_de) THEN 'fr'
+        ELSE 'de' END) AS detected,
+  round(greatest(r_en, r_es, r_fr, r_de), 6) AS confidence
+FROM r ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** Quality scoring: word count, mean word length, stopword ratio →
+    * bounded score in [0, 1]. */
+  def q41Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("double")
+    val avgWl = (length(col("text")) - (size(w) - 1)).cast("double") / nWords
+    val stopR = hitRatio(w, StopEn)
+    val score = least(lit(1.0), greatest(lit(0.0),
+      lit(0.5) * least(stopR * 5.0, lit(1.0)) +
+        lit(0.3) * least(nWords / 100.0, lit(1.0)) +
+        lit(0.2) * when(avgWl >= 3.0 && avgWl <= 8.0, 1.0).otherwise(0.0)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(w).as("n_words"),
+        round(avgWl, 6).as("avg_word_len"), round(stopR, 6).as("stopword_ratio"),
+        round(score, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Sql: String = {
+    val w = "string_split(text, ' ')"
+    val nW = s"CAST(len($w) AS DOUBLE)"
+    val avgWl = s"(CAST(length(text) - (len($w) - 1) AS DOUBLE) / $nW)"
+    val stopR = hitRatioSql(w, StopEn)
+    s"""SELECT doc_id, len($w) AS n_words,
+  round($avgWl, 6) AS avg_word_len,
+  round($stopR, 6) AS stopword_ratio,
+  round(least(1.0, greatest(0.0,
+    0.5 * least($stopR * 5.0, 1.0) +
+    0.3 * least($nW / 100.0, 1.0) +
+    0.2 * (CASE WHEN $avgWl >= 3.0 AND $avgWl <= 8.0 THEN 1.0 ELSE 0.0 END))), 6) AS quality
+FROM documents ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Token counting: whitespace tokens, regex word tokens, and a
+    * chars/4 BPE-style estimate. */
+  def q42Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"),
+        length(col("text")).as("n_chars"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("bpe_estimate"))
+      .orderBy(col("doc_id"))
+
+  val q42Sql: String =
+    """SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+  length(text) AS n_chars,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate
+FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q43
+  /** Document fingerprinting by winnowing: hash word 3-grams, take the
+    * min hash of each 4-shingle window, keep distinct mins. Output is
+    * the per-doc fingerprint summary (count / min / max) so the result
+    * stays compact and totally ordered. */
+  def q43Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val shingles = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array(col("text")))
+    val posed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), MF.hash32(col("sh")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, Window.currentRow)
+    posed.withColumn("fp", min(col("h")).over(win))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q43Sql: String = {
+    val w = "string_split(text, ' ')"
+    val shingles = s"""(CASE WHEN len($w) >= 3
+      THEN list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+      ELSE [text] END)"""
+    s"""WITH posed AS MATERIALIZED (
+  SELECT doc_id, unnest(range(1, len($shingles) + 1)) AS pos, unnest($shingles) AS sh
+  FROM documents),
+hashed AS (SELECT doc_id, pos, ${Sql.hash32OfHex("md5(sh)")} AS h FROM posed),
+fps AS (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM hashed)
+SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_langid" -> q40LangId,
+    "q41_quality" -> q41Quality,
+    "q42_tokens" -> q42Tokens,
+    "q43_fingerprint" -> q43Fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q40_langid" -> q40Sql,
+    "q41_quality" -> q41Sql,
+    "q42_tokens" -> q42Sql,
+    "q43_fingerprint" -> q43Sql)
+}

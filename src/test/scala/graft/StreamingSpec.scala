@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingWindows
+import graft.streaming.StreamingWindows.Event
+
+/** Structured Streaming twins (SURVEY §2.G): drive the streaming
+  * transforms with MemoryStream and assert they agree with the batch
+  * plan over the same data.
+  */
+class StreamingSpec extends GraftSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("streaming tumbling window agg equals batch agg on the same events") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value")
+
+    val query = StreamingWindows.tumblingHourly(streamDf)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+
+    val base = 1700000000000L // fixed epoch ms
+    val events = (0 until 500).map { i =>
+      (new Timestamp(base + i * 97000L), s"type${i % 3}", i * 0.5)
+    }
+    mem.addData(events: _*)
+    query.processAllAvailable()
+
+    val got = sp.table("tumbling_test")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+
+    val want = StreamingWindows.tumblingHourly(
+        events.toDF("ts", "event_type", "value"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+
+    query.stop()
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming sessionization (mapGroupsWithState) matches batch gap logic") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val query = StreamingWindows.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("update").start()
+
+    val us = 1000000L
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // (new session). user 2: single event.
+    mem.addData(
+      Event(1L, 0L, 1.0), Event(1L, 600L * us, 2.0),
+      Event(1L, 3000L * us, 4.0), Event(2L, 0L, 9.0))
+    query.processAllAvailable()
+
+    val rows = sp.table("session_test").as[StreamingWindows.SessionOut]
+      .collect().map(r => r.userId -> r).toMap
+    query.stop()
+
+    // user 1's latest state: the post-gap session with a single event
+    assert(rows(1L).nEvents === 1L)
+    assert(rows(1L).total === 4.0)
+    assert(rows(1L).startUs === 3000L * us)
+    assert(rows(2L).nEvents === 1L)
+    assert(rows(2L).total === 9.0)
+  }
+}
