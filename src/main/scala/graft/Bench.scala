@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, forcing FULL materialization through the noop
+  * sink (a bare count() would let Catalyst prune the expensive
+  * projection columns). Failures are reported in an "errors" object and
+  * EXCLUDED from timings — a broken query can never improve the total.
+  * Prints exactly one JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +18,34 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val ok = results.collect { case (n, Right(t)) => n -> t }
+    val errs = results.collect { case (n, Left(m)) => n -> m }
+    val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

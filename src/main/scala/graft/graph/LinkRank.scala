@@ -39,9 +39,15 @@ object LinkRank {
     * @param edges (src, dst) — cleaned (deduped) directed edges.
     * @return (id, score) — normalized scores in [0, scale], unrounded.
     */
-  def run(spark: SparkSession, edges: DataFrame, init: DataFrame,
+  def run(spark: SparkSession, edges0: DataFrame, init: DataFrame,
           iters: Int = 9, damping: Double = 0.85, scale: Double = 10.0,
           trustedMode: Boolean = false): DataFrame = {
+
+    // The edge list is consumed by outdeg, the join base, AND (via the
+    // caller's init) the vertex set — cache it once so an expensive
+    // derivation (window + distinct over the fact table) runs once, not
+    // once per consumer.
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
 
@@ -56,25 +62,34 @@ object LinkRank {
       .select(col("id"), col("score"),
         col("od").isNull.as("dangling"),
         (if (trustedMode) abs(col("score") - 1.0) < 1e-3 else lit(false)).as("trusted"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val n = base.count().toDouble
-    val divisor =
-      if (trustedMode) base.filter(col("trusted")).count().toDouble else n
+    // One pass for both loop constants.
+    val cnts = base.agg(count(lit(1)),
+      coalesce(sum(when(col("trusted"), 1L).otherwise(0L)), lit(0L))).first()
+    val n = cnts.getLong(0).toDouble
+    val divisor = if (trustedMode) cnts.getLong(1).toDouble else n
 
-    var ranks = base.repartition(col("id")).localCheckpoint()
+    var ranks = base.localCheckpoint()
+    base.unpersist()
 
     for (_ <- 1 to iters) {
-      val dSum = ranks.filter(col("dangling"))
-        .agg(coalesce(sum(col("score")), lit(0.0))).first().getDouble(0)
+      // Dangling mass as a 1-row aggregate cross-joined in (broadcast
+      // nested loop of a single row): the whole update is ONE job —
+      // no driver round-trip between reading D and applying it.
+      val dang = ranks.filter(col("dangling"))
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("ds"))
       val dTerm =
-        if (trustedMode) when(col("trusted"), lit(dSum / divisor)).otherwise(lit(0.0))
-        else lit(dSum / n)
+        if (trustedMode) when(col("trusted"), col("ds") / lit(divisor)).otherwise(lit(0.0))
+        else col("ds") / lit(n)
       val contribs = eod
         .join(ranks.select(col("id"), col("score")), eod("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("score") / col("od")).as("contrib"))
         .withColumnRenamed("dst", "cid")
       ranks = ranks.drop("score")
         .join(contribs, col("id") === col("cid"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("id"), col("dangling"), col("trusted"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + dTerm)).as("score"))
@@ -93,6 +108,7 @@ object LinkRank {
     val out = logs.select(col("id"),
       (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
     eod.unpersist()
+    edges.unpersist()
     out
   }
 

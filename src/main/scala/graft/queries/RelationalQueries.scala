@@ -61,8 +61,10 @@ object RelationalQueries {
     val rev = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("order_count"))
+    // customer is O(rows·SF) — not a bounded dim, so no forced broadcast
+    // (AQE/autoBroadcastJoinThreshold decides); nation is bounded (25).
     rev
-      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
       .orderBy(col("rev").desc, col("c_custkey"))
       .limit(10)
@@ -130,11 +132,16 @@ object RelationalQueries {
     val c = Tables.customer(spark, sfDir)
     val order = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    // rank first, filter, THEN the running total: the rank-only window
+    // gets Spark's WindowGroupLimit pushdown (per-partition top-5 before
+    // the shuffle), and the cumulative sum runs over <=5 rows per nation
+    // instead of the whole table. The prefix sum of a prefix is
+    // unchanged, so the result is identical.
     c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
       .withColumn("bal_rank", row_number().over(order))
+      .filter(col("bal_rank") <= 5)
       .withColumn("running_bal",
         asD(sum(col("c_acctbal").cast(DecimalType(38, 6))).over(order)))
-      .filter(col("bal_rank") <= 5)
       .select(col("c_nationkey"), col("c_custkey"),
         round(col("c_acctbal"), 6).as("acctbal"), col("bal_rank"), col("running_bal"))
       .orderBy(col("c_nationkey"), col("bal_rank"))
