@@ -39,15 +39,14 @@ object LinkRank {
     * @param edges (src, dst) — cleaned (deduped) directed edges.
     * @return (id, score) — normalized scores in [0, scale], unrounded.
     */
-  def run(spark: SparkSession, edges0: DataFrame, init: DataFrame,
+  def run(spark: SparkSession, edges: DataFrame, init: DataFrame,
           iters: Int = 9, damping: Double = 0.85, scale: Double = 10.0,
           trustedMode: Boolean = false): DataFrame = {
 
-    // The edge list is consumed by outdeg, the join base, AND (via the
-    // caller's init) the vertex set — cache it once so an expensive
-    // derivation (window + distinct over the fact table) runs once, not
-    // once per consumer.
-    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    // The edge list is consumed by outdeg, the join base, and (via the
+    // caller's init) the vertex set. Pass an already-cached frame
+    // (WebGraph.cachedEdges) so the derivation runs once per session —
+    // run() does not persist/unpersist it, the cache is caller-owned.
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
 
@@ -108,7 +107,6 @@ object LinkRank {
     val out = logs.select(col("id"),
       (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
     eod.unpersist()
-    edges.unpersist()
     out
   }
 

@@ -28,7 +28,7 @@ ${Sql.edgesCte}"""
     * updates with dangling redistribution, log-normal CDF scale.
     * (LinkRankComputation.java:192-296.) */
   def q01LinkRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = WebGraph.edges(spark, sfDir)
+    val edges = WebGraph.cachedEdges(spark, sfDir)
     LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
@@ -44,7 +44,7 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
     * 1.0, others 0.1); dangling mass goes only to trusted vertices,
     * divided by |trusted| (TrustRankComputation.java:214-329). */
   def q02TrustRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = WebGraph.edges(spark, sfDir)
+    val edges = WebGraph.cachedEdges(spark, sfDir)
     val init = WebGraph.vertices(edges).withColumn("score",
       when(pmod(pkOf(col("id")), lit(17)) === 0, lit(1.0)).otherwise(lit(0.1)))
     LinkRank.run(spark, edges, init, trustedMode = true)
@@ -65,7 +65,7 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
     * then the LinkRank core on the host graph (Nutch2HostInputFormat /
     * HostRankHBaseTest semantics). */
   def q03HostRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.edges(spark, sfDir))
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
     LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
@@ -83,7 +83,7 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
   // ---------------------------------------------------------------- q07
   /** Graph topology: in/out-degree and dangling flag per vertex. */
   def q07Degrees(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = WebGraph.edges(spark, sfDir)
+    val edges = WebGraph.cachedEdges(spark, sfDir)
     val outd = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
     val ind = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
     WebGraph.vertices(edges)
@@ -175,7 +175,7 @@ FROM lines ORDER BY id"""
   /** Top-k ranked vertices (LinkRankVertexOutputFormat ordering
     * contract): top 20 by normalized score, id tiebreak. */
   def q10TopRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = WebGraph.edges(spark, sfDir)
+    val edges = WebGraph.cachedEdges(spark, sfDir)
     LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("id"))

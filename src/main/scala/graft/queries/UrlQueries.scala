@@ -17,7 +17,7 @@ object UrlQueries {
   /** Edge cleanup: trim, strip #fragment, drop self-links, distinct
     * (LinkRankComputation.java:304-340). Output = cleaned edge list. */
   def q04EdgeDedup(spark: SparkSession, sfDir: String): DataFrame =
-    WebGraph.edges(spark, sfDir).orderBy(col("src"), col("dst"))
+    WebGraph.cachedEdges(spark, sfDir).orderBy(col("src"), col("dst"))
 
   val q04Sql: String =
     s"""WITH ${Sql.rawEdgesCte},
