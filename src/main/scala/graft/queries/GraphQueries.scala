@@ -151,7 +151,10 @@ ORDER BY host"""
       .when(pmod(pk, lit(3)) === 1,
         concat(lit("p"), pk.cast("string"), lit(" "), scoreStr))
       .otherwise(concat(lit("p"), pk.cast("string")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_vio").toString
+    // deterministic per-sfDir temp location, reused across invocations
+    // (overwrite mode) instead of leaking a fresh dir per call
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_vio_" + Integer.toHexString(sfDir.hashCode)).toString
     Tables.part(spark, sfDir).select(line.as("value"))
       .write.mode("overwrite").text(dir)
     graft.graph.TextGraphIO.readVertices(spark, dir)
