@@ -50,18 +50,32 @@ object LinkRank {
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
 
-    // (src, dst, od): the loop-invariant edge side, partitioned once.
+    // Dense long vertex ids: web URLs are long strings, and the 9
+    // iterations shuffle on the vertex key every step — mapping to an
+    // 8-byte surrogate once (and back once at the end) shrinks every
+    // iteration's shuffle/sort keys. The mapping is checkpointed so
+    // monotonically_increasing_id is assigned exactly once.
+    val vmap = init.select(col("id"))
+      .repartition(col("id"))
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint()
+
+    // (svid, dvid, od): the loop-invariant edge side, long keys,
+    // partitioned once.
     val eod = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("od"))
-      .repartition(col("src"))
+      .join(vmap.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
+      .join(vmap.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
+      .select(col("svid"), col("dvid"), col("od"))
+      .repartition(col("svid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Vertex frame with loop-invariant flags.
+    // Vertex frame with loop-invariant flags, keyed by vid.
     val base = init.join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), col("score"),
+      .join(vmap, "id")
+      .select(col("vid"), col("score"),
         col("od").isNull.as("dangling"),
         (if (trustedMode) abs(col("score") - 1.0) < 1e-3 else lit(false)).as("trusted"))
-      .repartition(col("id"))
+      .repartition(col("vid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // One pass for both loop constants.
@@ -83,13 +97,13 @@ object LinkRank {
         if (trustedMode) when(col("trusted"), col("ds") / lit(divisor)).otherwise(lit(0.0))
         else col("ds") / lit(n)
       val contribs = eod
-        .join(ranks.select(col("id"), col("score")), eod("src") === col("id"))
-        .groupBy(col("dst")).agg(sum(col("score") / col("od")).as("contrib"))
-        .withColumnRenamed("dst", "cid")
+        .join(ranks.select(col("vid"), col("score")), eod("svid") === col("vid"))
+        .groupBy(col("dvid")).agg(sum(col("score") / col("od")).as("contrib"))
+        .withColumnRenamed("dvid", "cid")
       ranks = ranks.drop("score")
-        .join(contribs, col("id") === col("cid"), "left")
+        .join(contribs, col("vid") === col("cid"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("id"), col("dangling"), col("trusted"),
+        .select(col("vid"), col("dangling"), col("trusted"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + dTerm)).as("score"))
         .localCheckpoint()
@@ -97,7 +111,9 @@ object LinkRank {
 
     // Log-normal CDF normalization — two explicit passes (sum, then
     // squared deviations) so the oracle's CTE arithmetic is identical.
-    val logs = ranks.select(col("id"), log(col("score")).as("l"))
+    // The string id comes back via one final join against the mapping.
+    val logs = ranks.join(vmap, "vid")
+      .select(col("id"), log(col("score")).as("l"))
       .localCheckpoint()
     val mu = logs.agg(sum(col("l"))).first().getDouble(0) / n
     val sig0 = math.sqrt(

@@ -12,6 +12,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # normalize dtypes before the string compare: int32/int64 ->
+    # int64, float32/decimal -> rounded float64, so engine-side dtype
+    # skew can't fake a VALUES diff
+    for c in df.columns:
+        import pandas.api.types as pt
+        if pt.is_bool_dtype(df[c]):
+            pass
+        elif pt.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pt.is_numeric_dtype(df[c]) or str(df[c].dtype).startswith("decimal"):
+            df[c] = df[c].astype("float64").round(6)
+        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], float):
+            df[c] = df[c].astype("float64").round(6)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
