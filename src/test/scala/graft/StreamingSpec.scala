@@ -46,6 +46,42 @@ class StreamingSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("file-source readStream: windowed agg over incrementally arriving parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val base = 1700000000000L
+    def batch(offset: Int) = (0 until 200).map { i =>
+      (new Timestamp(base + (offset + i) * 60000L), s"type${i % 2}", i * 1.0)
+    }
+    // first file arrives before the query starts; second mid-stream
+    batch(0).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = sp.read.parquet(dir).schema
+    val stream = sp.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamingWindows.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    query.processAllAvailable()
+
+    batch(200).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    query.processAllAvailable()
+
+    val got = sp.table("file_tumbling")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    val want = StreamingWindows.tumblingHourly(
+        (batch(0) ++ batch(200)).toDF("ts", "event_type", "value"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    query.stop()
+    assert(got === want)
+    assert(got.size >= 2)
+  }
+
   test("streaming sessionization (mapGroupsWithState) matches batch gap logic") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[Event]
