@@ -14,6 +14,8 @@ object GraftSession {
 
   /** Apply graft defaults to an existing builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    // native graft expressions (graft_erf, …) available from SQL
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

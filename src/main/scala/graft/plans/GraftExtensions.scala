@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+/** Session extension point: registers graft's native expressions so
+  * SQL users get them by name. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession
+  * sets this by default).
+  *
+  * This is the (b)-tier extension path from the design rules: a native
+  * Expression with doGenCode, injected via SparkSessionExtensions —
+  * used only where built-ins can't express the scalar. Everything else
+  * in graft composes `org.apache.spark.sql.functions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_erf"),
+      new ExpressionInfo(classOf[Erf].getName, "graft_erf"),
+      (args: Seq[Expression]) => Erf(Cast(args.head, DoubleType))))
+  }
+}
