@@ -100,18 +100,11 @@ FROM corpus ORDER BY doc_id"""
       .agg(min(MF.universalHash(col("h"), 0)).as("mh0"),
         (1 until K).map(j => min(MF.universalHash(col("h"), j)).as(s"mh$j")): _*)
 
-  // Session-scoped memo: q21 and q23 share the same signature build
-  // (corpus -> shingles -> md5 -> 12 min-aggs); one materialization per
-  // session instead of one per query.
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** q21 and q23 share the signature build (corpus → shingles → md5 →
+    * 12 min-aggs); memoized once per session. */
   private def cachedSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark, sfDir), {
-      val s = signatures(corpus(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      s.count()
-      s
-    })
+    graft.SessionCache.cached(spark, s"minhash-sigs:$sfDir")(
+      signatures(corpus(spark, sfDir)))
 
   private val signaturesCte: String = {
     val mins = (0 until K)

@@ -63,22 +63,12 @@ object WebGraph {
   def edges(spark: SparkSession, sfDir: String): DataFrame =
     dedupEdges(rawEdges(spark, sfDir))
 
-  // Session-scoped memo of the cleaned edge set: seven queries (q01-q04,
-  // q07, q10, and HostRank's projection) consume the same derivation
-  // (window over the fact table + distinct). One cache turns that into
-  // one scan per session instead of one per query. Keyed by (session,
-  // dir) so sf0.001 smoke and sf0.01 verify don't collide.
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Cleaned page edges, cached per session+dir (eagerly materialized). */
+  /** Cleaned page edges, memoized per session+dir: seven queries
+    * (q01–q04, q07, q10, and HostRank's projection) consume the same
+    * derivation (window over the fact table + distinct) — one scan per
+    * session instead of one per query. */
   def cachedEdges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.getOrElseUpdate((spark, sfDir), {
-      val e = edges(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      e
-    })
+    graft.SessionCache.cached(spark, s"edges:$sfDir")(edges(spark, sfDir))
 
   /** Host projection (HostRank input): host(src) -> host(dst), cleaned
     * of self-links, distinct (Nutch2HostInputFormat semantics). */
