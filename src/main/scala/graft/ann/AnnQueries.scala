@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -187,13 +187,56 @@ ranked AS (
 SELECT qid, vec_id AS neighbor, rank, cosine FROM ranked
 WHERE rank <= $K ORDER BY qid, rank"""
 
+  // ---------------------------------------------------------------- q33
+  /** Int8 embedding quantization (the storage path at 100 TB: 4x
+    * smaller vectors for IVF cells): per-vector absmax scale,
+    * q = round(v/scale*127), reconstruction-error stats. */
+  def q33Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val mx = aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+      (acc, x) => greatest(acc, x))
+    val withScale = e.withColumn("scale", mx)
+    val recon = transform(col("v"),
+      x => round(x / col("scale") * 127.0, 0) * col("scale") / 127.0)
+    val absErr = zip_with(col("v"), recon, (a, b) => abs(a - b))
+    // fixed-point micro-units via floor(x*1e6 + 0.5): quantization-error
+    // maxima land exactly on round(,6) grid boundaries where Spark's
+    // decimal HALF_UP and DuckDB's binary rounding disagree — the floor
+    // form is the same double arithmetic on both engines, no boundary.
+    def um(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    withScale.select(col("vec_id"),
+        um(col("scale")).as("scale_um"),
+        um(aggregate(absErr, lit(0.0), (acc, x) => greatest(acc, x))).as("max_abs_err_um"),
+        um(aggregate(absErr, lit(0.0), (acc, x) => acc + x) / size(col("v"))).as("mean_abs_err_um"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q33Sql: String = {
+    val mx = "list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b))"
+    val recon = "list_transform(v, x -> round(x / scale * 127.0, 0) * scale / 127.0)"
+    s"""WITH $vecsCte,
+scaled AS (SELECT vec_id, v, $mx AS scale FROM ed),
+errs AS (
+  SELECT vec_id, scale,
+    list_transform(range(1, len(v) + 1), i -> abs(v[i] - ($recon)[i])) AS ae,
+    len(v) AS d
+  FROM scaled)
+SELECT vec_id,
+  CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_um,
+  CAST(floor(list_reduce(ae, (a, b) -> greatest(a, b)) * 1e6 + 0.5) AS BIGINT) AS max_abs_err_um,
+  CAST(floor(list_reduce(ae, (a, b) -> a + b) / d * 1e6 + 0.5) AS BIGINT) AS mean_abs_err_um
+FROM errs ORDER BY vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30KnnBrute,
     "q31_knn_lsh" -> q31KnnLsh,
-    "q32_ivf_knn" -> q32IvfKnn)
+    "q32_ivf_knn" -> q32IvfKnn,
+    "q33_quantize" -> q33Quantize)
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
-    "q32_ivf_knn" -> q32Sql)
+    "q32_ivf_knn" -> q32Sql,
+    "q33_quantize" -> q33Sql)
 }

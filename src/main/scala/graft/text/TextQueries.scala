@@ -159,15 +159,75 @@ SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp, max(fp) 
 FROM fps GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q44
+  /** PII scrubbing (training-data hygiene): redact emails, phone
+    * numbers, and IPv4s. The corpus carries none, so docs with
+    * doc_id%7==0 get a deterministic synthetic contact line appended
+    * before scrubbing; output counts redactions per kind. Regexes use
+    * only syntax common to Java regex and RE2 so both engines agree.
+    */
+  // [.] instead of \. — backslash-free so the patterns survive Spark
+  // SQL string-literal escaping (inside expr) and read identically in
+  // Java regex and DuckDB's RE2.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  def q44PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org call 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(injected, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), injected.as("raw"), scrubbed.as("clean"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")).as("n_phones"),
+        (size(split(col("clean"), "<IP>", -1)) - 1).as("n_ips"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q44Sql: String = {
+    val injected = s"""(CASE WHEN doc_id % 7 = 0
+      THEN text || ' contact user' || doc_id || '@mail.example.org call 555-123-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' from 10.0.' || (doc_id % 256) || '.7'
+      ELSE text END)"""
+    s"""WITH raw AS (SELECT doc_id, $injected AS raw FROM documents),
+scrubbed AS (
+  SELECT doc_id, raw,
+    regexp_replace(regexp_replace(regexp_replace(raw,
+      '$EmailRe', '<EMAIL>', 'g'),
+      '$PhoneRe', '<PHONE>', 'g'),
+      '$Ipv4Re', '<IP>', 'g') AS clean
+  FROM raw)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
+  len(regexp_extract_all(raw, '$PhoneRe')) AS n_phones,
+  (len(string_split(clean, '<IP>')) - 1) AS n_ips,
+  md5(clean) AS clean_md5
+FROM scrubbed ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
     "q42_tokens" -> q42Tokens,
-    "q43_fingerprint" -> q43Fingerprint)
+    "q43_fingerprint" -> q43Fingerprint,
+    "q44_pii_scrub" -> q44PiiScrub)
 
   val oracles: Map[String, String] = Map(
     "q40_langid" -> q40Sql,
     "q41_quality" -> q41Sql,
     "q42_tokens" -> q42Sql,
-    "q43_fingerprint" -> q43Sql)
+    "q43_fingerprint" -> q43Sql,
+    "q44_pii_scrub" -> q44Sql)
 }
