@@ -41,7 +41,8 @@ object LinkRank {
     */
   def run(spark: SparkSession, edges: DataFrame, init: DataFrame,
           iters: Int = 9, damping: Double = 0.85, scale: Double = 10.0,
-          trustedMode: Boolean = false): DataFrame = {
+          trustedMode: Boolean = false,
+          cacheKey: Option[String] = None): DataFrame = {
 
     // The edge list is consumed by outdeg, the join base, and (via the
     // caller's init) the vertex set. Pass an already-cached frame
@@ -55,19 +56,29 @@ object LinkRank {
     // 8-byte surrogate once (and back once at the end) shrinks every
     // iteration's shuffle/sort keys. The mapping is checkpointed so
     // monotonically_increasing_id is assigned exactly once.
-    val vmap = init.select(col("id"))
+    // With cacheKey set, (vmap, eod) are loop-invariant per GRAPH, not
+    // per run — q01/q02/q10 all rank the same page graph, so the id
+    // mapping and the joined edge side build once per session.
+    def buildVmap: DataFrame = init.select(col("id"))
       .repartition(col("id"))
       .withColumn("vid", monotonically_increasing_id())
       .localCheckpoint()
+    val vmap = cacheKey match {
+      case Some(k) => graft.SessionCache.cached(spark, s"rank-vmap:$k")(buildVmap)
+      case None => buildVmap
+    }
 
     // (svid, dvid, od): the loop-invariant edge side, long keys,
     // partitioned once.
-    val eod = edges.join(outdeg, "src")
+    def buildEod: DataFrame = edges.join(outdeg, "src")
       .join(vmap.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
       .join(vmap.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
       .select(col("svid"), col("dvid"), col("od"))
       .repartition(col("svid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eod = cacheKey match {
+      case Some(k) => graft.SessionCache.cached(spark, s"rank-eod:$k")(buildEod)
+      case None => buildEod.persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
     // Vertex frame with loop-invariant flags, keyed by vid.
     val base = init.join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
@@ -122,7 +133,7 @@ object LinkRank {
 
     val out = logs.select(col("id"),
       (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
-    eod.unpersist()
+    if (cacheKey.isEmpty) eod.unpersist() // session-cached eod is shared
     out
   }
 

@@ -29,7 +29,8 @@ ${Sql.edgesCte}"""
     * (LinkRankComputation.java:192-296.) */
   def q01LinkRank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = WebGraph.cachedEdges(spark, sfDir)
-    LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
+    LinkRank.run(spark, edges, LinkRank.uniformInit(edges),
+        cacheKey = Some(s"page:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
   }
@@ -47,7 +48,8 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
     val edges = WebGraph.cachedEdges(spark, sfDir)
     val init = WebGraph.vertices(edges).withColumn("score",
       when(pmod(pkOf(col("id")), lit(17)) === 0, lit(1.0)).otherwise(lit(0.1)))
-    LinkRank.run(spark, edges, init, trustedMode = true)
+    LinkRank.run(spark, edges, init, trustedMode = true,
+        cacheKey = Some(s"page:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
   }
@@ -66,7 +68,8 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
     * HostRankHBaseTest semantics). */
   def q03HostRank(spark: SparkSession, sfDir: String): DataFrame = {
     val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
-    LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges))
+    LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges),
+        cacheKey = Some(s"host:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
   }
@@ -179,7 +182,8 @@ FROM lines ORDER BY id"""
     * contract): top 20 by normalized score, id tiebreak. */
   def q10TopRank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = WebGraph.cachedEdges(spark, sfDir)
-    LinkRank.run(spark, edges, LinkRank.uniformInit(edges))
+    LinkRank.run(spark, edges, LinkRank.uniformInit(edges),
+        cacheKey = Some(s"page:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(20)
