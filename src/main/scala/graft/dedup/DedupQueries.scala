@@ -317,17 +317,75 @@ pairs AS (
 SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb"""
   }
 
+  // ---------------------------------------------------------------- q25
+  val CcIters = 8
+
+  /** Near-dup clusters: connected components over the LSH candidate
+    * pairs via iterative min-label propagation (8 synchronous rounds —
+    * far beyond the tiny cluster diameters here; both engines run the
+    * identical rounds so results match even pre-convergence). The
+    * canonical doc of each cluster is its minimum id — the "keep one
+    * per near-dup group" primitive of a training-data pipeline. */
+  def q25DupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val und = cand.select(col("da").as("a"), col("db").as("b"))
+      .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = corpus(spark, sfDir)
+      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to CcIters) {
+      val pulled = und.join(labels.select(col("id"), col("lbl")), col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("ml"))
+        .withColumnRenamed("a", "mid")
+      labels = labels.join(pulled, col("id") === col("mid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q25Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $corpusCte,
+$shingleHashCte,
+$signaturesCte,
+$bandsCte,
+$candCte,
+e2 AS MATERIALIZED (SELECT da AS a, db AS b FROM cand UNION ALL SELECT db AS a, da AS b FROM cand),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM corpus),
+"""
+    for (k <- 1 to CcIters) {
+      val p = s"l${k - 1}"
+      sb ++= s"""l$k AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, coalesce(m.ml, v.lbl)) AS lbl
+  FROM $p v LEFT JOIN (
+    SELECT e2.a AS mid, min(p.lbl) AS ml FROM e2 JOIN $p p ON e2.b = p.id GROUP BY e2.a) m
+  ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""final AS (SELECT id, lbl FROM l$CcIters)
+SELECT id AS doc_id, lbl AS cluster, (id = lbl) AS is_canonical
+FROM final ORDER BY doc_id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> q20DedupExact,
     "q21_minhash_lsh" -> q21MinHashLsh,
     "q22_simhash" -> q22SimHash,
     "q23_ngram_jaccard" -> q23NgramJaccard,
-    "q24_embedding_dedup" -> q24EmbeddingDedup)
+    "q24_embedding_dedup" -> q24EmbeddingDedup,
+    "q25_dup_clusters" -> q25DupClusters)
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_lsh" -> q21Sql,
     "q22_simhash" -> q22Sql,
     "q23_ngram_jaccard" -> q23Sql,
-    "q24_embedding_dedup" -> q24Sql)
+    "q24_embedding_dedup" -> q24Sql,
+    "q25_dup_clusters" -> q25Sql)
 }

@@ -82,6 +82,45 @@ class StreamingSpec extends GraftSpec {
     assert(got.size >= 2)
   }
 
+  test("end-to-end file pipeline: readStream -> windowed agg -> writeStream parquet sink") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sink_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val base = 1700000000000L
+    val events = (0 until 300).map { i =>
+      (new Timestamp(base + i * 60000L), s"type${i % 2}", i * 1.0)
+    }
+    events.toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = sp.read.parquet(srcDir).schema
+    val stream = sp.readStream.schema(schema).parquet(srcDir)
+    // append mode requires the watermark to close windows; a final
+    // far-future event pushes the watermark past all real windows
+    val closer = Seq((new Timestamp(base + 100L * 3600000L), "type0", 0.0))
+    val query = StreamingWindows.tumblingHourly(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    closer.toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = sp.read.parquet(outDir)
+      .filter(col("window_start") < new Timestamp(base + 99L * 3600000L))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    val want = StreamingWindows.tumblingHourly(events.toDF("ts", "event_type", "value"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.size >= 4)
+  }
+
   test("streaming sessionization (mapGroupsWithState) matches batch gap logic") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[Event]
