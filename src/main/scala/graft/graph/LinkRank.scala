@@ -98,7 +98,7 @@ object LinkRank {
     var ranks = base.localCheckpoint()
     base.unpersist()
 
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // Dangling mass as a 1-row aggregate cross-joined in (broadcast
       // nested loop of a single row): the whole update is ONE job —
       // no driver round-trip between reading D and applying it.
@@ -117,7 +117,12 @@ object LinkRank {
         .select(col("vid"), col("dangling"), col("trusted"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + dTerm)).as("score"))
-        .localCheckpoint()
+      // Checkpoint every iteration: the next step's dangling-mass
+      // broadcast subplan reads `ranks` too, so an unmaterialized chain
+      // would be recomputed once per consumer — measured worse than the
+      // extra materialization barrier (batching every 3 steps was tried
+      // and reverted).
+      ranks = ranks.localCheckpoint()
     }
 
     // Log-normal CDF normalization — two explicit passes (sum, then
