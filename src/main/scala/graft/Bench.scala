@@ -42,7 +42,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}")
-        }
+        } finally Checkpoints.drain(spark) // session stays block-clean per run
       }
       val r = (once(), once()) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))

@@ -189,7 +189,10 @@ ORDER BY c.da, c.db"""
     val simhash = (0 until SimBits)
       .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sig = sums.select(col("doc_id"), simhash.as("sim")).cache()
+    // deferUnpersist: the returned frame reads sig twice (both sides of
+    // the band join); the harness drain frees it after the action.
+    val sig = graft.Checkpoints.deferUnpersist(
+      sums.select(col("doc_id"), simhash.as("sim")).cache())
     val bandsDf = sig.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(255).as("key"))
@@ -232,10 +235,11 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
     * expensive set intersection only runs on band-matched pairs). */
   def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
-    val sh = c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
-      .distinct().cache()
+    val sh = graft.Checkpoints.deferUnpersist(
+      c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+        .distinct().cache())
     val sigs = cachedSignatures(spark, sfDir)
-    val cand = candidates(bands(sigs)).cache()
+    val cand = graft.Checkpoints.deferUnpersist(candidates(bands(sigs)).cache())
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.toDF("da", "sha")
     val shB = sh.toDF("db", "shb")
@@ -320,10 +324,42 @@ SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb""
   // ---------------------------------------------------------------- q25
   val CcIters = 8
 
+  /** Min-label propagation over an undirected edge list `und(a, b)`
+    * from `init(id, lbl)`, until a round changes no label or `maxIters`
+    * rounds ran. Early exit is result-identical to running the full
+    * round budget (the update is monotone and idempotent at the fixed
+    * point) — at 100× data the component diameter isn't known a priori,
+    * so the loop must detect convergence instead of guessing a count.
+    * Each round holds exactly one checkpointed label snapshot (rotate).
+    *
+    * @return (labels(id, lbl), rounds actually run) */
+  private[graft] def propagateLabels(und: DataFrame, init: DataFrame,
+                                     maxIters: Int): (DataFrame, Int) = {
+    var labels = init.select(col("id"), col("lbl")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val pulled = und.join(labels.select(col("id"), col("lbl")), col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("ml"))
+        .withColumnRenamed("a", "mid")
+      val next = labels.join(pulled, col("id") === col("mid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"),
+          (coalesce(col("ml"), col("lbl")) < col("lbl")).as("chg"))
+      labels = graft.Checkpoints.rotate(next, labels)
+      rounds += 1
+      // one limit-1 job on the already-materialized checkpoint
+      converged = labels.filter(col("chg")).isEmpty
+    }
+    // return the checkpoint itself (not a projection) so the caller can
+    // deferFree its blocks; it carries (id, lbl, chg)
+    (labels, rounds)
+  }
+
   /** Near-dup clusters: connected components over the LSH candidate
-    * pairs via iterative min-label propagation (8 synchronous rounds —
-    * far beyond the tiny cluster diameters here; both engines run the
-    * identical rounds so results match even pre-convergence). The
+    * pairs via iterative min-label propagation (round cap 8 — far
+    * beyond the tiny cluster diameters here, with early exit on
+    * convergence; both engines reach the identical fixed point). The
     * canonical doc of each cluster is its minimum id — the "keep one
     * per near-dup group" primitive of a training-data pipeline. */
   def q25DupClusters(spark: SparkSession, sfDir: String): DataFrame = {
@@ -331,18 +367,11 @@ SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb""
     val und = cand.select(col("da").as("a"), col("db").as("b"))
       .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = corpus(spark, sfDir)
+    val init = corpus(spark, sfDir)
       .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    for (_ <- 1 to CcIters) {
-      val pulled = und.join(labels.select(col("id"), col("lbl")), col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("ml"))
-        .withColumnRenamed("a", "mid")
-      labels = labels.join(pulled, col("id") === col("mid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-    }
+    val (labels, _) = propagateLabels(und, init, CcIters)
     und.unpersist()
+    graft.Checkpoints.deferFree(labels)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
         (col("id") === col("lbl")).as("is_canonical"))
       .orderBy(col("doc_id"))

@@ -111,6 +111,7 @@ object LinkRank {
         .join(ranks.select(col("vid"), col("score")), eod("svid") === col("vid"))
         .groupBy(col("dvid")).agg(sum(col("score") / col("od")).as("contrib"))
         .withColumnRenamed("dvid", "cid")
+      val prevCp = ranks
       ranks = ranks.drop("score")
         .join(contribs, col("vid") === col("cid"), "left")
         .crossJoin(broadcast(dang))
@@ -121,8 +122,10 @@ object LinkRank {
       // broadcast subplan reads `ranks` too, so an unmaterialized chain
       // would be recomputed once per consumer — measured worse than the
       // extra materialization barrier (batching every 3 steps was tried
-      // and reverted).
-      ranks = ranks.localCheckpoint()
+      // and reverted). rotate() frees the predecessor's blocks, so the
+      // loop holds exactly one live rank snapshot instead of piling up
+      // one block set per iteration for the life of the session.
+      ranks = graft.Checkpoints.rotate(ranks, prevCp)
     }
 
     // Log-normal CDF normalization — two explicit passes (sum, then
@@ -131,6 +134,7 @@ object LinkRank {
     val logs = ranks.join(vmap, "vid")
       .select(col("id"), log(col("score")).as("l"))
       .localCheckpoint()
+    graft.Checkpoints.free(ranks) // logs is materialized; last iter's blocks can go
     val mu = logs.agg(sum(col("l"))).first().getDouble(0) / n
     val sig0 = math.sqrt(
       logs.agg(sum((col("l") - lit(mu)) * (col("l") - lit(mu)))).first().getDouble(0) / n)
@@ -138,7 +142,13 @@ object LinkRank {
 
     val out = logs.select(col("id"),
       (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
-    if (cacheKey.isEmpty) eod.unpersist() // session-cached eod is shared
+    // `out` still reads logs' blocks lazily — free them at the harness
+    // drain after the caller's action, not now.
+    graft.Checkpoints.deferFree(logs)
+    if (cacheKey.isEmpty) {
+      eod.unpersist() // session-cached eod/vmap are shared, caller-owned
+      graft.Checkpoints.free(vmap) // logs is materialized; the id map can go
+    }
     out
   }
 
