@@ -20,15 +20,24 @@ import graft.oracle.Sql
   *    (partial per-partition top-k before the shuffle).
   *  - q31 LSH: 4 bands x 4 hyperplane-sign bits — candidates come from
   *    a band-equality join, never a cross join.
-  *  - q32 IVF: coarse centroids (vec_id % 50 == 0), vectors assigned to
-  *    nearest centroid once; queries probe their nprobe=2 nearest
-  *    centroid buckets only.
+  *  - q32 IVF: KCents fixed coarse centroids (deterministic hash top-k
+  *    of ids), vectors assigned to nearest centroid once; queries probe
+  *    their nprobe=2 nearest centroid buckets only.
   */
 object AnnQueries {
 
   val K = 5
   val QueryMod = 25
-  val CentroidMod = 50
+  /** q30's query side is broadcast — the fixture (every 25th id) grows
+    * with n and would outgrow the broadcast at 100×, so the query set
+    * is additionally capped at id < QueryCap (≤200 queries). At the
+    * test SFs every id is under the cap, so results are unchanged. */
+  val QueryCap = 5000
+  /** Fixed centroid count, independent of n: the r2 fixture
+    * (vec_id%50==0) made k grow with the corpus, so the broadcast
+    * assignment crossJoin was O(n·n/50). With k constant the broadcast
+    * side is constant-size and assignment is O(n·k). */
+  val KCents = 64
   val NProbe = 2
   val Dims = 64
   val LshBits = 16 // 4 bands x 4 bits
@@ -44,7 +53,7 @@ object AnnQueries {
   /** Brute-force cosine top-k: broadcast query set x full table. */
   def q30KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0 && col("vec_id") < QueryCap)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -59,7 +68,7 @@ object AnnQueries {
 
   val q30Sql: String =
     s"""WITH $vecsCte,
-qs AS (SELECT vec_id AS qid, v AS qv FROM ed WHERE vec_id % $QueryMod = 0),
+qs AS (SELECT vec_id AS qid, v AS qv FROM ed WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
 scored AS (
   SELECT q.qid, e.vec_id, round(${Sql.listCosine("q.qv", "e.v")}, 6) AS cosine
   FROM qs q JOIN ed e ON q.qid <> e.vec_id),
@@ -122,12 +131,18 @@ WHERE rank <= $K ORDER BY qid, rank"""
   }
 
   // ---------------------------------------------------------------- q32
-  /** IVF ANN: coarse centroids = vec_id % 50 == 0; every vector joins
-    * its nearest centroid's bucket; queries probe their 2 nearest
-    * centroids and search only those buckets. */
+  /** IVF ANN: KCents coarse centroids drawn as a deterministic hash
+    * top-k of the ids (portable: same universal hash on both engines;
+    * Spark executes orderBy+limit as TakeOrderedAndProject — a
+    * distributed partial top-k, no global sort). Every vector joins its
+    * nearest centroid's bucket (broadcast of a CONSTANT-size centroid
+    * set → O(n·k) assignment); queries probe their 2 nearest centroids
+    * and search only those buckets. */
   def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = e.filter(pmod(col("vec_id"), lit(CentroidMod)) === 0)
+    val cents = e
+      .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), 1), col("vec_id"))
+      .limit(KCents)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // assignment: nearest centroid per vector (broadcast centroids)
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -162,7 +177,9 @@ WHERE rank <= $K ORDER BY qid, rank"""
 
   val q32Sql: String =
     s"""WITH $vecsCte,
-cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id % $CentroidMod = 0),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM ed
+  ORDER BY ${Sql.universalHash("vec_id", 1)}, vec_id LIMIT $KCents),
 assigned AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,

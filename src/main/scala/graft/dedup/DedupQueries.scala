@@ -170,62 +170,80 @@ ORDER BY c.da, c.db"""
   }
 
   // ----------------------------------------------------- q22 SimHash
-  val SimBits = 32
-  /** hamming <= 2: at 32 bits over same-vocabulary synthetic docs, the
-    * random-pair hamming mass sits at 4-6; 2 keeps exact/near dups and
-    * drops the noise floor. */
-  val MaxHamming = 2
+  /** 64 bits carried as two non-negative 32-bit halves (lo = bits 0-31,
+    * hi = bits 32-63): a single 64-bit sum would put bit 63 in the sign
+    * bit, where Spark/DuckDB literal and shift semantics diverge; two
+    * halves are plain portable long arithmetic on both engines. */
+  val SimBits = 64
+  val SimBands = 4 // x 16-bit keys
+  /** Manku/Jain/Sarma (WWW'07) shape: 64-bit simhash, 4 blocks of 16
+    * bits, hamming <= 3 — exact-match banding then guarantees every
+    * qualifying pair shares at least one intact block (pigeonhole),
+    * and 16-bit keys keep bucket cardinality growing with the corpus
+    * (the r2 8-bit keys capped at 256 buckets → O(n²/256) pairing). */
+  val MaxHamming = 3
 
-  /** 32-bit SimHash over word tokens + byte-band candidate join +
+  /** 64-bit SimHash over word tokens + 16-bit-band candidate join +
     * hamming filter. */
   def q22SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = corpus(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), MF.hash32(col("w")).as("h"))
+      .select(col("doc_id"), MF.hash32(col("w")).as("hlo"), MF.hash32b(col("w")).as("hhi"))
     val sums = tok.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until SimBits).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")): _*)
-    val simhash = (0 until SimBits)
-      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      sum(when(col("hlo").bitwiseAND(1) === 1, 1).otherwise(-1)).as("lo0"),
+      ((1 until 32).map(i =>
+        sum(when(shiftright(col("hlo"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"lo$i")) ++
+       (0 until 32).map(i =>
+        sum(when(shiftright(col("hhi"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"hi$i"))): _*)
+    def half(p: String): Column = (0 until 32)
+      .map(i => when(col(s"$p$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     // deferUnpersist: the returned frame reads sig twice (both sides of
     // the band join); the harness drain frees it after the action.
     val sig = graft.Checkpoints.deferUnpersist(
-      sums.select(col("doc_id"), simhash.as("sim")).cache())
-    val bandsDf = sig.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftright(col("sim"), 8 * b).bitwiseAND(255).as("key"))
+      sums.select(col("doc_id"), half("lo").as("simlo"), half("hi").as("simhi")).cache())
+    val bandsDf = sig.select(col("doc_id"), col("simlo"), col("simhi"),
+      explode(array((0 until SimBands).map { b =>
+        val src = if (b < 2) col("simlo") else col("simhi")
+        struct(lit(b).as("band"),
+          shiftright(src, 16 * (b % 2)).bitwiseAND(65535).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bandsDf.select(col("doc_id").as("da"), col("sim").as("sima"), col("band"), col("key"))
-    val b = bandsDf.select(col("doc_id").as("db"), col("sim").as("simb"), col("band"), col("key"))
+      .select(col("doc_id"), col("simlo"), col("simhi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bandsDf.select(col("doc_id").as("da"), col("simlo").as("loa"),
+      col("simhi").as("hia"), col("band"), col("key"))
+    val b = bandsDf.select(col("doc_id").as("db"), col("simlo").as("lob"),
+      col("simhi").as("hib"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
-        expr("bit_count(sima ^ simb)").as("hamming"))
+        expr("bit_count(loa ^ lob) + bit_count(hia ^ hib)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= MaxHamming)
       .orderBy(col("da"), col("db"))
   }
 
   val q22Sql: String = {
-    val sums = (0 until SimBits)
-      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
-    val sim = (0 until SimBits)
-      .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val bandRows = (0 until 4)
-      .map(b => s"SELECT doc_id, sim, $b AS band, (sim >> ${8 * b}) & 255 AS key FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val sums = ((0 until 32).map(i =>
+        s"sum(CASE WHEN (hlo >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS lo$i") ++
+      (0 until 32).map(i =>
+        s"sum(CASE WHEN (hhi >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS hi$i")).mkString(", ")
+    def half(p: String) = (0 until 32)
+      .map(i => s"(CASE WHEN $p$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val bandRows = (0 until SimBands).map { b =>
+      val src = if (b < 2) "simlo" else "simhi"
+      s"SELECT doc_id, simlo, simhi, $b AS band, ($src >> ${16 * (b % 2)}) & 65535 AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH $corpusCte,
 tok AS MATERIALIZED (
-  SELECT doc_id, ${Sql.hash32OfHex("md5(t.w)")} AS h
+  SELECT doc_id, ${Sql.hash32OfHexAt("md5(t.w)", 1)} AS hlo, ${Sql.hash32OfHexAt("md5(t.w)", 9)} AS hhi
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus) t),
 sums AS MATERIALIZED (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
-sig AS MATERIALIZED (SELECT doc_id, ($sim) AS sim FROM sums),
+sig AS MATERIALIZED (SELECT doc_id, (${half("lo")}) AS simlo, (${half("hi")}) AS simhi FROM sums),
 sbands AS MATERIALIZED (
   $bandRows),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, bit_count(xor(a.sim, b.sim)) AS hamming
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+    bit_count(xor(a.simlo, b.simlo)) + bit_count(xor(a.simhi, b.simhi)) AS hamming
   FROM sbands a JOIN sbands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db"""
   }
@@ -280,12 +298,18 @@ ORDER BY c.da, c.db"""
 
   // ------------------------------------------ q24 embedding near-dup
   val EmbDims = 64
-  val CodeBits = 8
+  val CodeBits = 8 // per band
+  val EmbBands = 4 // independent hyperplane sets, union of band matches
   val CosThreshold = 0.99
 
-  /** Embedding-cosine near-dup: LSH-code blocking (8 hyperplane-sign
-    * bits), cosine only within buckets, threshold 0.99. Near-dups are
-    * injected (vec_id%10==0 → +100000, slight deterministic
+  /** Embedding-cosine near-dup: multi-band hyperplane LSH blocking
+    * (4 bands × 8 sign bits, each band its own hyperplane set; a
+    * candidate matches on ANY band), cosine only on candidates,
+    * threshold 0.99. Multi-band fixes both scale failures of a single
+    * 8-bit code: 4×2^8 buckets per band level keeps buckets ~n/1024,
+    * and the OR over bands restores the recall a single band loses
+    * (P[all 4 bands split a true pair] ≈ (1-(1-θ/π)^8)^4). Near-dups
+    * are injected (vec_id%10==0 → +100000, slight deterministic
     * perturbation). */
   def q24EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -294,11 +318,19 @@ ORDER BY c.da, c.db"""
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * lit(1.01) + (pmod(i, lit(5)) - 2).cast("double") * lit(0.001)).as("v"))
-    val vc = e.unionAll(perturbed)
-      .withColumn("code", VF.lshCode(col("v"), EmbDims, CodeBits))
-    val a = vc.toDF("va", "va_v", "code")
-    val b = vc.toDF("vb", "vb_v", "code")
-    a.join(b, "code").filter(col("va") < col("vb"))
+    val vc = graft.Checkpoints.deferUnpersist(e.unionAll(perturbed).cache())
+    val banded = vc.select(col("vec_id"),
+      explode(array((0 until EmbBands).map { b =>
+        struct(lit(b).as("band"),
+          VF.lshCode(col("v"), EmbDims, CodeBits, CodeBits * b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.toDF("va", "band", "key")
+      .join(banded.toDF("vb", "band", "key"), Seq("band", "key"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    cand.join(vc.toDF("va", "va_v"), "va")
+      .join(vc.toDF("vb", "vb_v"), "vb")
       .select(col("va"), col("vb"),
         round(VF.cosine(col("va_v"), col("vb_v")), 6).as("cosine"))
       .filter(col("cosine") >= CosThreshold)
@@ -307,6 +339,9 @@ ORDER BY c.da, c.db"""
 
   val q24Sql: String = {
     val pert = s"list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * 1.01 + CAST(((i - 1) % 5) - 2 AS DOUBLE) * 0.001)"
+    val bandRows = (0 until EmbBands).map { b =>
+      s"SELECT vec_id, $b AS band, ${Sql.lshCode("v", EmbDims, CodeBits, CodeBits * b)} AS key FROM vc"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH ed AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 vc AS MATERIALIZED (
@@ -314,10 +349,14 @@ vc AS MATERIALIZED (
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, $pert AS v
   FROM embeddings WHERE vec_id % 10 = 0),
-coded AS MATERIALIZED (SELECT vec_id, v, ${Sql.lshCode("v", EmbDims, CodeBits)} AS code FROM vc),
+banded AS MATERIALIZED (
+  $bandRows),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb, round(${Sql.listCosine("a.v", "b.v")}, 6) AS cosine
-  FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id)
+  SELECT c.va, c.vb, round(${Sql.listCosine("a.v", "b.v")}, 6) AS cosine
+  FROM cand c JOIN vc a ON a.vec_id = c.va JOIN vc b ON b.vec_id = c.vb)
 SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb"""
   }
 

@@ -36,6 +36,12 @@ object MathFunctions {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Independent second 32-bit hash: hex chars 9-16 of the same md5
+    * (the md5 is computed once per call site by codegen subexpression
+    * elimination). Twin: Sql.hash32OfHexAt(h, 9). [0, 2^32). */
+  def hash32b(s: Column): Column =
+    conv(substring(md5(s), 9, 8), 16, 10).cast("long")
+
   /** k-th 31-bit universal hash of a 32-bit base hash:
     * (a_k * h + b_k) mod p, p = 2^31-1 (Mersenne). Products stay under
     * 2^63. Identical constants in Sql.universalHash. */

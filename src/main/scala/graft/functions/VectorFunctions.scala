@@ -33,9 +33,12 @@ object VectorFunctions {
   def signVec(j: Int, dims: Int): Column =
     array((0 until dims).map(i => lit(signAt(j, i).toDouble)): _*)
 
-  /** `bits`-bit random-hyperplane LSH code of a double vector. */
-  def lshCode(v: Column, dims: Int, bits: Int): Column =
+  /** `bits`-bit random-hyperplane LSH code of a double vector, using
+    * planes `planeOffset until planeOffset+bits` — multi-band callers
+    * (q24) pass distinct offsets so each band draws independent
+    * hyperplanes. */
+  def lshCode(v: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =
     (0 until bits).map { j =>
-      when(dot(v, signVec(j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(v, signVec(planeOffset + j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -60,14 +60,16 @@ object Sql {
   def normalCdf(x: String, mu: String, sigma: String): String =
     s"(0.5 * (1.0 + ${erf(s"(($x - $mu) / ($sigma * $Sqrt2))")}))"
 
-  /** First 8 hex chars of an md5 hex column parsed to BIGINT — exact
-    * integer parse, equals MathFunctions.hash32's conv(). `h` is a
-    * column holding md5(x). */
-  def hash32OfHex(h: String): String =
-    (1 to 8).map { i =>
-      val d = s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
-      s"CAST($d AS BIGINT) * ${1L << (4 * (8 - i))}"
+  /** 8 hex chars of an md5 hex column starting at 1-based `off` parsed
+    * to BIGINT — exact integer parse, equals MathFunctions.hash32
+    * (off=1) / hash32b (off=9). `h` is a column holding md5(x). */
+  def hash32OfHexAt(h: String, off: Int): String =
+    (0 until 8).map { i =>
+      val d = s"(instr('0123456789abcdef', substr($h, ${off + i}, 1)) - 1)"
+      s"CAST($d AS BIGINT) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
+
+  def hash32OfHex(h: String): String = hash32OfHexAt(h, 1)
 
   def hash32(s: String): String = hash32OfHex(s"md5($s)")
 
@@ -95,9 +97,9 @@ object Sql {
       .mkString("[", ", ", "]")
 
   /** Twin of VectorFunctions.lshCode: `v` must hold a double list. */
-  def lshCode(v: String, dims: Int, bits: Int): String =
+  def lshCode(v: String, dims: Int, bits: Int, planeOffset: Int = 0): String =
     (0 until bits).map { j =>
-      s"(CASE WHEN ${listDot(v, signList(j, dims))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN ${listDot(v, signList(planeOffset + j, dims))} >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   // ----------------------------------------------------- derived graph
