@@ -2,12 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY §2.G): the streaming twins of
-  * the batch event queries. The same transform runs on a readStream
-  * source (rate/file/kafka) or a batch DataFrame — tests drive it with
-  * MemoryStream and assert equality with the batch plan.
+  * the batch event queries. The same transform runs on any readStream
+  * source or a batch DataFrame — tests drive it with MemoryStream, the
+  * file source, and rate-micro-batch, asserting equality with the
+  * batch plan (a Kafka source would plug in identically; the connector
+  * isn't present in this environment).
   */
 object StreamingWindows {
 
@@ -24,31 +26,60 @@ object StreamingWindows {
         col("n_events"), col("total_value"))
 
   case class Event(userId: Long, tsUs: Long, value: Double)
+  /** Internal: Event plus the watermark timestamp column (must be
+    * public — Spark's generated encoder accesses the members). */
+  case class EventTs(userId: Long, tsUs: Long, value: Double,
+                     ts: java.sql.Timestamp)
   case class SessionState(nEvents: Long, startUs: Long, lastUs: Long, total: Double)
   case class SessionOut(userId: Long, nEvents: Long, startUs: Long,
                         endUs: Long, total: Double)
 
-  /** Custom stateful sessionization via mapGroupsWithState — the
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
     * streaming twin of q15_sessionize (gap > 30 min closes a session).
-    * Uses processing-time timeout to flush idle sessions. */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout()) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.tsUs)
-          var s = state.getOption.getOrElse(
-            SessionState(0L, sorted.head.tsUs, sorted.head.tsUs, 0.0))
-          sorted.foreach { e =>
-            s =
-              if (s.nEvents > 0 && e.tsUs - s.lastUs > 30L * 60 * 1000000)
-                SessionState(1L, e.tsUs, e.tsUs, e.value) // gap: new session
-              else
-                SessionState(s.nEvents + 1, s.startUs, e.tsUs, s.total + e.value)
+    * Emits CLOSED sessions only: a session is emitted when a later
+    * event opens the next one (gap closure) or when the event-time
+    * watermark passes last-event + gap (EventTimeTimeout flushes idle
+    * users). Timed-out state is removed, so per-user state is bounded
+    * by the one live session — an unending 100 TB event stream holds
+    * O(active users) state, never O(history). */
+  def sessionize(events: Dataset[Event], gapMin: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EventTs]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[EventTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove() // evict: idle session flushed, state freed
+            Iterator.single(SessionOut(userId, s.nEvents, s.startUs, s.lastUs, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.tsUs)
+            val closed = Seq.newBuilder[SessionOut]
+            var s = state.getOption.orNull
+            sorted.foreach { e =>
+              s =
+                if (s == null) SessionState(1L, e.tsUs, e.tsUs, e.value)
+                else if (e.tsUs - s.lastUs > gapUs) {
+                  closed += SessionOut(userId, s.nEvents, s.startUs, s.lastUs, s.total)
+                  SessionState(1L, e.tsUs, e.tsUs, e.value) // gap: new session
+                } else
+                  SessionState(s.nEvents + 1, s.startUs, e.tsUs, s.total + e.value)
+            }
+            state.update(s)
+            // flush when the watermark passes the live session's gap
+            // horizon (must stay above the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              s.lastUs / 1000L + gapMin * 60L * 1000L,
+              state.getCurrentWatermarkMs + 1))
+            closed.result().iterator
           }
-          state.update(s)
-          SessionOut(userId, s.nEvents, s.startUs, s.lastUs, s.total)
       }
   }
 }

@@ -121,30 +121,94 @@ class StreamingSpec extends GraftSpec {
     assert(got.size >= 4)
   }
 
-  test("streaming sessionization (mapGroupsWithState) matches batch gap logic") {
+  test("streaming sessionization emits gap-closed sessions (flatMapGroupsWithState)") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[Event]
     val query = StreamingWindows.sessionize(mem.toDS())
       .writeStream.format("memory").queryName("session_test")
-      .outputMode("update").start()
+      .outputMode("append").start()
 
     val us = 1000000L
+    // epoch-0 would coincide with the initial watermark and be dropped
+    // as late — anchor at a realistic epoch instead
+    val t0 = 1700000000L * us
     // user 1: two events 10 min apart (one session), then a 40-min gap
-    // (new session). user 2: single event.
+    // opens a second session — the FIRST session is emitted at that
+    // moment. user 2: single event; user 1's last event then pushes the
+    // watermark past user 2's idle horizon, so user 2's session is
+    // flushed by the event-time timeout in the follow-up batch.
     mem.addData(
-      Event(1L, 0L, 1.0), Event(1L, 600L * us, 2.0),
-      Event(1L, 3000L * us, 4.0), Event(2L, 0L, 9.0))
+      Event(1L, t0, 1.0), Event(1L, t0 + 600L * us, 2.0),
+      Event(1L, t0 + 3000L * us, 4.0), Event(2L, t0, 9.0))
     query.processAllAvailable()
 
     val rows = sp.table("session_test").as[StreamingWindows.SessionOut]
       .collect().map(r => r.userId -> r).toMap
     query.stop()
 
-    // user 1's latest state: the post-gap session with a single event
-    assert(rows(1L).nEvents === 1L)
-    assert(rows(1L).total === 4.0)
-    assert(rows(1L).startUs === 3000L * us)
+    // user 1's LIVE post-gap session is not emitted
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L).nEvents === 2L) // the gap-closed first session
+    assert(rows(1L).startUs === t0)
+    assert(rows(1L).endUs === t0 + 600L * us)
+    assert(rows(1L).total === 3.0)
+    assert(rows(2L).nEvents === 1L) // idle-flushed via timeout
+    assert(rows(2L).total === 9.0)
+  }
+
+  test("streaming sessionization flushes idle sessions on event-time timeout") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val query = StreamingWindows.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("session_timeout_test")
+      .outputMode("append").start()
+
+    val us = 1000000L
+    val t0 = 1700000000L * us
+    mem.addData(Event(1L, t0, 1.0), Event(1L, t0 + 600L * us, 2.0), Event(2L, t0, 9.0))
+    query.processAllAvailable()
+    // nothing closed yet: both sessions live, no gap crossed
+    assert(sp.table("session_timeout_test").isEmpty)
+
+    // a far-future event (other user) advances the watermark way past
+    // lastUs + gap for users 1 and 2 → their idle sessions must be
+    // flushed by EventTimeTimeout and their state evicted.
+    mem.addData(Event(99L, t0 + 100000L * us, 0.0))
+    query.processAllAvailable()
+
+    val rows = sp.table("session_timeout_test").as[StreamingWindows.SessionOut]
+      .collect().map(r => r.userId -> r).toMap
+    query.stop()
+
+    assert(rows.keySet === Set(1L, 2L)) // user 99's session is still live
+    assert(rows(1L).nEvents === 2L)
+    assert(rows(1L).total === 3.0)
+    assert(rows(1L).endUs === t0 + 600L * us)
     assert(rows(2L).nEvents === 1L)
     assert(rows(2L).total === 9.0)
+  }
+
+  test("rate-micro-batch source drives the tumbling window agg") {
+    val base = 1700000000000L
+    val stream = sp.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "120")
+      .option("startTimestamp", base.toString)
+      .option("advanceMillisPerBatch", "60000")
+      .load() // (timestamp, value)
+    val events = stream.select(col("timestamp").as("ts"),
+      concat(lit("type"), pmod(col("value"), lit(2))).as("event_type"),
+      col("value").cast("double").as("value"))
+    val query = StreamingWindows.tumblingHourly(events)
+      .writeStream.format("memory").queryName("rate_tumbling")
+      .outputMode("complete").start()
+    // rate-micro-batch always has a next batch, so processAllAvailable
+    // would never return; wait for a few deterministic batches instead.
+    val deadline = System.currentTimeMillis() + 30000
+    while (query.recentProgress.length < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    query.stop() // stop between triggers; committed batches are whole
+    val got = sp.table("rate_tumbling")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(got > 0 && got % 120 === 0) // whole deterministic batches only
   }
 }
