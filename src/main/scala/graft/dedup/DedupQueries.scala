@@ -183,9 +183,8 @@ ORDER BY c.da, c.db"""
     * (the r2 8-bit keys capped at 256 buckets → O(n²/256) pairing). */
   val MaxHamming = 3
 
-  /** 64-bit SimHash over word tokens + 16-bit-band candidate join +
-    * hamming filter. */
-  def q22SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, simlo, simhi): the 64-bit signature build. */
+  private[graft] def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = corpus(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), MF.hash32(col("w")).as("hlo"), MF.hash32b(col("w")).as("hhi"))
@@ -198,11 +197,12 @@ ORDER BY c.da, c.db"""
     def half(p: String): Column = (0 until 32)
       .map(i => when(col(s"$p$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    // deferUnpersist: the returned frame reads sig twice (both sides of
-    // the band join); the harness drain frees it after the action.
-    val sig = graft.Checkpoints.deferUnpersist(
-      sums.select(col("doc_id"), half("lo").as("simlo"), half("hi").as("simhi")).cache())
-    val bandsDf = sig.select(col("doc_id"), col("simlo"), col("simhi"),
+    sums.select(col("doc_id"), half("lo").as("simlo"), half("hi").as("simhi"))
+  }
+
+  /** (doc_id, simlo, simhi, band, key): 4 × 16-bit blocking keys. */
+  private[graft] def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simlo"), col("simhi"),
       explode(array((0 until SimBands).map { b =>
         val src = if (b < 2) col("simlo") else col("simhi")
         struct(lit(b).as("band"),
@@ -210,6 +210,14 @@ ORDER BY c.da, c.db"""
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simlo"), col("simhi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** 64-bit SimHash over word tokens + 16-bit-band candidate join +
+    * hamming filter. */
+  def q22SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    // deferUnpersist: the returned frame reads sig twice (both sides of
+    // the band join); the harness drain frees it after the action.
+    val sig = graft.Checkpoints.deferUnpersist(simhashSig(spark, sfDir).cache())
+    val bandsDf = simhashBands(sig)
     val a = bandsDf.select(col("doc_id").as("da"), col("simlo").as("loa"),
       col("simhi").as("hia"), col("band"), col("key"))
     val b = bandsDf.select(col("doc_id").as("db"), col("simlo").as("lob"),
@@ -311,20 +319,29 @@ ORDER BY c.da, c.db"""
     * (P[all 4 bands split a true pair] ≈ (1-(1-θ/π)^8)^4). Near-dups
     * are injected (vec_id%10==0 → +100000, slight deterministic
     * perturbation). */
-  def q24EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, v): base embeddings plus injected near-dups. */
+  private[graft] def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
     val perturbed = e.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * lit(1.01) + (pmod(i, lit(5)) - 2).cast("double") * lit(0.001)).as("v"))
-    val vc = graft.Checkpoints.deferUnpersist(e.unionAll(perturbed).cache())
-    val banded = vc.select(col("vec_id"),
+    e.unionAll(perturbed)
+  }
+
+  /** (vec_id, band, key): 4 independent 8-bit hyperplane band codes. */
+  private[graft] def embBands(vc: DataFrame): DataFrame =
+    vc.select(col("vec_id"),
       explode(array((0 until EmbBands).map { b =>
         struct(lit(b).as("band"),
           VF.lshCode(col("v"), EmbDims, CodeBits, CodeBits * b).as("key"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def q24EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vc = graft.Checkpoints.deferUnpersist(embCorpus(spark, sfDir).cache())
+    val banded = embBands(vc)
     val cand = banded.toDF("va", "band", "key")
       .join(banded.toDF("vb", "band", "key"), Seq("band", "key"))
       .filter(col("va") < col("vb"))

@@ -50,7 +50,16 @@ object WebGraph {
 
   /** removeDuplicateLinks (LinkRankComputation.java:304-340): trim both
     * ends, strip the #fragment from the target, drop case-insensitive
-    * self-links, distinct targets per source. */
+    * self-links, distinct targets per source.
+    *
+    * Deliberate deviation: the reference replaces a vertex's edge list
+    * only when the deduped set is non-empty (`newEdges.size() > 0`
+    * guard), so a vertex whose out-links are ALL self-links keeps them
+    * and stays non-dangling there; here such a vertex loses its edges
+    * and becomes dangling. The set-level filter is the natural
+    * relational form, the corner case cannot occur in the derived
+    * graph (urlOf targets differ from sources by construction), and
+    * the DuckDB oracle (Sql.edgesCte) encodes the same rule. */
   def dedupEdges(raw: DataFrame): DataFrame = {
     val src = trim(col("src"))
     val dst = substring_index(trim(col("dst")), "#", 1)

@@ -21,7 +21,10 @@ import graft.oracle.Sql
 object MultimodalQueries {
 
   /** Deterministic fake "decode": byte length, lead byte, a hash-based
-    * feature, and a fake channel count. Placeholder for a real codec. */
+    * feature, and a fake channel count. Placeholder for a real codec.
+    * n_bytes counts UTF-8 BYTES of the binary payload (length() on
+    * BinaryType) — the oracle twin uses octet_length(encode(text)) so
+    * both engines count the same unit on non-ASCII documents too. */
   private def stubDecode(df: DataFrame): DataFrame = df
     .withColumn("n_bytes", length(col("payload")))
     .withColumn("lead_byte", ascii(substring(col("text"), 1, 1)))
@@ -54,7 +57,7 @@ object MultimodalQueries {
         WHEN doc_id % 3 = 1 THEN 'audio/wav'
         ELSE 'video/mp4' END) AS mime,
   source AS origin,
-  length(text) AS n_bytes,
+  octet_length(encode(text)) AS n_bytes,
   ascii(substr(text, 1, 1)) AS lead_byte,
   CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
   ${Sql.hash32("text")} AS feature_hash

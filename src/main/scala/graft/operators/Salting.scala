@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Skew-safe sum+count of `value` per `key`. Salt is derived from a
-    * hash of the value column so it needs no extra state and stays
-    * deterministic for a given row. */
+  /** Skew-safe sum+count of `value` per `key`. The salt hashes the
+    * value TOGETHER WITH the source partition id: a hot key whose rows
+    * all carry one repeated value (the common skew shape — counting a
+    * constant token) would hash to a single salt bucket on value alone
+    * and still pin one reducer; mixing in the partition id spreads such
+    * rows across all `salts` buckets while staying deterministic within
+    * a task attempt (re-executed partials re-aggregate identically in
+    * stage 2 regardless of which bucket a row lands in). */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      salts: Int = 16): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(value), lit(salts)))
+      .withColumn("__salt", pmod(xxhash64(value, spark_partition_id()), lit(salts)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("psum"), count(lit(1)).as("pcnt"))
     partial.groupBy(col("key"))

@@ -177,6 +177,20 @@ SELECT regexp_extract(line, '^([^\t ]+)', 1) AS id,
     ELSE CAST(regexp_extract(line, '[\t ]+(.+)$$', 1) AS DOUBLE) END, 6) AS score
 FROM lines ORDER BY id"""
 
+  // ---------------------------------------------------------------- q34
+  /** LinkRank through the GraphX backend (BASELINE names "GraphX
+    * PageRank" the canonical approach) — message-passing Pregel-style
+    * formulation, semantically identical to q01's DataFrame engine, so
+    * it shares q01's oracle SQL verbatim. The ScalaTest cross-check
+    * (GraphXLinkRankSpec, 1e-9) plus this driver row pin both backends
+    * to the same fixed answer. */
+  def q34GraphxRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    graft.graph.GraphXLinkRank.run(spark, edges)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------- q10
   /** Top-k ranked vertices (LinkRankVertexOutputFormat ordering
     * contract): top 20 by normalized score, id tiebreak. */
@@ -202,7 +216,8 @@ ORDER BY score DESC, id LIMIT 20"""
     "q07_degrees" -> q07Degrees,
     "q08_usagerank" -> q08UsageRank,
     "q09_vertex_io" -> q09VertexIo,
-    "q10_toprank" -> q10TopRank)
+    "q10_toprank" -> q10TopRank,
+    "q34_graphx_rank" -> q34GraphxRank)
 
   val oracles: Map[String, String] = Map(
     "q01_linkrank" -> q01Sql,
@@ -211,5 +226,6 @@ ORDER BY score DESC, id LIMIT 20"""
     "q07_degrees" -> q07Sql,
     "q08_usagerank" -> q08Sql,
     "q09_vertex_io" -> q09Sql,
-    "q10_toprank" -> q10Sql)
+    "q10_toprank" -> q10Sql,
+    "q34_graphx_rank" -> q01Sql) // identical semantics ⇒ identical oracle
 }
