@@ -58,6 +58,10 @@ object Checkpoints {
     defer(df.sparkSession)(() => { df.unpersist(blocking = false); () }); df
   }
 
+  /** Run an arbitrary cleanup at the next [[drain]] — for resources the
+    * DataFrame helpers can't reach (persisted RDDs, GraphX graphs). */
+  def deferCleanup(spark: SparkSession)(f: () => Unit): Unit = defer(spark)(f)
+
   /** Run every deferred cleanup registered for `spark`. Harness calls
     * this after each query's action completes. */
   def drain(spark: SparkSession): Unit =

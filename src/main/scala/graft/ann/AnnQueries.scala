@@ -42,24 +42,28 @@ object AnnQueries {
   val Dims = 64
   val LshBits = 16 // 4 bands x 4 bits
 
+  /** (vec_id, v, nrm): the norm is precomputed ONCE per vector so every
+    * pairwise score below is a single dot product, not three. */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VF.norm(col("v")))
 
   private val vecsCte =
-    "ed AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    "ed0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+      s"ed AS MATERIALIZED (SELECT vec_id, v, ${Sql.listNorm("v")} AS nrm FROM ed0)"
 
   // ---------------------------------------------------------------- q30
   /** Brute-force cosine top-k: broadcast query set x full table. */
   def q30KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0 && col("vec_id") < QueryCap)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
@@ -68,9 +72,9 @@ object AnnQueries {
 
   val q30Sql: String =
     s"""WITH $vecsCte,
-qs AS (SELECT vec_id AS qid, v AS qv FROM ed WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ed WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
 scored AS (
-  SELECT q.qid, e.vec_id, round(${Sql.listCosine("q.qv", "e.v")}, 6) AS cosine
+  SELECT q.qid, e.vec_id, round(${Sql.listCosineByNorm("q.qv", "e.v", "q.qn", "e.nrm")}, 6) AS cosine
   FROM qs q JOIN ed e ON q.qid <> e.vec_id),
 ranked AS (
   SELECT qid, vec_id, cosine,
@@ -86,22 +90,23 @@ WHERE rank <= $K ORDER BY qid, rank"""
   def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val coded = vecs(spark, sfDir)
       .withColumn("code", VF.lshCode(col("v"), Dims, LshBits))
-    val bandsOf = (idCol: String, vCol: String) =>
-      coded.select(col("vec_id").as(idCol), col("v").as(vCol),
+    val bandsOf = (idCol: String, vCol: String, nCol: String) =>
+      coded.select(col("vec_id").as(idCol), col("v").as(vCol), col("nrm").as(nCol),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"), shiftright(col("code"), 4 * b).bitwiseAND(15).as("key"))
         }: _*)).as("bk"))
-        .select(col(idCol), col(vCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val qb = bandsOf("qid", "qv").filter(pmod(col("qid"), lit(QueryMod)) === 0)
-    val eb = bandsOf("vec_id", "v")
+        .select(col(idCol), col(vCol), col(nCol),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val qb = bandsOf("qid", "qv", "qn").filter(pmod(col("qid"), lit(QueryMod)) === 0)
+    val eb = bandsOf("vec_id", "v", "nrm")
     val cand = qb.join(eb, Seq("band", "key"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+      .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
       .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
     cand.select(col("qid"), col("vec_id"),
-        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
@@ -110,18 +115,18 @@ WHERE rank <= $K ORDER BY qid, rank"""
 
   val q31Sql: String = {
     val bandRows = (0 until 4)
-      .map(b => s"SELECT vec_id, v, $b AS band, (code >> ${4 * b}) & 15 AS key FROM coded")
+      .map(b => s"SELECT vec_id, v, nrm, $b AS band, (code >> ${4 * b}) & 15 AS key FROM coded")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $vecsCte,
-coded AS MATERIALIZED (SELECT vec_id, v, ${Sql.lshCode("v", Dims, LshBits)} AS code FROM ed),
+coded AS MATERIALIZED (SELECT vec_id, v, nrm, ${Sql.lshCode("v", Dims, LshBits)} AS code FROM ed),
 bands AS MATERIALIZED (
   $bandRows),
 cand AS (
-  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, e.vec_id, e.v
+  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, e.vec_id, e.v, e.nrm
   FROM bands q JOIN bands e ON q.band = e.band AND q.key = e.key
   WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> e.vec_id),
 scored AS (
-  SELECT qid, vec_id, round(${Sql.listCosine("qv", "v")}, 6) AS cosine FROM cand),
+  SELECT qid, vec_id, round(${Sql.listCosineByNorm("qv", "v", "qn", "nrm")}, 6) AS cosine FROM cand),
 ranked AS (
   SELECT qid, vec_id, cosine,
     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
@@ -143,32 +148,32 @@ WHERE rank <= $K ORDER BY qid, rank"""
     val cents = e
       .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), 1), col("vec_id"))
       .limit(KCents)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // assignment: nearest centroid per vector (broadcast centroids)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(VF.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(VF.cosineByNorm(col("v"), col("cv"), col("nrm"), col("cn")), 6).as("ccos"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     // probes: nprobe nearest centroids per query
     val probes = assigned.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(VF.cosine(col("qv"), col("cv")), 6).as("ccos"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        round(VF.cosineByNorm(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("ccos"))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
       .filter(col("prank") <= NProbe)
-      .select(col("qid"), col("qv"), col("cid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    probes.join(assigned.select(col("vec_id"), col("v"), col("cid")), Seq("cid"))
+    probes.join(assigned.select(col("vec_id"), col("v"), col("nrm"), col("cid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(VF.cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
@@ -178,24 +183,24 @@ WHERE rank <= $K ORDER BY qid, rank"""
   val q32Sql: String =
     s"""WITH $vecsCte,
 cents AS MATERIALIZED (
-  SELECT vec_id AS cid, v AS cv FROM ed
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
   ORDER BY ${Sql.universalHash("vec_id", 1)}, vec_id LIMIT $KCents),
 assigned AS MATERIALIZED (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, c.cid,
+  SELECT vec_id, v, nrm, cid FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
-        ORDER BY round(${Sql.listCosine("e.v", "c.cv")}, 6) DESC, c.cid) AS arank
+        ORDER BY round(${Sql.listCosineByNorm("e.v", "c.cv", "e.nrm", "c.cn")}, 6) DESC, c.cid) AS arank
     FROM ed e CROSS JOIN cents c)
   WHERE arank = 1),
 probes AS (
-  SELECT qid, qv, cid FROM (
-    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+  SELECT qid, qv, qn, cid FROM (
+    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.cid,
       row_number() OVER (PARTITION BY q.vec_id
-        ORDER BY round(${Sql.listCosine("q.v", "c.cv")}, 6) DESC, c.cid) AS prank
+        ORDER BY round(${Sql.listCosineByNorm("q.v", "c.cv", "q.nrm", "c.cn")}, 6) DESC, c.cid) AS prank
     FROM ed q CROSS JOIN cents c WHERE q.vec_id % $QueryMod = 0)
   WHERE prank <= $NProbe),
 scored AS (
-  SELECT p.qid, a.vec_id, round(${Sql.listCosine("p.qv", "a.v")}, 6) AS cosine
+  SELECT p.qid, a.vec_id, round(${Sql.listCosineByNorm("p.qv", "a.v", "p.qn", "a.nrm")}, 6) AS cosine
   FROM probes p JOIN assigned a ON a.cid = p.cid AND p.qid <> a.vec_id),
 ranked AS (
   SELECT qid, vec_id, cosine,

@@ -258,11 +258,17 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
 
   // --------------------------------------------- q23 n-gram Jaccard
   /** Exact 3-gram Jaccard over the LSH candidate pairs (blocked — the
-    * expensive set intersection only runs on band-matched pairs). */
+    * expensive set intersection only runs on band-matched pairs).
+    * Shingles are compared by their 32-bit portable hash, not the
+    * string: the pair join then shuffles 8-byte keys instead of ~60-byte
+    * trigram strings (~4× less shuffle IO; the oracle hashes
+    * identically, and a within-doc collision needs ~2^16 distinct
+    * shingles per doc — orders of magnitude above real documents). */
   def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     val sh = graft.Checkpoints.deferUnpersist(
-      c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
+      c.select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))
+        .select(col("doc_id"), MF.hash32(col("s")).as("sh"))
         .distinct().cache())
     val sigs = cachedSignatures(spark, sfDir)
     val cand = graft.Checkpoints.deferUnpersist(candidates(bands(sigs)).cache())
@@ -286,9 +292,9 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
   val q23Sql: String =
     s"""WITH $corpusCte,
 shd AS MATERIALIZED (
-  SELECT DISTINCT doc_id, sh
+  SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS sh
   FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s),
-sh AS MATERIALIZED (SELECT doc_id, ${Sql.hash32OfHex("md5(sh)")} AS h FROM shd),
+sh AS MATERIALIZED (SELECT doc_id, sh AS h FROM shd),
 $signaturesCte,
 $bandsCte,
 $candCte,
@@ -319,7 +325,9 @@ ORDER BY c.da, c.db"""
     * (P[all 4 bands split a true pair] ≈ (1-(1-θ/π)^8)^4). Near-dups
     * are injected (vec_id%10==0 → +100000, slight deterministic
     * perturbation). */
-  /** (vec_id, v): base embeddings plus injected near-dups. */
+  /** (vec_id, v, nrm): base embeddings plus injected near-dups, with
+    * the L2 norm precomputed once per vector (pair scoring is then one
+    * dot product per pair). */
   private[graft] def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
@@ -327,7 +335,7 @@ ORDER BY c.da, c.db"""
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * lit(1.01) + (pmod(i, lit(5)) - 2).cast("double") * lit(0.001)).as("v"))
-    e.unionAll(perturbed)
+    e.unionAll(perturbed).withColumn("nrm", VF.norm(col("v")))
   }
 
   /** (vec_id, band, key): 4 independent 8-bit hyperplane band codes. */
@@ -346,10 +354,10 @@ ORDER BY c.da, c.db"""
       .join(banded.toDF("vb", "band", "key"), Seq("band", "key"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb")).distinct()
-    cand.join(vc.toDF("va", "va_v"), "va")
-      .join(vc.toDF("vb", "vb_v"), "vb")
+    cand.join(vc.toDF("va", "va_v", "na"), "va")
+      .join(vc.toDF("vb", "vb_v", "nb"), "vb")
       .select(col("va"), col("vb"),
-        round(VF.cosine(col("va_v"), col("vb_v")), 6).as("cosine"))
+        round(VF.cosineByNorm(col("va_v"), col("vb_v"), col("na"), col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= CosThreshold)
       .orderBy(col("va"), col("vb"))
   }
@@ -361,18 +369,19 @@ ORDER BY c.da, c.db"""
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH ed AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-vc AS MATERIALIZED (
+vc0 AS (
   SELECT vec_id, v FROM ed
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, $pert AS v
   FROM embeddings WHERE vec_id % 10 = 0),
+vc AS MATERIALIZED (SELECT vec_id, v, ${Sql.listNorm("v")} AS nrm FROM vc0),
 banded AS MATERIALIZED (
   $bandRows),
 cand AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT c.va, c.vb, round(${Sql.listCosine("a.v", "b.v")}, 6) AS cosine
+  SELECT c.va, c.vb, round(${Sql.listCosineByNorm("a.v", "b.v", "a.nrm", "b.nrm")}, 6) AS cosine
   FROM cand c JOIN vc a ON a.vec_id = c.va JOIN vc b ON b.vec_id = c.vb)
 SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb"""
   }

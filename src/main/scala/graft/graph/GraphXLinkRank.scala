@@ -84,7 +84,17 @@ object GraphXLinkRank {
       .toDF("id", "l")
       .select(col("id"),
         (MathFunctions.normalCdf(col("l"), lit(mu), lit(sigma)) * lit(scale)).as("score"))
-    idMap.unpersist(blocking = false)
+    // logs is materialized (mu/sigma folds); the final graph can go now.
+    g.unpersist(blocking = false)
+    // `out` still reads logs AND idMap lazily — idMap in particular must
+    // stay persisted until the caller's action completes: recomputing
+    // zipWithUniqueId over a reshuffled distinct() could reassign ids
+    // and silently mis-join scores to urls. Freed at the harness drain.
+    graft.Checkpoints.deferCleanup(spark) { () =>
+      logs.unpersist(blocking = false)
+      idMap.unpersist(blocking = false)
+      ()
+    }
     out
   }
 }

@@ -90,6 +90,14 @@ object Sql {
   def listCosine(a: String, b: String): String =
     s"(${listDot(a, b)} / (sqrt(${listDot(a, a)}) * sqrt(${listDot(b, b)})))"
 
+  /** Twin of VectorFunctions.norm. */
+  def listNorm(v: String): String = s"sqrt(${listDot(v, v)})"
+
+  /** Twin of VectorFunctions.cosineByNorm — `na`/`nb` hold
+    * precomputed listNorm values. */
+  def listCosineByNorm(a: String, b: String, na: String, nb: String): String =
+    s"(${listDot(a, b)} / ($na * $nb))"
+
   /** Literal ±1 hyperplane j as a DuckDB list — identical values to
     * VectorFunctions.signVec. */
   def signList(j: Int, dims: Int): String =
