@@ -123,22 +123,31 @@ FROM documents ORDER BY doc_id"""
   /** Document fingerprinting by winnowing: hash word 3-grams, take the
     * min hash of each 4-shingle window, keep distinct mins. Output is
     * the per-doc fingerprint summary (count / min / max) so the result
-    * stays compact and totally ordered. */
+    * stays compact and totally ordered.
+    *
+    * Winnowing is strictly per-document, so the whole operator runs as
+    * in-row array expressions — no explode, no per-doc window shuffle,
+    * one codegen'd scan (was: posexplode → Window → groupBy, a full
+    * shuffle+sort of every shingle). The oracle keeps the equivalent
+    * window-SQL formulation; all values are integers, so the two
+    * evaluation strategies agree exactly. */
   def q43Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val w = split(col("text"), " ")
     val shingles = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array(col("text")))
-    val posed = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), MF.hash32(col("sh")).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-3, Window.currentRow)
-    posed.withColumn("fp", min(col("h")).over(win))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fp")).as("n_fingerprints"),
-        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+    val hashes = transform(shingles, s => MF.hash32(s))
+    // min over the 4-shingle window ending at i (1-based, clamped left)
+    val fps = transform(sequence(lit(1), size(col("h"))),
+      i => array_min(slice(col("h"), greatest(i - 3, lit(1)), least(i, lit(4)))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(array_distinct(col("fps"))).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
       .orderBy(col("doc_id"))
   }
 
