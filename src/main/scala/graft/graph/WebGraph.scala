@@ -68,9 +68,14 @@ object WebGraph {
       .distinct()
   }
 
-  /** The cleaned page graph. */
-  def edges(spark: SparkSession, sfDir: String): DataFrame =
-    dedupEdges(rawEdges(spark, sfDir))
+  /** The page graph. `removeDuplicates` mirrors the reference's job
+    * toggle (LinkRankComputation.java:92,149): when off, the raw edges
+    * feed the computation untouched — no trim, no fragment strip, no
+    * self-link drop, no distinct. */
+  def edges(spark: SparkSession, sfDir: String,
+            removeDuplicates: Boolean = true): DataFrame =
+    if (removeDuplicates) dedupEdges(rawEdges(spark, sfDir))
+    else rawEdges(spark, sfDir)
 
   /** Cleaned page edges, memoized per session+dir: seven queries
     * (q01–q04, q07, q10, and HostRank's projection) consume the same

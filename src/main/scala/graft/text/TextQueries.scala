@@ -126,11 +126,19 @@ FROM documents ORDER BY doc_id"""
     * stays compact and totally ordered.
     *
     * Winnowing is strictly per-document, so the whole operator runs as
-    * in-row array expressions — no explode, no per-doc window shuffle,
-    * one codegen'd scan (was: posexplode → Window → groupBy, a full
-    * shuffle+sort of every shingle). The oracle keeps the equivalent
-    * window-SQL formulation; all values are integers, so the two
-    * evaluation strategies agree exactly. */
+    * in-row array expressions — no explode, no per-doc window shuffle
+    * (was: posexplode → Window → groupBy, a full shuffle+sort of every
+    * shingle). The oracle keeps the equivalent window-SQL formulation;
+    * all values are integers, so the two evaluation strategies agree
+    * exactly.
+    *
+    * The one shuffle left is a deliberate repartition of the raw docs
+    * BEFORE the hash-heavy projection: ~100 md5s per row is compute-
+    * bound, and parallelism must not be capped by the input's split
+    * count (a single parquet row group would otherwise serialize the
+    * whole operator onto one task — measured 2× slower than the old
+    * windowed plan; rebalancing 5k raw texts costs ~nothing, and at
+    * 100 TB the same rebalance evens out skewed splits). */
   def q43Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val w = split(col("text"), " ")
     val shingles = when(size(w) >= 3,
@@ -143,11 +151,22 @@ FROM documents ORDER BY doc_id"""
       i => array_min(slice(col("h"), greatest(i - 3, lit(1)), least(i, lit(4)))))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), hashes.as("h"))
-      .select(col("doc_id"), fps.as("fps"))
-      .select(col("doc_id"),
-        size(array_distinct(col("fps"))).cast("long").as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"),
-        array_max(col("fps")).as("max_fp"))
+      // the exchange is BOTH the parallelism rebalance and a projection
+      // barrier: without it CollapseProject inlines the 100-md5 `h`
+      // expression inside the slice() lambda below, where codegen
+      // subexpression elimination cannot reach — the hashes would be
+      // recomputed once per window position (O(shingles²) md5 calls per
+      // doc, measured 8× slower). Behind the exchange `h` is a bound
+      // attribute, computed once per row.
+      .repartition(col("doc_id"))
+      // explode evaluates fps ONCE per doc (three array_min/max/distinct
+      // projections would each re-evaluate the interpreted HOF chain —
+      // measured 3× the cost); the groupBy reuses the exchange's
+      // hash(doc_id) partitioning, so no further shuffle.
+      .select(col("doc_id"), explode(fps).as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -64,4 +64,12 @@ class LinkRankSpec extends GraftSpec {
       ("http://a.com/x", "http://b.com/y"),
       ("http://a.com/x", "http://c.com/z")))
   }
+
+  test("removeDuplicates=false feeds the raw edges through untouched") {
+    val clean = WebGraph.edges(spark, sfDir).count()
+    val raw = WebGraph.edges(spark, sfDir, removeDuplicates = false)
+    // raw keeps what the cleanup removes: fragments, padding, dups
+    assert(raw.count() > clean)
+    assert(raw.filter(col("dst").contains("#")).count() > 0)
+  }
 }
