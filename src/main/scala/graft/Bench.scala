@@ -8,19 +8,33 @@ import org.apache.spark.sql.SparkSession
   * EXCLUDED from timings — a broken query can never improve the total.
   * Prints exactly one JSON line.
   *
-  * Timing semantics: session-scoped memos (SessionCache: derived
-  * edges, minhash signatures, rank invariants, and the q01/q10 shared
-  * rank OUTPUT) persist across queries and runs, as they would in a
-  * real analytics session running this suite. Consequently q01/q10
-  * report the memo-read cost once the ranking is built; q02 (TrustRank,
-  * full 9-iteration loop with shared invariants) is the representative
-  * rank-loop timing, and q34 (GraphX backend, no memo) is the
-  * uncached one.
+  * Two timing regimes are reported side by side:
+  *
+  *  - **cold** (`cold_queries` / `total_cold`): one run per query with
+  *    SessionCache.clear between queries — every query pays its own
+  *    one-time builds (edge derivation, rank loop, minhash signatures).
+  *    This is the number a round-over-round or cross-engine comparison
+  *    of TOTALS should use: nothing is hidden behind a shared memo.
+  *  - **warm** (`queries` / `value`): min of RUNS (default 2) with
+  *    session memos retained across queries and runs, as in a real
+  *    analytics session running the whole suite — the marginal cost of
+  *    each query once shared inputs exist. q01/q10 read the memoized
+  *    rank output here; q02 (full TrustRank loop) and q34 (GraphX, no
+  *    memo) remain full-loop timings in both regimes.
+  *
+  * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
+  * the query set (isolated re-measurement on a noisy host);
+  * SPARK_GRAFT_RUNS=3 raises the warm min-of-N; SPARK_GRAFT_COLD=0
+  * skips the cold pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val doCold = sys.env.getOrElse("SPARK_GRAFT_COLD", "1") != "0"
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,37 +51,49 @@ object Bench {
       }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // min of 2 runs per query: strips first-run codegen/JIT warmup and
-    // external-load spikes (this harness shares its host) — the min is
-    // the query's structural cost, which is what gets compared across
-    // rounds and against the baseline.
-    val results = names.map { name =>
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}")
-        } finally Checkpoints.drain(spark) // session stays block-clean per run
-      }
-      val r = (once(), once()) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Right(a), _) => Right(a)
-        case (_, Right(b)) => Right(b)
-        case (l, _) => l
-      }
-      name -> r
+      .filter(n => only.forall(_.contains(n)))
+
+    def once(name: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage)).take(200)}")
+      } finally Checkpoints.drain(spark) // session stays block-clean per run
     }
 
-    val ok = results.collect { case (n, Right(t)) => n -> t }
-    val errs = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // Cold pass: memos dropped before every query, so each timing
+    // includes the query's own one-time builds.
+    val cold = if (doCold) names.map { n =>
+      SessionCache.clear(spark)
+      n -> once(n)
+    } else Seq.empty
+    if (doCold) SessionCache.clear(spark) // warm pass starts from scratch
+
+    // Warm pass: min of `runs` per query with memos retained — strips
+    // first-run codegen/JIT warmup and external-load spikes (this
+    // harness shares its host); the min is the query's structural
+    // marginal cost.
+    val results = names.map { name =>
+      val rs = (1 to runs).map(_ => once(name))
+      val oks = rs.collect { case Right(t) => t }
+      name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+    }
+
+    def obj(xs: Seq[(String, Either[String, Double])]): (String, Double, Int) = {
+      val ok = xs.collect { case (n, Right(t)) => n -> t }
+      (ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"),
+        ok.map(_._2).sum, ok.size)
+    }
+    val (qs, total, nOk) = obj(results)
+    val (cqs, coldTotal, _) = obj(cold)
+    val errs = (results ++ cold).collect { case (n, Left(m)) => n -> m }.distinct
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    val coldPart = if (doCold) s""""cold_queries":$cqs,"total_cold":$coldTotal,""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

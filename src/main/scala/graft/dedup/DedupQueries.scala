@@ -71,6 +71,15 @@ object DedupQueries {
     c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
       .select(col("doc_id"), MF.hash32(col("sh")).as("h"))
 
+  /** Exploded (doc_id, h) shingle hashes, memoized per session: the
+    * explode + md5 over every trigram of the corpus is the single most
+    * expensive dedup substep, and BOTH the minhash signatures (q21/q23/
+    * q25 blocking) and q23's exact-intersection sets derive from it —
+    * one build instead of two. */
+  private def cachedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"shingle-hashes:$sfDir")(
+      shingleHashes(corpus(spark, sfDir)))
+
   // ---------------------------------------------------------------- q20
   /** Exact dedup: hash-group on md5(text), canonical = min(doc_id). */
   def q20DedupExact(spark: SparkSession, sfDir: String): DataFrame = {
@@ -94,9 +103,9 @@ FROM corpus ORDER BY doc_id"""
   val K = 12 // minhash functions
   val Bands = 4 // x 3 rows per band
 
-  /** (doc_id, mh0..mh11) minhash signatures. */
-  private def signatures(c: DataFrame): DataFrame =
-    shingleHashes(c).groupBy(col("doc_id"))
+  /** (doc_id, mh0..mh11) minhash signatures from exploded hashes. */
+  private def signatures(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("doc_id"))
       .agg(min(MF.universalHash(col("h"), 0)).as("mh0"),
         (1 until K).map(j => min(MF.universalHash(col("h"), j)).as(s"mh$j")): _*)
 
@@ -104,7 +113,7 @@ FROM corpus ORDER BY doc_id"""
     * 12 min-aggs); memoized once per session. */
   private def cachedSignatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.SessionCache.cached(spark, s"minhash-sigs:$sfDir")(
-      signatures(corpus(spark, sfDir)))
+      signatures(cachedShingleHashes(spark, sfDir)))
 
   private val signaturesCte: String = {
     val mins = (0 until K)
@@ -265,10 +274,9 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
     * identically, and a within-doc collision needs ~2^16 distinct
     * shingles per doc — orders of magnitude above real documents). */
   def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = corpus(spark, sfDir)
     val sh = graft.Checkpoints.deferUnpersist(
-      c.select(col("doc_id"), explode(shingleCol(col("text"))).as("s"))
-        .select(col("doc_id"), MF.hash32(col("s")).as("sh"))
+      cachedShingleHashes(spark, sfDir)
+        .select(col("doc_id"), col("h").as("sh"))
         .distinct().cache())
     val sigs = cachedSignatures(spark, sfDir)
     val cand = graft.Checkpoints.deferUnpersist(candidates(bands(sigs)).cache())
