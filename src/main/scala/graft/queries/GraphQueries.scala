@@ -193,9 +193,45 @@ FROM lines ORDER BY id"""
     * to the same fixed answer. */
   def q34GraphxRank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = WebGraph.cachedEdges(spark, sfDir)
-    graft.graph.GraphXLinkRank.run(spark, edges)
+    graft.graph.GraphXLinkRank.run(spark, edges, cacheKey = Some(s"page:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Host-level TrustRank — the reference's HostTrust pipeline
+    * (Nutch2HostTrustInputFormat; TrustRankHBaseTest.java:209 runs
+    * TrustRankComputation over the host table with trust seeds): the
+    * page graph projects to host edges (as q03), and hosts whose
+    * part-number is divisible by 17 are the trusted seeds (init 1.0,
+    * others 0.1; mirrors q02's seed rule at host granularity). Dangling
+    * mass flows only to trusted hosts, divided by |trusted|. Shares
+    * q03's session-cached host vmap/eod (same graph → one id mapping
+    * and one partitioned edge side for both rankings). */
+  private def hostNum(id: Column): Column =
+    regexp_extract(id, "part([0-9]+)", 1).cast("long")
+
+  def q35HostTrustRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val init = WebGraph.vertices(hedges).withColumn("score",
+      when(pmod(hostNum(col("id")), lit(17)) === 0, lit(1.0)).otherwise(lit(0.1)))
+    LinkRank.run(spark, hedges, init, trustedMode = true,
+        cacheKey = Some(s"host:$sfDir"))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q35Sql: String = {
+    val pred = (c: String) =>
+      s"(CAST(regexp_extract($c, 'part([0-9]+)', 1) AS BIGINT) % 17 = 0)"
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+${RankSql.chain("hedges", s"CASE WHEN ${pred("id")} THEN 1.0 ELSE 0.1 END",
+        trustedPred = Some(pred))}
+SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
   }
 
   // ---------------------------------------------------------------- q10
@@ -221,7 +257,8 @@ ORDER BY score DESC, id LIMIT 20"""
     "q08_usagerank" -> q08UsageRank,
     "q09_vertex_io" -> q09VertexIo,
     "q10_toprank" -> q10TopRank,
-    "q34_graphx_rank" -> q34GraphxRank)
+    "q34_graphx_rank" -> q34GraphxRank,
+    "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
     "q01_linkrank" -> q01Sql,
@@ -231,5 +268,6 @@ ORDER BY score DESC, id LIMIT 20"""
     "q08_usagerank" -> q08Sql,
     "q09_vertex_io" -> q09Sql,
     "q10_toprank" -> q10Sql,
-    "q34_graphx_rank" -> q01Sql) // identical semantics ⇒ identical oracle
+    "q34_graphx_rank" -> q01Sql, // identical semantics ⇒ identical oracle
+    "q35_host_trustrank" -> q35Sql)
 }

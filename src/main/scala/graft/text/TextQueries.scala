@@ -245,17 +245,43 @@ SELECT doc_id,
 FROM scrubbed ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Skew-safe per-language token totals through the two-stage salted
+    * aggregation (graft.operators.Salting): stage 1 spreads each hot
+    * language key over 16 (key, salt) partials, stage 2 re-aggregates
+    * by key. Algebraically identical to a plain GROUP BY — the oracle
+    * IS the plain GROUP BY, so the driver gate proves the salted path
+    * end-to-end. At 100 TB this is the groupBy shape for corpora where
+    * one language is half the rows (AQE splits skewed joins, not
+    * skewed aggregations). */
+  def q45SaltedTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(split(col("text"), " ")).as("toks"))
+    graft.operators.Salting.saltedSumCount(d, col("lang"), col("toks"))
+      .select(col("key").as("lang"), col("sum").as("total_tokens"),
+        col("count").as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val q45Sql: String =
+    """SELECT lang,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
     "q42_tokens" -> q42Tokens,
     "q43_fingerprint" -> q43Fingerprint,
-    "q44_pii_scrub" -> q44PiiScrub)
+    "q44_pii_scrub" -> q44PiiScrub,
+    "q45_salted_tokens" -> q45SaltedTokens)
 
   val oracles: Map[String, String] = Map(
     "q40_langid" -> q40Sql,
     "q41_quality" -> q41Sql,
     "q42_tokens" -> q42Sql,
     "q43_fingerprint" -> q43Sql,
-    "q44_pii_scrub" -> q44Sql)
+    "q44_pii_scrub" -> q44Sql,
+    "q45_salted_tokens" -> q45Sql)
 }

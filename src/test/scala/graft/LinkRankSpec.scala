@@ -53,6 +53,28 @@ class LinkRankSpec extends GraftSpec {
     assert(out("a") > out("c"), out)
   }
 
+  test("convergence stop: halts after one round at the fixed point") {
+    // 2-cycle: the pre-normalization update's fixed point is
+    // v = (1-d)/2 + d*v  =>  v = 0.5; init there => delta 0 in round 1.
+    val e = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val ini = Seq(("a", 0.5), ("b", 0.5)).toDF("id", "score")
+    val (out, rounds) = LinkRank.runCounted(spark, e, ini, tol = Some(1e-9))
+    assert(rounds === 1)
+    // sigma=0 path: both normalize to scale/2 regardless of round count
+    // (1e-6, not tighter: the A&S erf approximation is ~4e-9 off at 0)
+    out.collect().foreach(r => assert(math.abs(r.getDouble(1) - 5.0) < 1e-6))
+  }
+
+  test("convergence stop: unreachable tol runs the full budget, scores unchanged") {
+    val e = Seq("a" -> "b", "b" -> "c", "a" -> "c").toDF("src", "dst")
+    val (tolOut, rounds) = LinkRank.runCounted(spark, e, LinkRank.uniformInit(e),
+      tol = Some(0.0)) // delta < 0.0 never holds
+    assert(rounds === 9)
+    val fixed = scores(Seq("a" -> "b", "b" -> "c", "a" -> "c"))
+    tolOut.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - fixed(r.getString(0))) < 1e-12))
+  }
+
   test("edge dedup matches removeDuplicateLinks semantics") {
     val raw = Seq(
       ("http://a.com/x", " http://b.com/y#frag"),
