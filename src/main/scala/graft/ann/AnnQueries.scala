@@ -260,15 +260,94 @@ SELECT vec_id,
 FROM errs ORDER BY vec_id"""
   }
 
+  // ---------------------------------------------------------------- q36
+  val KmK = 8
+  val KmIters = 3
+
+  /** One Lloyd assignment pass: nearest centroid per vector by squared
+    * L2 (round(,6) then cid tie-break so both engines pick identically).
+    * Shape for 100 TB: centroids broadcast (K×d doubles), so scoring is
+    * map-only; the arg-min is a groupBy(vec_id) min_by with MAP-SIDE
+    * partial aggregation — each task reduces its n·K scored rows to one
+    * row per local vector before any exchange (vs. a window over the
+    * full n·K, which shuffles and sorts everything). */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(VF.dist2(col("v"), col("cv")), 6).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("v")), struct(col("d2"), col("cid"))).as("m"),
+        min(struct(col("d2"), col("cid"))).as("dm"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"),
+        col("dm.d2").as("d2"))
+
+  /** Distributed k-means (Lloyd): the centroid REFINEMENT a real IVF
+    * index build runs after a seed draw like q32's — KmK seeds from the
+    * deterministic hash top-k, KmIters assign→mean rounds, output the
+    * final per-vector assignment. The per-centroid mean is a single
+    * groupBy with 64 algebraic column sums (partial aggregation, no
+    * explode of n·d element rows); centroid components are rounded to
+    * the 1e-6 grid each round so float summation-order drift cannot
+    * propagate into the next round's arg-min on either engine. */
+  def q36KMeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.Checkpoints.deferUnpersist(
+      vecs(spark, sfDir).select(col("vec_id"), col("v")).cache())
+    var cents = e
+      .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), 2), col("vec_id"))
+      .limit(KmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint() // K rows; keeps the iteration plan shallow
+    for (_ <- 1 to KmIters) {
+      val next = kmAssign(e, cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cnt"),
+          (1 to Dims).map(i => sum(element_at(col("v"), i)).as(s"s$i")): _*)
+        .select(col("cid"),
+          array((1 to Dims).map(i => round(col(s"s$i") / col("cnt"), 6)): _*).as("cv"))
+      cents = graft.Checkpoints.rotate(next, cents)
+    }
+    graft.Checkpoints.deferFree(cents)
+    kmAssign(e, cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q36Sql: String = {
+    val meanList = (1 to Dims).map(i => s"round(sum(v[$i]) / count(*), 6)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"WITH $vecsCte,\n"
+    sb ++= s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ed ORDER BY ${Sql.universalHash("vec_id", 2)}, vec_id LIMIT $KmK),\n"
+    for (k <- 1 to KmIters) {
+      val p = s"c${k - 1}"
+      sb ++= s"""a$k AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY round(${Sql.listDist2("e.v", "c.cv")}, 6), c.cid) AS ar
+    FROM ed e CROSS JOIN $p c) WHERE ar = 1),
+c$k AS MATERIALIZED (SELECT cid, $meanList AS cv FROM a$k GROUP BY cid),
+"""
+    }
+    sb ++= s"""fin AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, round(${Sql.listDist2("e.v", "c.cv")}, 6) AS d2,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY round(${Sql.listDist2("e.v", "c.cv")}, 6), c.cid) AS ar
+    FROM ed e CROSS JOIN c$KmIters c) WHERE ar = 1)
+SELECT vec_id, cid AS cluster, d2 AS dist2 FROM fin ORDER BY vec_id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30KnnBrute,
     "q31_knn_lsh" -> q31KnnLsh,
     "q32_ivf_knn" -> q32IvfKnn,
-    "q33_quantize" -> q33Quantize)
+    "q33_quantize" -> q33Quantize,
+    "q36_kmeans" -> q36KMeans)
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_ivf_knn" -> q32Sql,
-    "q33_quantize" -> q33Sql)
+    "q33_quantize" -> q33Sql,
+    "q36_kmeans" -> q36Sql)
 }

@@ -30,6 +30,11 @@ object VectorFunctions {
   def cosineByNorm(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Squared L2 distance — same left-to-right fold as [[dot]]
+    * (Sql.listDist2 is the DuckDB twin). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Deterministic pseudo-random ±1 hyperplane component for (plane j,
     * dim i): parity of the k=0 universal hash of (j*128 + i). Pure
     * integer arithmetic — Sql.signList bakes the identical values. */

@@ -98,6 +98,13 @@ object Sql {
   def listCosineByNorm(a: String, b: String, na: String, nb: String): String =
     s"(${listDot(a, b)} / ($na * $nb))"
 
+  /** Twin of VectorFunctions.dist2 (squared L2). Same association:
+    * Spark folds from init 0.0, list_reduce from the first element —
+    * 0.0 + x ≡ x for the non-negative squares, so the sums agree
+    * bitwise. */
+  def listDist2(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
   /** Literal ±1 hyperplane j as a DuckDB list — identical values to
     * VectorFunctions.signVec. */
   def signList(j: Int, dims: Int): String =

@@ -114,4 +114,34 @@ class DedupAnnSpec extends GraftSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("k-means: every vector assigned, <= KmK clusters, Lloyd step never raises cost (sf0.001)") {
+    import graft.ann.AnnQueries
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val out = AnnQueries.q36KMeans(spark, sfDir).collect()
+    graft.Checkpoints.drain(spark)
+    assert(out.length === n)
+    val clusters = out.map(_.getAs[Long]("cluster")).distinct
+    assert(clusters.length <= AnnQueries.KmK && clusters.nonEmpty)
+    assert(out.forall(_.getAs[Double]("dist2") >= 0.0))
+    // Lloyd monotonicity: total within-cluster cost after the refined
+    // rounds must not exceed the cost of assigning to the raw seeds
+    // (round-off grid 1e-6 gives the inequality a hair of slack).
+    val e = AnnQueries.q36KMeans(spark, sfDir) // deterministic: same result
+    val refined = e.agg(sum(col("dist2"))).first().getDouble(0)
+    graft.Checkpoints.drain(spark)
+    val seedCost = {
+      val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val seeds = v.orderBy(MF.universalHash(col("vec_id"), 2), col("vec_id"))
+        .limit(AnnQueries.KmK)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      v.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), round(VF.dist2(col("v"), col("cv")), 6).as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+        .agg(sum(col("d2"))).first().getDouble(0)
+    }
+    assert(refined <= seedCost + 1e-3,
+      s"refined cost $refined exceeds seed-assignment cost $seedCost")
+  }
 }
