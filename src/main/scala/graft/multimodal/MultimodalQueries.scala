@@ -63,9 +63,58 @@ object MultimodalQueries {
   ${Sql.hash32("text")} AS feature_hash
 FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q61
+  /** Frame size (chars) and sampling stride of the stub frame-sampler. */
+  val FrameLen = 16
+  val FrameStride = 4
+
+  /** Frame sampling over the opaque payload — the multimodal shape a
+    * video/audio pipeline runs at 100 TB: slice the asset into fixed
+    * windows ("frames"), keep every k-th, feature-extract each kept
+    * frame, emit a compact per-asset summary. The decode is the same
+    * honest STUB as q60 (frames = 16-char windows of the payload text,
+    * feature = portable 32-bit hash); a real codec swaps into the
+    * transform lambda with no change to schema or plan shape. Everything
+    * is in-row array expressions (sequence → transform → fold) — one
+    * codegen'd scan, no explode, no shuffle except the final sort. */
+  def q61FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val nFrames = ceil(length(col("text")).cast("double") / FrameLen).cast("long")
+    val idx = sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong))
+    val hashes = transform(idx,
+      i => MF.hash32(col("text").substr((i * FrameLen + 1).cast("int"), lit(FrameLen))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("fh", hashes)
+      .select(col("doc_id"), col("n_frames"),
+        size(col("fh")).as("n_sampled"),
+        aggregate(col("fh"), lit(Long.MaxValue), (a, x) => least(a, x)).as("fh_min"),
+        aggregate(col("fh"), lit(Long.MinValue), (a, x) => greatest(a, x)).as("fh_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String = {
+    val frame = s"substr(text, CAST(i * $FrameLen + 1 AS INTEGER), $FrameLen)"
+    s"""WITH f AS (
+  SELECT doc_id, text,
+    CAST(ceil(CAST(length(text) AS DOUBLE) / $FrameLen) AS BIGINT) AS n_frames
+  FROM documents),
+h AS (
+  SELECT doc_id, n_frames,
+    list_transform(range(0, n_frames, $FrameStride), i -> ${Sql.hash32(frame)}) AS fh
+  FROM f WHERE n_frames > 0)
+SELECT doc_id, n_frames,
+  len(fh) AS n_sampled,
+  list_reduce(list_prepend(${Long.MaxValue}, fh), (a, x) -> least(a, x)) AS fh_min,
+  list_reduce(list_prepend(${Long.MinValue}, fh), (a, x) -> greatest(a, x)) AS fh_max
+FROM h ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_multimodal" -> q60Multimodal)
+    "q60_multimodal" -> q60Multimodal,
+    "q61_frame_sample" -> q61FrameSample)
 
   val oracles: Map[String, String] = Map(
-    "q60_multimodal" -> q60Sql)
+    "q60_multimodal" -> q60Sql,
+    "q61_frame_sample" -> q61Sql)
 }

@@ -34,6 +34,19 @@ object StreamingWindows {
   case class SessionOut(userId: Long, nEvents: Long, startUs: Long,
                         endUs: Long, total: Double)
 
+  /** Streaming exact dedup — the streaming twin of q20_dedup_exact:
+    * drop rows whose `fp` (content fingerprint, e.g. md5(text)) was
+    * already seen within the event-time watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps one state row per DISTINCT
+    * key and evicts keys once the watermark passes them — so an
+    * unending 100 TB document stream holds O(distinct keys inside the
+    * watermark window) state, never O(history). (Plain
+    * `dropDuplicates` on a stream would retain every key forever.) */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * streaming twin of q15_sessionize (gap > 30 min closes a session).
     * Emits CLOSED sessions only: a session is emitted when a later

@@ -211,4 +211,36 @@ class StreamingSpec extends GraftSpec {
       .agg(sum(col("n_events"))).collect()(0).getLong(0)
     assert(got > 0 && got % 120 === 0) // whole deterministic batches only
   }
+
+  test("streaming exact dedup: duplicate fingerprints within the watermark are dropped") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF.toDF("ts", "doc_id", "fp")
+    val query = StreamingWindows.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    val base = 1700000000000L
+    // 30 distinct fingerprints, each arriving 3 times within minutes
+    val events = (0 until 90).map { i =>
+      (new Timestamp(base + i * 10000L), i.toLong, s"fp${i % 30}")
+    }
+    mem.addData(events: _*)
+    query.processAllAvailable()
+    // advance the watermark far past the first burst (watermark moves at
+    // batch END, so the advance and the replay need separate batches),
+    // then replay one fingerprint: beyond the horizon it counts as new
+    mem.addData((new Timestamp(base + 10L * 3600 * 1000), 800L, "fp_advance"))
+    query.processAllAvailable()
+    mem.addData((new Timestamp(base + 10L * 3600 * 1000 + 1000), 900L, "fp0"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = sp.table("dedup_stream").select(col("fp"), col("doc_id")).collect()
+    val firstBurst = out.filter(_.getLong(1) < 800L)
+    assert(firstBurst.length === 30) // one survivor per distinct fp
+    // each survivor is the FIRST arrival of its fingerprint
+    firstBurst.foreach(r => assert(r.getLong(1) < 30L, r))
+    assert(out.count(_.getLong(1) === 900L) === 1) // re-admitted after horizon
+  }
 }
