@@ -25,14 +25,25 @@ import org.apache.spark.sql.SparkSession
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
   * the query set (isolated re-measurement on a noisy host);
   * SPARK_GRAFT_RUNS=3 raises the warm min-of-N; SPARK_GRAFT_COLD=0
-  * skips the cold pass.
+  * skips the cold pass; SPARK_GRAFT_METRICS=1 adds per-query shuffle
+  * write volume (`shuffle_mb`, first warm run) — the number that
+  * decides whether an operator survives a 100× scale-up.
   */
 object Bench {
+
+  /** Sums shuffle-write bytes across completed stages. */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val doCold = sys.env.getOrElse("SPARK_GRAFT_COLD", "1") != "0"
+    val doMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "0") == "1"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.tune(SparkSession.builder()
@@ -77,8 +88,16 @@ object Bench {
     // first-run codegen/JIT warmup and external-load spikes (this
     // harness shares its host); the min is the query's structural
     // marginal cost.
+    val meter = new ShuffleMeter
+    if (doMetrics) spark.sparkContext.addSparkListener(meter)
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { name =>
+      val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
       val rs = (1 to runs).map(_ => once(name))
+      if (doMetrics) { // listener events drain async; settle briefly
+        Thread.sleep(200)
+        shuffleMb(name) = (meter.bytes.get() - before) / runs.toDouble / 1048576.0
+      }
       val oks = rs.collect { case Right(t) => t }
       name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
     }
@@ -93,7 +112,11 @@ object Bench {
     val errs = (results ++ cold).collect { case (n, Left(m)) => n -> m }.distinct
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val coldPart = if (doCold) s""""cold_queries":$cqs,"total_cold":$coldTotal,""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}""")
+    val metricsPart = if (doMetrics)
+      shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
+        .mkString(""""shuffle_mb":{""", ",", "},")
+    else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
