@@ -220,13 +220,60 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** As-of join — the temporal operator Spark has no native node for
+    * (DuckDB does: the oracle IS an ASOF LEFT JOIN): attribute every
+    * `error` event to the same user's most recent strictly-preceding
+    * `click`. Implemented by composition (preference (a) of the custom-
+    * operator ladder): tag both sides, one window over (user, time),
+    * `last(click, ignoreNulls)` over the strictly-preceding frame.
+    * Scale shape: ONE hash shuffle on user_id + an in-partition sort —
+    * no range-join candidate explosion, no per-key driver loop; at
+    * 100 TB this is the as-of plan you want (the sort is the same one
+    * any per-key temporal semantics needs). (user_id, ts) collisions
+    * are absent in the data, so the strictly-preceding frame and
+    * DuckDB's `>` comparator agree exactly. */
+  def q17AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .filter(col("event_type").isin("click", "error"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    ev
+      .withColumn("click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(isClick, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("click_ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q17Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events WHERE event_type IN ('click', 'error')),
+      |errors AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+      |clicks AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      |           FROM ev WHERE event_type = 'click')
+      |SELECT e.event_id, e.user_id, c.click_id, e.ts_us - c.click_ts_us AS gap_us
+      |FROM errors e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts_us > c.click_ts_us
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
     "q13_market_share" -> q13MarketShare,
     "q14_window_rank" -> q14WindowRank,
     "q15_sessionize" -> q15Sessionize,
-    "q16_tumbling_window" -> q16TumblingWindow)
+    "q16_tumbling_window" -> q16TumblingWindow,
+    "q17_asof_join" -> q17AsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -234,5 +281,6 @@ object RelationalQueries {
     "q13_market_share" -> q13Sql,
     "q14_window_rank" -> q14Sql,
     "q15_sessionize" -> q15Sql,
-    "q16_tumbling_window" -> q16Sql)
+    "q16_tumbling_window" -> q16Sql,
+    "q17_asof_join" -> q17Sql)
 }

@@ -61,4 +61,33 @@ class RelationalSpec extends GraftSpec {
     assert(n == Tables.events(spark, sfDir).count())
     assert(rows.forall(_.getAs[Long]("window_start_us") % 3600000000L == 0))
   }
+
+  test("q17 as-of join: one row per error, attributed click strictly precedes it") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val nErrors = ev.filter(col("event_type") === "error").count()
+    val rows = RelationalQueries.q17AsofJoin(spark, sfDir).collect()
+    assert(rows.length.toLong === nErrors)
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty)
+    matched.foreach(r => assert(r.getAs[Long]("gap_us") > 0L, r))
+    // brute-force check on one user: the attribution is the max click
+    // ts strictly below the error ts
+    val uid = matched.head.getAs[Long]("user_id")
+    val evU = ev.filter(col("user_id") === uid)
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .collect()
+    val clicks = evU.filter(_.getString(1) == "click").map(r => (r.getLong(2), r.getLong(0)))
+    rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
+      val errTs = evU.find(_.getLong(0) == r.getAs[Long]("event_id")).get.getLong(2)
+      val want = clicks.filter(_._1 < errTs).sortBy(c => (c._1, c._2)).lastOption
+      (want, Option(r.getAs[java.lang.Long]("click_id"))) match {
+        case (Some((cts, cid)), Some(got)) =>
+          assert(got.longValue === cid, s"error at $errTs")
+          assert(r.getAs[Long]("gap_us") === errTs - cts)
+        case (None, None) => ()
+        case other => fail(s"attribution mismatch for error at $errTs: $other")
+      }
+    }
+  }
 }
