@@ -269,13 +269,92 @@ FROM scrubbed ORDER BY doc_id"""
   count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q46
+  /** Repetition filters (the Gopher-rule shape for pretraining data):
+    * duplicate-word ratio (1 − distinct/total, in-row — no shuffle) and
+    * top-bigram fraction (most frequent word 2-gram / all 2-grams —
+    * explode + two-level groupBy with map-side partials, the standard
+    * linear map-reduce shape; the per-doc group key keeps partitions
+    * independent at any corpus size). Flag = either ratio above its
+    * threshold. */
+  val DupWordMax = 0.5
+  val TopBigramMax = 0.2
+
+  def q46Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id"), size(w).as("n_words"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+        .as("dup_word_ratio"))
+    val bg = docs.filter(size(w) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("g"))
+    val top = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    val frac = round(coalesce(col("mx").cast("double") / col("tot"), lit(0.0)), 6)
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
+        frac.as("top_bigram_frac"),
+        (col("dup_word_ratio") > DupWordMax || frac > TopBigramMax).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q46Sql: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH ws AS (SELECT doc_id, $w AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+    round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_ratio
+  FROM ws),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM ws WHERE len(w) >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.dup_word_ratio,
+  round(coalesce(CAST(t.mx AS DOUBLE) / t.tot, 0.0), 6) AS top_bigram_frac,
+  (b.dup_word_ratio > $DupWordMax
+   OR round(coalesce(CAST(t.mx AS DOUBLE) / t.tot, 0.0), 6) > $TopBigramMax) AS flagged
+FROM base b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * pretraining pipeline: each stratum (language) gets a target keep
+    * rate, membership is a pure hash of the stable id (reproducible
+    * across runs/engines, no RNG state), and the whole operator is a
+    * map-only filter: zero shuffle besides the output sort, trivially
+    * linear at 100 TB. English is downsampled to 10%, everything else
+    * kept at 50%. */
+  def q47StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(10)).otherwise(lit(50))
+    val bucket = pmod(MF.universalHash(col("doc_id"), 3), lit(100))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Sql: String =
+    s"""WITH b AS (
+  SELECT doc_id, lang,
+    ${Sql.universalHash("doc_id", 3)} % 100 AS bucket,
+    (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) AS rate_pct
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
     "q42_tokens" -> q42Tokens,
     "q43_fingerprint" -> q43Fingerprint,
     "q44_pii_scrub" -> q44PiiScrub,
-    "q45_salted_tokens" -> q45SaltedTokens)
+    "q45_salted_tokens" -> q45SaltedTokens,
+    "q46_repetition" -> q46Repetition,
+    "q47_stratified_sample" -> q47StratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "q40_langid" -> q40Sql,
@@ -283,5 +362,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     "q42_tokens" -> q42Sql,
     "q43_fingerprint" -> q43Sql,
     "q44_pii_scrub" -> q44Sql,
-    "q45_salted_tokens" -> q45Sql)
+    "q45_salted_tokens" -> q45Sql,
+    "q46_repetition" -> q46Sql,
+    "q47_stratified_sample" -> q47Sql)
 }

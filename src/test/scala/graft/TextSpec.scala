@@ -44,4 +44,40 @@ class TextSpec extends GraftSpec {
       assert(r.getAs[Long]("min_fp") <= r.getAs[Long]("max_fp"))
     }
   }
+
+  test("q46 repetition: a degenerate doc is flagged, ratios stay in [0,1]") {
+    val rows = TextQueries.q46Repetition(spark, sfDir).collect()
+    rows.foreach { r =>
+      val d = r.getAs[Double]("dup_word_ratio")
+      val t = r.getAs[Double]("top_bigram_frac")
+      assert(d >= 0.0 && d <= 1.0 && t >= 0.0 && t <= 1.0, r)
+      assert(r.getAs[Boolean]("flagged") ===
+        (d > TextQueries.DupWordMax || t > TextQueries.TopBigramMax), r)
+    }
+    // a synthetic all-same-word doc must trip both rules
+    import org.apache.spark.sql.functions._
+    val sp2 = spark
+    import sp2.implicits._
+    val w = split(col("text"), " ")
+    val deg = Seq((1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+      .select(round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6))
+      .first().getDouble(0)
+    assert(deg > TextQueries.DupWordMax)
+  }
+
+  test("q47 stratified sampling: en downsampled below others, deterministic") {
+    val a = TextQueries.q47StratifiedSample(spark, sfDir).collect()
+    val b = TextQueries.q47StratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // reproducible
+    val total = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate < 0.25, s"en keep rate $enRate should be ~0.10")
+    (total.keySet - "en").foreach { l =>
+      val r = kept.getOrElse(l, 0L).toDouble / total(l)
+      assert(r > 0.25 && r < 0.75, s"$l keep rate $r should be ~0.50")
+    }
+  }
 }
