@@ -28,6 +28,10 @@ object GraftSession {
     // convert with integer division, matching the DuckDB oracle's
     // ns→µs truncation)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // saveAsTable (bucketed tables, q18) must never litter the repo cwd
+    // with a spark-warehouse/ dir — keep catalog storage in tmp
+    .config("spark.sql.warehouse.dir",
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_warehouse").toString)
 
   def local(cores: Int = 4, shufflePartitions: Int = 32): SparkSession = {
     val spark = tune(

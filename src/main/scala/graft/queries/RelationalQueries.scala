@@ -266,6 +266,44 @@ object RelationalQueries {
       |  ON e.user_id = c.user_id AND e.ts_us > c.click_ts_us
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** Bucketed co-located join — the storage-layout variant of the
+    * headline join: orders and customer are written ONCE per session as
+    * bucketed+sorted tables on the join key (16 buckets), and the join
+    * reads them back through the catalog. With matching bucketing on
+    * both sides Spark's sort-merge join consumes the buckets in place —
+    * no Exchange on either input (plan-asserted in ScaleOpsSpec with
+    * broadcast disabled); at 100 TB this is how a fact table joined
+    * daily on the same key amortizes its shuffle to zero. This driver
+    * row hash-verifies the whole bucketed write→catalog→read→join path
+    * against the plain-parquet oracle. */
+  def q18BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = Integer.toHexString(sfDir.hashCode)
+    val (to, tc) = (s"graft_bko_$sfx", s"graft_bkc_$sfx")
+    if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tc)) {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_buckets_$sfx").toString
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders").saveAsTable(to)
+      Tables.customer(spark, sfDir).write.mode("overwrite")
+        .bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer").saveAsTable(tc)
+    }
+    spark.table(to)
+      .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), asD(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -273,7 +311,8 @@ object RelationalQueries {
     "q14_window_rank" -> q14WindowRank,
     "q15_sessionize" -> q15Sessionize,
     "q16_tumbling_window" -> q16TumblingWindow,
-    "q17_asof_join" -> q17AsofJoin)
+    "q17_asof_join" -> q17AsofJoin,
+    "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -282,5 +321,6 @@ object RelationalQueries {
     "q14_window_rank" -> q14Sql,
     "q15_sessionize" -> q15Sql,
     "q16_tumbling_window" -> q16Sql,
-    "q17_asof_join" -> q17Sql)
+    "q17_asof_join" -> q17Sql,
+    "q18_bucketed_join" -> q18Sql)
 }
