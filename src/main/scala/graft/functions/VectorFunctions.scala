@@ -14,8 +14,17 @@ object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right fold of elementwise products (init 0.0). */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right fold of elementwise products (init 0.0), compiled:
+    * resolves to the native [[graft.plans.ArrayDot]] expression
+    * (registered by GraftExtensions) — whole-stage codegen emits one
+    * JIT'd loop per row instead of interpreting the HOF lambda per
+    * element. Bitwise equal to [[hofDot]] (VectorKernelSpec). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The composed higher-order-function formulation of [[dot]] — the
+    * reference semantics the native kernel is pinned against, and the
+    * formulation mirrored by the DuckDB oracle (Sql.listDot). */
+  private[graft] def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
@@ -30,9 +39,12 @@ object VectorFunctions {
   def cosineByNorm(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** Squared L2 distance — same left-to-right fold as [[dot]]
-    * (Sql.listDist2 is the DuckDB twin). */
-  def dist2(a: Column, b: Column): Column =
+  /** Squared L2 distance — same left-to-right fold as [[dot]], native
+    * kernel (Sql.listDist2 is the DuckDB twin). */
+  def dist2(a: Column, b: Column): Column = call_function("graft_dist2", a, b)
+
+  /** HOF formulation of [[dist2]] — kernel pin, see [[hofDot]]. */
+  private[graft] def hofDist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane j,

@@ -21,5 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_erf"),
       new ExpressionInfo(classOf[Erf].getName, "graft_erf"),
       (args: Seq[Expression]) => Erf(Cast(args.head, DoubleType))))
+    // compiled vector kernels (array<double> args — callers pass
+    // already-cast arrays; see VectorFunctions)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dist2"),
+      new ExpressionInfo(classOf[ArrayDist2].getName, "graft_dist2"),
+      (args: Seq[Expression]) => ArrayDist2(args(0), args(1))))
   }
 }
