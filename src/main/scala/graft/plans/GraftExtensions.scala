@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dist2"),
       new ExpressionInfo(classOf[ArrayDist2].getName, "graft_dist2"),
       (args: Seq[Expression]) => ArrayDist2(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowSummary].getName, "graft_winnow"),
+      (args: Seq[Expression]) => WinnowSummary(args.head)))
   }
 }

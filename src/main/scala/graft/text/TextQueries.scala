@@ -139,7 +139,25 @@ FROM documents ORDER BY doc_id"""
     * whole operator onto one task — measured 2× slower than the old
     * windowed plan; rebalancing 5k raw texts costs ~nothing, and at
     * 100 TB the same rebalance evens out skewed splits). */
-  def q43Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+  def q43Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      // parallelism rebalance BEFORE the hash-heavy projection: ~100
+      // md5s per row is compute-bound and must not be capped by the
+      // input's split count (a single parquet row group would
+      // serialize the operator onto one task; at 100 TB the same
+      // rebalance evens out skewed splits)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_winnow", col("text")).as("w"))
+      .select(col("doc_id"), col("w.n_fingerprints").as("n_fingerprints"),
+        col("w.min_fp").as("min_fp"), col("w.max_fp").as("max_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Composed built-in formulation of q43 — the reference semantics the
+    * graft_winnow kernel is pinned against (WinnowSpec, exact integer
+    * equality). Kept runnable, not driver-registered. */
+  private[graft] def q43FingerprintComposed(spark: SparkSession, sfDir: String): DataFrame = {
     val w = split(col("text"), " ")
     val shingles = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
