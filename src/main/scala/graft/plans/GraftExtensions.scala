@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowSummary].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowSummary(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_bigram"),
+      new ExpressionInfo(classOf[TopBigram].getName, "graft_top_bigram"),
+      (args: Seq[Expression]) => TopBigram(args.head)))
   }
 }

@@ -289,16 +289,35 @@ FROM documents GROUP BY lang ORDER BY lang"""
 
   // ---------------------------------------------------------------- q46
   /** Repetition filters (the Gopher-rule shape for pretraining data):
-    * duplicate-word ratio (1 − distinct/total, in-row — no shuffle) and
-    * top-bigram fraction (most frequent word 2-gram / all 2-grams —
-    * explode + two-level groupBy with map-side partials, the standard
-    * linear map-reduce shape; the per-doc group key keeps partitions
-    * independent at any corpus size). Flag = either ratio above its
+    * duplicate-word ratio (1 − distinct/total, in-row) and top-bigram
+    * fraction (most frequent word 2-gram / all 2-grams) via the
+    * compiled graft_top_bigram kernel — bigram statistics are strictly
+    * per-row, so the whole operator is MAP-ONLY: one scan, zero
+    * shuffle besides the output sort. Flag = either ratio above its
     * threshold. */
   val DupWordMax = 0.5
   val TopBigramMax = 0.2
 
   def q46Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val frac = round(when(col("tb.tot") > 0,
+      col("tb.mx").cast("double") / col("tb.tot")).otherwise(lit(0.0)), 6)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(w).as("n_words"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+          .as("dup_word_ratio"),
+        call_function("graft_top_bigram", col("text")).as("tb"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
+        frac.as("top_bigram_frac"),
+        (col("dup_word_ratio") > DupWordMax || frac > TopBigramMax).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Relational formulation of the top-bigram statistic (explode +
+    * two-level groupBy) — the reference semantics graft_top_bigram is
+    * pinned against (BigramSpec), and the shape the DuckDB oracle
+    * keeps. */
+  private[graft] def q46RepetitionComposed(spark: SparkSession, sfDir: String): DataFrame = {
     val w = split(col("text"), " ")
     val bigrams = transform(sequence(lit(1), size(w) - 1),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
