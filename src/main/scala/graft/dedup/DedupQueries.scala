@@ -67,18 +67,12 @@ object DedupQueries {
   SELECT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS h
   FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s)"""
 
-  private def shingleHashes(c: DataFrame): DataFrame =
+  /** Composed exploded (doc_id, h) shingle hashes — the reference
+    * formulation the compiled kernels are pinned against (MinhashSpec);
+    * not on the query path anymore. */
+  private[graft] def shingleHashes(c: DataFrame): DataFrame =
     c.select(col("doc_id"), explode(shingleCol(col("text"))).as("sh"))
       .select(col("doc_id"), MF.hash32(col("sh")).as("h"))
-
-  /** Exploded (doc_id, h) shingle hashes, memoized per session: the
-    * explode + md5 over every trigram of the corpus is the single most
-    * expensive dedup substep, and BOTH the minhash signatures (q21/q23/
-    * q25 blocking) and q23's exact-intersection sets derive from it —
-    * one build instead of two. */
-  private def cachedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
-    graft.SessionCache.cached(spark, s"shingle-hashes:$sfDir")(
-      shingleHashes(corpus(spark, sfDir)))
 
   // ---------------------------------------------------------------- q20
   /** Exact dedup: hash-group on md5(text), canonical = min(doc_id). */
@@ -103,17 +97,25 @@ FROM corpus ORDER BY doc_id"""
   val K = 12 // minhash functions
   val Bands = 4 // x 3 rows per band
 
-  /** (doc_id, mh0..mh11) minhash signatures from exploded hashes. */
-  private def signatures(hashes: DataFrame): DataFrame =
+  /** Composed (doc_id, mh0..mh11) signatures from exploded hashes —
+    * kernel pin only (MinhashSpec). */
+  private[graft] def signaturesComposed(hashes: DataFrame): DataFrame =
     hashes.groupBy(col("doc_id"))
       .agg(min(MF.universalHash(col("h"), 0)).as("mh0"),
         (1 until K).map(j => min(MF.universalHash(col("h"), j)).as(s"mh$j")): _*)
 
-  /** q21 and q23 share the signature build (corpus → shingles → md5 →
-    * 12 min-aggs); memoized once per session. */
+  /** (doc_id, mh0..mh11) minhash signatures via the compiled
+    * graft_minhash kernel: one map-only pass per document — no shingle
+    * explode, no 300×-row exchange (the r4-early memoized-explode
+    * version still shuffled every trigram once per session; at 100 TB
+    * that exchange IS the cost). Shared by q21/q23/q25 blocking,
+    * memoized once per session. */
   private def cachedSignatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.SessionCache.cached(spark, s"minhash-sigs:$sfDir")(
-      signatures(cachedShingleHashes(spark, sfDir)))
+      corpus(spark, sfDir)
+        .select(col("doc_id"), call_function("graft_minhash", col("text")).as("mhs"))
+        .select(col("doc_id") +:
+          (0 until K).map(j => element_at(col("mhs"), j + 1).as(s"mh$j")): _*))
 
   private val signaturesCte: String = {
     val mins = (0 until K)
@@ -274,25 +276,25 @@ SELECT da, db, hamming FROM pairs WHERE hamming <= $MaxHamming ORDER BY da, db""
     * identically, and a within-doc collision needs ~2^16 distinct
     * shingles per doc — orders of magnitude above real documents). */
   def q23NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = graft.Checkpoints.deferUnpersist(
-      cachedShingleHashes(spark, sfDir)
-        .select(col("doc_id"), col("h").as("sh"))
-        .distinct().cache())
-    val sigs = cachedSignatures(spark, sfDir)
-    val cand = graft.Checkpoints.deferUnpersist(candidates(bands(sigs)).cache())
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.toDF("da", "sha")
-    val shB = sh.toDF("db", "shb")
-    val interDf = cand.join(shA, "da").join(shB, "db")
-      .filter(col("sha") === col("shb"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    val na = counts.toDF("da", "na")
-    val nb = counts.toDF("db", "nb")
-    cand.join(interDf, Seq("da", "db"), "left")
-      .join(na, "da").join(nb, "db")
+    // per-doc sorted distinct shingle-hash SET as one in-row array
+    // (compiled kernel): the set never leaves its row, so the exact
+    // intersection is a merge-walk on the two candidate arrays —
+    // the r4-early formulation exploded both sets and re-grouped the
+    // matches (two shuffles of every shingle of every candidate doc).
+    val sets = graft.Checkpoints.deferUnpersist(
+      corpus(spark, sfDir)
+        .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+        .select(col("doc_id"), col("s"), size(col("s")).as("n"))
+        .cache())
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val sa = sets.toDF("da", "sa", "na")
+    val sb = sets.toDF("db", "sb", "nb")
+    val inter = call_function("graft_intersect_count", col("sa"), col("sb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter", inter)
       .select(col("da"), col("db"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
       .orderBy(col("da"), col("db"))
   }

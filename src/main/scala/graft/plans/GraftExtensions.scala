@@ -39,5 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigram].getName, "graft_top_bigram"),
       (args: Seq[Expression]) => TopBigram(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinhashSig(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+      (args: Seq[Expression]) => ShingleSet(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
   }
 }
