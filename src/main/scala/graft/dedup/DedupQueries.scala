@@ -194,7 +194,17 @@ ORDER BY c.da, c.db"""
     * (the r2 8-bit keys capped at 256 buckets → O(n²/256) pairing). */
   val MaxHamming = 3
 
-  /** (doc_id, simlo, simhi): the 64-bit signature build. */
+  /** (doc_id, simlo, simhi) via the compiled graft_simhash kernel —
+    * one map-only pass per document (the composed build below exploded
+    * every token through a 64-sum aggregation exchange). */
+  private[graft] def simhashSigNative(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sh"))
+      .select(col("doc_id"), col("sh.simlo").as("simlo"), col("sh.simhi").as("simhi"))
+
+  /** Composed (doc_id, simlo, simhi) signature build — kernel pin only
+    * (SimhashKernelSpec); DedupAnnSpec's banding properties also run
+    * over it. */
   private[graft] def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = corpus(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -227,7 +237,7 @@ ORDER BY c.da, c.db"""
   def q22SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     // deferUnpersist: the returned frame reads sig twice (both sides of
     // the band join); the harness drain frees it after the action.
-    val sig = graft.Checkpoints.deferUnpersist(simhashSig(spark, sfDir).cache())
+    val sig = graft.Checkpoints.deferUnpersist(simhashSigNative(spark, sfDir).cache())
     val bandsDf = simhashBands(sig)
     val a = bandsDf.select(col("doc_id").as("da"), col("simlo").as("loa"),
       col("simhi").as("hia"), col("band"), col("key"))

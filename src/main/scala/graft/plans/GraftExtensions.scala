@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
       (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashSig(args.head)))
   }
 }
