@@ -487,13 +487,58 @@ FROM final ORDER BY doc_id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q26
+  val BenchMod = 50 // every 50th doc plays the held-out benchmark
+  val ContaminationMax = 0.5
+
+  /** Benchmark decontamination — the train/eval hygiene check a
+    * pretraining pipeline runs before training: for every training
+    * document, the fraction of its 3-gram shingles that appear
+    * ANYWHERE in the held-out benchmark slice (doc_id % 50 == 0).
+    * Shape for 100 TB: the benchmark's union shingle-hash set is ONE
+    * sorted array built by a tree aggregation over the (small)
+    * benchmark slice and broadcast; each training doc then scores
+    * itself with a compiled merge-walk against its own in-row set —
+    * map-only over the training corpus, no join on the big side. */
+  def q26Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+    val isBench = pmod(col("doc_id"), lit(BenchMod)) === 0
+    val bench = sets.filter(isBench)
+      .agg(sort_array(array_distinct(flatten(collect_list(col("s"))))).as("bs"))
+    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+    sets.filter(!isBench)
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        call_function("graft_intersect_count", col("s"), col("bs")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Sql: String =
+    s"""WITH sh AS (
+  SELECT doc_id, unnest(${shingleSql("text")}) AS g FROM documents),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(g)")} AS h FROM sh),
+bset AS MATERIALIZED (SELECT DISTINCT h FROM shd WHERE doc_id % $BenchMod = 0),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_id, count(*) AS o FROM shd s JOIN bset b ON s.h = b.h
+  WHERE s.doc_id % $BenchMod <> 0 GROUP BY s.doc_id)
+SELECT c.doc_id, c.n AS n_shingles, coalesce(o.o, 0) AS n_overlap,
+  round(CAST(coalesce(o.o, 0) AS DOUBLE) / c.n, 6) AS overlap_frac,
+  (round(CAST(coalesce(o.o, 0) AS DOUBLE) / c.n, 6) > $ContaminationMax) AS contaminated
+FROM cnt c LEFT JOIN ov o ON o.doc_id = c.doc_id
+ORDER BY c.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> q20DedupExact,
     "q21_minhash_lsh" -> q21MinHashLsh,
     "q22_simhash" -> q22SimHash,
     "q23_ngram_jaccard" -> q23NgramJaccard,
     "q24_embedding_dedup" -> q24EmbeddingDedup,
-    "q25_dup_clusters" -> q25DupClusters)
+    "q25_dup_clusters" -> q25DupClusters,
+    "q26_decontaminate" -> q26Decontaminate)
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Sql,
@@ -501,5 +546,6 @@ FROM final ORDER BY doc_id"""
     "q22_simhash" -> q22Sql,
     "q23_ngram_jaccard" -> q23Sql,
     "q24_embedding_dedup" -> q24Sql,
-    "q25_dup_clusters" -> q25Sql)
+    "q25_dup_clusters" -> q25Sql,
+    "q26_decontaminate" -> q26Sql)
 }

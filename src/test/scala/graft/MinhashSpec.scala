@@ -51,4 +51,19 @@ class MinhashSpec extends GraftSpec {
     assert(s.numElements() === 1)
     assert(s.getLong(0) === graft.plans.WinnowMath.hash32("ab cd"))
   }
+
+  test("q26 decontamination: benchmark slice excluded, fractions bounded") {
+    import graft.dedup.DedupQueries
+    val total = corpusDf.count()
+    val nBench = corpusDf.filter(col("doc_id") % DedupQueries.BenchMod === 0).count()
+    val rows = DedupQueries.q26Decontaminate(spark, sfDir).collect()
+    assert(rows.length.toLong === total - nBench)
+    rows.foreach { r =>
+      assert(r.getLong(0) % DedupQueries.BenchMod != 0L)
+      val f = r.getAs[Double]("overlap_frac")
+      assert(f >= 0.0 && f <= 1.0, r)
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Int]("n_shingles").toLong, r)
+      assert(r.getAs[Boolean]("contaminated") === (f > DedupQueries.ContaminationMax))
+    }
+  }
 }
