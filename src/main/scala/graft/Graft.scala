@@ -110,6 +110,54 @@ object Graft {
   def hashSample(df: DataFrame, id: Column, ratePct: Column): DataFrame =
     df.filter(pmod(functions.MathFunctions.universalHash(id, 3), lit(100)) < ratePct)
 
+  /** MinHash-LSH near-duplicate pairs over any (id, text) frame:
+    * (da, db, est_jaccard) for band-colliding pairs — compiled
+    * signatures, band-bucket equi-join, never O(n²). */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.dedup.DedupQueries.{K, bands, candidates}
+    val sigs = docs
+      .select(id.as("doc_id"), minhashSignature(text).as("mhs"))
+      .select(col("doc_id") +:
+        (0 until K).map(j => element_at(col("mhs"), j + 1).as(s"mh$j")): _*)
+    val cand = candidates(bands(sigs))
+    val sa = sigs.toDF("da" +: (0 until K).map(j => s"a$j"): _*)
+    val sb = sigs.toDF("db" +: (0 until K).map(j => s"b$j"): _*)
+    val matches = (0 until K)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"),
+        (matches.cast("double") / K).as("est_jaccard"))
+  }
+
+  /** Distributed k-means (Lloyd) over any (id, vector) frame:
+    * (vec_id, cluster, dist2). Broadcast centroids, map-side arg-min,
+    * algebraic per-dimension means. */
+  def kmeans(vecs: DataFrame, id: Column, v: Column, k: Int,
+             dims: Int, iters: Int = 3, seed: Int = 2): DataFrame =
+    ann.AnnQueries.kmeansFit(vecs.select(id.as("vec_id"), v.as("v")),
+        k, iters, dims, seed)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+
+  /** Brute-force cosine top-k: broadcast query frame × base frame.
+    * Returns (qid, neighbor, rank, cosine). */
+  def knnBrute(base: DataFrame, id: Column, v: Column,
+               queries: DataFrame, qid: Column, qv: Column,
+               k: Int): DataFrame = {
+    val e = base.select(id.as("vec_id"), v.as("v"))
+      .withColumn("nrm", VF.norm(col("v")))
+    val q = queries.select(qid.as("qid"), qv.as("qv"))
+      .withColumn("qn", VF.norm(col("qv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
+  }
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

@@ -271,7 +271,7 @@ FROM errs ORDER BY vec_id"""
     * partial aggregation — each task reduces its n·K scored rows to one
     * row per local vector before any exchange (vs. a window over the
     * full n·K, which shuffles and sorts everything). */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
         round(VF.dist2(col("v"), col("cv")), 6).as("d2"))
@@ -289,28 +289,35 @@ FROM errs ORDER BY vec_id"""
     * explode of n·d element rows); centroid components are rounded to
     * the 1e-6 grid each round so float summation-order drift cannot
     * propagate into the next round's arg-min on either engine. */
-  def q36KMeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = graft.Checkpoints.deferUnpersist(
-      vecs(spark, sfDir).select(col("vec_id"), col("v")).cache())
+  /** Generic Lloyd fit over `e0(vec_id, v: array<double>)` of
+    * dimension `dims`: hash-seeded centroids, `iters` assign/mean
+    * rounds, final per-vector assignment (vec_id, v, cid, d2). */
+  private[graft] def kmeansFit(e0: DataFrame, k: Int, iters: Int,
+                               dims: Int, seed: Int): DataFrame = {
+    val e = graft.Checkpoints.deferUnpersist(e0.cache())
     var cents = e
-      .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), 2), col("vec_id"))
-      .limit(KmK)
+      .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), seed), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .localCheckpoint() // K rows; keeps the iteration plan shallow
-    for (_ <- 1 to KmIters) {
+      .localCheckpoint() // k rows; keeps the iteration plan shallow
+    for (_ <- 1 to iters) {
       val next = kmAssign(e, cents)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("cnt"),
-          (1 to Dims).map(i => sum(element_at(col("v"), i)).as(s"s$i")): _*)
+          (1 to dims).map(i => sum(element_at(col("v"), i)).as(s"s$i")): _*)
         .select(col("cid"),
-          array((1 to Dims).map(i => round(col(s"s$i") / col("cnt"), 6)): _*).as("cv"))
+          array((1 to dims).map(i => round(col(s"s$i") / col("cnt"), 6)): _*).as("cv"))
       cents = graft.Checkpoints.rotate(next, cents)
     }
     graft.Checkpoints.deferFree(cents)
     kmAssign(e, cents)
+  }
+
+  def q36KMeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansFit(vecs(spark, sfDir).select(col("vec_id"), col("v")),
+        KmK, KmIters, Dims, seed = 2)
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
       .orderBy(col("vec_id"))
-  }
 
   val q36Sql: String = {
     val meanList = (1 to Dims).map(i => s"round(sum(v[$i]) / count(*), 6)")

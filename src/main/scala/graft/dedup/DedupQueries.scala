@@ -124,7 +124,7 @@ FROM corpus ORDER BY doc_id"""
   }
 
   /** (doc_id, band, key): band key = concat of 3 minhash values. */
-  private def bands(sigs: DataFrame): DataFrame =
+  private[graft] def bands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("key"))
@@ -144,7 +144,7 @@ FROM corpus ORDER BY doc_id"""
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
-  private def candidates(bandsDf: DataFrame): DataFrame = {
+  private[graft] def candidates(bandsDf: DataFrame): DataFrame = {
     val a = bandsDf.select(col("doc_id").as("da"), col("band"), col("key"))
     val b = bandsDf.select(col("doc_id").as("db"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("da") < col("db"))

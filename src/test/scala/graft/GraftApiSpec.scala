@@ -41,6 +41,35 @@ class GraftApiSpec extends GraftSpec {
     assert(dd === Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("minhashPairs, kmeans, knnBrute on user frames") {
+    // near-dup pair: same doc with a one-word suffix change
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq((10L, base), (20L, base + "tail"), (30L, "other stuff wholly unrelated text body"))
+      .toDF("id", "body")
+    val pairs = Graft.minhashPairs(docs, col("id"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 20L && p._3 > 0.5), pairs.toSeq)
+    assert(!pairs.exists(p => p._1 == 30L || p._2 == 30L))
+
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() + (i % 3) * 10.0))).toDF("id", "vec")
+    val km = Graft.kmeans(vecs, col("id"), col("vec"), k = 3, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Checkpoints.drain(spark)
+    assert(km.size === 60)
+    // the three offset groups are well-separated: cluster = f(id % 3)
+    (0 until 60).foreach(i => assert(km(i.toLong) === km((i % 3).toLong), s"vec $i"))
+
+    val knn = Graft.knnBrute(vecs, col("id"), col("vec"),
+        vecs.filter(col("id") === 0), col("id"), col("vec"), k = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(knn.length === 3)
+    assert(knn.forall(_.getAs[Long]("neighbor") != 0L)) // self excluded
+    val cos = knn.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }) // ranked
+  }
+
   test("vector and sampling helpers on user data") {
     val v = Seq((1L, Array(1.0, 0.0), Array(0.0, 2.0))).toDF("id", "a", "b")
     assert(v.select(Graft.dot(col("a"), col("b"))).first().getDouble(0) === 0.0)
