@@ -93,11 +93,14 @@ object Bench {
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { name =>
       val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
-      val rs = (1 to runs).map(_ => once(name))
+      val first = once(name)
       if (doMetrics) { // listener events drain async; settle briefly
+        // FIRST warm run only: later runs read session memos and would
+        // average the build volume away
         Thread.sleep(200)
-        shuffleMb(name) = (meter.bytes.get() - before) / runs.toDouble / 1048576.0
+        shuffleMb(name) = (meter.bytes.get() - before) / 1048576.0
       }
+      val rs = first +: (2 to runs).map(_ => once(name))
       val oks = rs.collect { case Right(t) => t }
       name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
     }
@@ -109,7 +112,12 @@ object Bench {
     }
     val (qs, total, nOk) = obj(results)
     val (cqs, coldTotal, _) = obj(cold)
-    val errs = (results ++ cold).collect { case (n, Left(m)) => n -> m }.distinct
+    // cold failures keyed distinctly: a query can fail cold yet succeed
+    // warm (it stays in `queries`; the cold error is still reported),
+    // and duplicate JSON keys would make n_err disagree with the parsed
+    // object.
+    val errs = results.collect { case (n, Left(m)) => n -> m } ++
+      cold.collect { case (n, Left(m)) => s"$n (cold)" -> m }
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val coldPart = if (doCold) s""""cold_queries":$cqs,"total_cold":$coldTotal,""" else ""
     val metricsPart = if (doMetrics)

@@ -13,8 +13,19 @@ import graft.functions.{VectorFunctions => VF}
   * Column functions require a session built by [[GraftSession]] (or
   * any session with `spark.sql.extensions=graft.plans.GraftExtensions`)
   * so the compiled graft_* kernels resolve.
+  *
+  * Lifecycle: the iterative operators (rank family, [[kmeans]],
+  * [[minhashPairs]]) cache/checkpoint intermediate frames whose blocks
+  * stay live until the CALLER's action finishes — call [[drain]] after
+  * consuming each result in a long-lived session, or the block manager
+  * accumulates one orphaned set per call.
   */
 object Graft {
+
+  /** Release the deferred caches/checkpoints of every Graft call made
+    * on `spark` since the last drain. Call AFTER the action that
+    * consumes the returned DataFrame (the blocks are inputs to it). */
+  def drain(spark: SparkSession): Unit = Checkpoints.drain(spark)
 
   // ------------------------------------------------------------- graph
   /** LinkRank over (src, dst) string edges, uniform-1.0 init —
@@ -115,10 +126,13 @@ object Graft {
     * signatures, band-bucket equi-join, never O(n²). */
   def minhashPairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
     import graft.dedup.DedupQueries.{K, bands, candidates}
-    val sigs = docs
+    // the signature scan feeds the band join AND both pair sides —
+    // cache it once (freed at the caller's next drain)
+    val sigs = Checkpoints.deferUnpersist(docs
       .select(id.as("doc_id"), minhashSignature(text).as("mhs"))
       .select(col("doc_id") +:
         (0 until K).map(j => element_at(col("mhs"), j + 1).as(s"mh$j")): _*)
+      .cache())
     val cand = candidates(bands(sigs))
     val sa = sigs.toDF("da" +: (0 until K).map(j => s"a$j"): _*)
     val sb = sigs.toDF("db" +: (0 until K).map(j => s"b$j"): _*)
@@ -140,7 +154,11 @@ object Graft {
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
 
   /** Brute-force cosine top-k: broadcast query frame × base frame.
-    * Returns (qid, neighbor, rank, cosine). */
+    * Returns (qid, neighbor, rank, cosine). The query frame must share
+    * the base frame's id space (queries ⊆ base): a query's own base
+    * row is excluded from its neighbors by id equality — with disjoint
+    * id spaces that exclusion would silently drop one unrelated base
+    * vector per colliding id. */
   def knnBrute(base: DataFrame, id: Column, v: Column,
                queries: DataFrame, qid: Column, qv: Column,
                k: Int): DataFrame = {

@@ -94,7 +94,10 @@ SELECT doc_id,
 FROM corpus ORDER BY doc_id"""
 
   // ------------------------------------------------- q21 MinHash-LSH
-  val K = 12 // minhash functions
+  /** Signature width — single owner is the compiled kernel (its output
+    * array length MUST match the element_at slicing below; a mismatch
+    * would read past the array and yield null signatures silently). */
+  val K: Int = graft.plans.MinhashMath.K // 12 minhash functions
   val Bands = 4 // x 3 rows per band
 
   /** Composed (doc_id, mh0..mh11) signatures from exploded hashes —

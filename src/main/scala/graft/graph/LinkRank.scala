@@ -149,7 +149,8 @@ object LinkRank {
       ranks = graft.Checkpoints.rotate(ranks, prevCp)
       rounds += 1
       tol.foreach { eps => // one scalar job on the materialized snapshot
-        converged = ranks.agg(max(col("delta"))).first().getDouble(0) < eps
+        val d = ranks.agg(max(col("delta"))).first()
+        converged = d.isNullAt(0) || d.getDouble(0) < eps // null = empty graph
       }
     }
 

@@ -40,7 +40,10 @@ object ArrayKernelMath {
   }
 }
 
-/** Native dot product over two array<double> columns. */
+/** Native dot product over two array<double> columns. The function
+  * builder (GraftExtensions) casts arguments to array<double>, so an
+  * array<float> input is converted at analysis time instead of being
+  * misread, and a non-castable argument fails analysis. */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -55,7 +58,8 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
-/** Native squared L2 distance over two array<double> columns. */
+/** Native squared L2 distance over two array<double> columns (input
+  * typing as [[ArrayDot]]). */
 case class ArrayDist2(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dist2"

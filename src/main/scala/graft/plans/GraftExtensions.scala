@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** Session extension point: registers graft's native expressions so
   * SQL users get them by name. Activate with
@@ -14,46 +14,54 @@ import org.apache.spark.sql.types.DoubleType
   * Expression with doGenCode, injected via SparkSessionExtensions —
   * used only where built-ins can't express the scalar. Everything else
   * in graft composes `org.apache.spark.sql.functions`.
+  *
+  * Every builder wraps its arguments in Cast to the kernel's expected
+  * input type (the Erf pattern): an `array<float>` embedding column
+  * into graft_dot is cast to `array<double>` at analysis time instead
+  * of being read with 8-byte strides over 4-byte elements (silent
+  * garbage), and an uncastable argument fails analysis instead of
+  * crashing an executor. Casts on already-correct types are removed by
+  * SimplifyCasts, so the fixture plans are unchanged.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    val dblArr = ArrayType(DoubleType)
+    val longArr = ArrayType(LongType)
     ext.injectFunction((
       new FunctionIdentifier("graft_erf"),
       new ExpressionInfo(classOf[Erf].getName, "graft_erf"),
       (args: Seq[Expression]) => Erf(Cast(args.head, DoubleType))))
-    // compiled vector kernels (array<double> args — callers pass
-    // already-cast arrays; see VectorFunctions)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDot(Cast(args(0), dblArr), Cast(args(1), dblArr))))
     ext.injectFunction((
       new FunctionIdentifier("graft_dist2"),
       new ExpressionInfo(classOf[ArrayDist2].getName, "graft_dist2"),
-      (args: Seq[Expression]) => ArrayDist2(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDist2(Cast(args(0), dblArr), Cast(args(1), dblArr))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowSummary].getName, "graft_winnow"),
-      (args: Seq[Expression]) => WinnowSummary(args.head)))
+      (args: Seq[Expression]) => WinnowSummary(Cast(args.head, StringType))))
     ext.injectFunction((
       new FunctionIdentifier("graft_top_bigram"),
       new ExpressionInfo(classOf[TopBigram].getName, "graft_top_bigram"),
-      (args: Seq[Expression]) => TopBigram(args.head)))
+      (args: Seq[Expression]) => TopBigram(Cast(args.head, StringType))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinhashSig(args.head)))
+      (args: Seq[Expression]) => MinhashSig(Cast(args.head, StringType))))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
-      (args: Seq[Expression]) => ShingleSet(args.head)))
+      (args: Seq[Expression]) => ShingleSet(Cast(args.head, StringType))))
     ext.injectFunction((
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
-      (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => IntersectCount(Cast(args(0), longArr), Cast(args(1), longArr))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimhashSig(args.head)))
+      (args: Seq[Expression]) => SimhashSig(Cast(args.head, StringType))))
   }
 }

@@ -57,6 +57,18 @@ class VectorKernelSpec extends GraftSpec {
       l.trim.matches("""\*\(\d+\) Project \[graft_dot.*""")), plan)
   }
 
+  test("array<float> inputs are implicitly cast, not misread") {
+    // embeddings.parquet stores array<float>; without ExpectsInputTypes
+    // the kernel would stride 8 bytes over 4-byte elements (garbage)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
+    val got = e.select(VF.dot(col("embedding"), col("embedding")).as("d")).collect()
+      .map(_.getDouble(0))
+    val want = e.select(VF.dot(VF.toDouble(col("embedding")),
+        VF.toDouble(col("embedding"))).as("d")).collect().map(_.getDouble(0))
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    assert(got.forall(d => d > 0 && !d.isNaN))
+  }
+
   test("odd lengths and empty arrays behave (clamped fold)") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
         (Array.empty[Double], Array.empty[Double]))
