@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** array<float> → array<double> via the built-in array Cast
+    * (codegen'd; a transform(_.cast) lambda is interpreted per
+    * element). Values are identical — elementwise float→double. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Left-to-right fold of elementwise products (init 0.0), compiled:
     * resolves to the native [[graft.plans.ArrayDot]] expression
