@@ -65,8 +65,15 @@ object VectorFunctions {
   /** `bits`-bit random-hyperplane LSH code of a double vector, using
     * planes `planeOffset until planeOffset+bits` — multi-band callers
     * (q24) pass distinct offsets so each band draws independent
-    * hyperplanes. */
+    * hyperplanes. Compiled: all sign bits in one pass
+    * (graft.plans.LshCodeExpr), bitwise equal to [[hofLshCode]]. */
   def lshCode(v: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =
+    call_function("graft_lsh_code", v, lit(dims), lit(bits), lit(planeOffset))
+
+  /** Composed per-bit formulation of [[lshCode]] — kernel pin
+    * (VectorKernelSpec). */
+  private[graft] def hofLshCode(v: Column, dims: Int, bits: Int,
+                                planeOffset: Int = 0): Column =
     (0 until bits).map { j =>
       when(dot(v, signVec(planeOffset + j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

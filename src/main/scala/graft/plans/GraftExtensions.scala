@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashSig(Cast(args.head, StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_code"),
+      new ExpressionInfo(classOf[LshCodeExpr].getName, "graft_lsh_code"),
+      (args: Seq[Expression]) => LshCodeExpr(Cast(args(0), dblArr),
+        args(1), args(2), args(3))))
   }
 }

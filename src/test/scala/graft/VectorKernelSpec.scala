@@ -69,6 +69,17 @@ class VectorKernelSpec extends GraftSpec {
     assert(got.forall(d => d > 0 && !d.isNaN))
   }
 
+  test("fused LSH code is bitwise equal to the per-bit composed form") {
+    val df = randVecs(100, 64).toDF("id", "a", "b")
+    Seq((16, 0), (8, 8), (4, 24)).foreach { case (bits, off) =>
+      val rows = df.select(
+          VF.lshCode(col("a"), 64, bits, off).as("native"),
+          graft.functions.VectorFunctions.hofLshCode(col("a"), 64, bits, off).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"bits=$bits off=$off"))
+    }
+  }
+
   test("odd lengths and empty arrays behave (clamped fold)") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
         (Array.empty[Double], Array.empty[Double]))
