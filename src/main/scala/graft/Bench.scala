@@ -10,11 +10,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Two timing regimes are reported side by side:
   *
-  *  - **cold** (`cold_queries` / `total_cold`): one run per query with
-  *    SessionCache.clear between queries — every query pays its own
-  *    one-time builds (edge derivation, rank loop, minhash signatures).
-  *    This is the number a round-over-round or cross-engine comparison
-  *    of TOTALS should use: nothing is hidden behind a shared memo.
+  *  - **cold** (`cold_queries` / `total_cold`): min of RUNS (default 2)
+  *    per query with SessionCache.clear before EVERY run — every run
+  *    pays the query's own one-time builds (edge derivation, rank loop,
+  *    minhash signatures), and the min strips co-tenant load spikes.
+  *    The r4 single-run cold pass produced a 5.7× noise-inflated
+  *    artifact on this shared host (709s driver vs 103.5s isolated,
+  *    same config); a min-of-N of STRUCTURALLY cold runs keeps the
+  *    "nothing hidden behind a memo" honesty while making the total
+  *    reproducible. This is the number a round-over-round or
+  *    cross-engine comparison of TOTALS should use.
   *  - **warm** (`queries` / `value`): min of RUNS (default 2) with
   *    session memos retained across queries and runs, as in a real
   *    analytics session running the whole suite — the marginal cost of
@@ -24,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
   * the query set (isolated re-measurement on a noisy host);
-  * SPARK_GRAFT_RUNS=3 raises the warm min-of-N; SPARK_GRAFT_COLD=0
+  * SPARK_GRAFT_RUNS=3 raises the min-of-N (both regimes); SPARK_GRAFT_COLD=0
   * skips the cold pass; SPARK_GRAFT_METRICS=1 adds per-query shuffle
   * write volume (`shuffle_mb`, first warm run) — the number that
   * decides whether an operator survives a 100× scale-up.
@@ -76,11 +81,16 @@ object Bench {
       } finally Checkpoints.drain(spark) // session stays block-clean per run
     }
 
-    // Cold pass: memos dropped before every query, so each timing
-    // includes the query's own one-time builds.
+    // Cold pass: memos dropped before every RUN, so each timing includes
+    // the query's own one-time builds; min-of-runs strips host noise
+    // (each run is structurally identical — same builds, same plan).
     val cold = if (doCold) names.map { n =>
-      SessionCache.clear(spark)
-      n -> once(n)
+      val rs = (1 to runs).map { _ =>
+        SessionCache.clear(spark)
+        once(n)
+      }
+      val oks = rs.collect { case Right(t) => t }
+      n -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
     } else Seq.empty
     if (doCold) SessionCache.clear(spark) // warm pass starts from scratch
 

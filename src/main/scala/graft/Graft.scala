@@ -144,6 +144,21 @@ object Graft {
         (matches.cast("double") / K).as("est_jaccard"))
   }
 
+  /** Benchmark decontamination over caller frames: score every training
+    * document's 3-gram-shingle overlap against the union shingle set of
+    * a held-out benchmark frame. Returns (doc_id, n_shingles, n_overlap,
+    * overlap_frac, contaminated). Map-only over the training side — the
+    * benchmark set is broadcast, guarded by `maxBenchShingles` (an
+    * oversized slice fails loudly instead of OOMing; see
+    * DedupQueries.benchUnionSet). */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchText: Column,
+                    maxBenchShingles: Long = dedup.DedupQueries.MaxBenchShingles): DataFrame =
+    dedup.DedupQueries.decontaminateSets(
+      train.select(id.as("doc_id"), shingleSet(text).as("s")),
+      bench.select(shingleSet(benchText).as("s")),
+      maxBenchShingles)
+
   /** Distributed k-means (Lloyd) over any (id, vector) frame:
     * (vec_id, cluster, dist2). Broadcast centroids, map-side arg-min,
     * algebraic per-dimension means. */

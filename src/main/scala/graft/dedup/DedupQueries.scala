@@ -494,6 +494,52 @@ FROM final ORDER BY doc_id"""
   val BenchMod = 50 // every 50th doc plays the held-out benchmark
   val ContaminationMax = 0.5
 
+  /** Hard cap on the broadcast benchmark union set: 4M shingle hashes
+    * ≈ 32 MB of longs resident on every executor — comfortably inside
+    * a broadcast. The map-only decontamination shape is only correct
+    * while the held-out slice is SMALL; this makes that contract loud
+    * instead of letting an oversized "benchmark" OOM the driver. */
+  val MaxBenchShingles: Long = 4L << 20
+
+  /** The held-out slice's union shingle-hash set as ONE sorted
+    * broadcastable row — GUARDED: before the `collect_list` that
+    * funnels every shingle into a single row, a cheap map-only scalar
+    * aggregate bounds the set size (Σ per-doc set sizes ≥ |union|) and
+    * fails loudly over the cap. The pre-check costs one O(1)-row job
+    * over the benchmark slice only and, crucially, cannot itself OOM —
+    * it never materializes the union. A conservative bound can
+    * false-trip on heavily overlapping slices; the error says so and
+    * names the fallback (the shd⋈bset join shape of q26Sql, which
+    * scales to any benchmark size at the price of shuffling the
+    * training shingles). */
+  private[graft] def benchUnionSet(benchSets: DataFrame,
+                                   cap: Long = MaxBenchShingles): DataFrame = {
+    val bound = benchSets
+      .agg(coalesce(sum(size(col("s")).cast("long")), lit(0L))).first().getLong(0)
+    if (bound > cap) throw new IllegalArgumentException(
+      s"graft decontamination: the held-out slice carries $bound shingle hashes " +
+        s"(upper bound on the union set) > cap $cap. Broadcasting it risks a " +
+        "driver/executor OOM — shrink the benchmark slice, raise the cap if the " +
+        "cluster affords the memory, or decontaminate via an exploded " +
+        "shingle-hash equi-join against the benchmark set instead of the " +
+        "broadcast merge-walk.")
+    benchSets.agg(sort_array(array_distinct(flatten(collect_list(col("s"))))).as("bs"))
+  }
+
+  /** Per-train-doc overlap scoring of `trainSets(doc_id, s)` against the
+    * guarded benchmark union set — the map-only core shared by q26 and
+    * the Graft facade. */
+  private[graft] def decontaminateSets(trainSets: DataFrame, benchSets: DataFrame,
+                                       cap: Long = MaxBenchShingles): DataFrame = {
+    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+    trainSets
+      .crossJoin(broadcast(benchUnionSet(benchSets, cap)))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        call_function("graft_intersect_count", col("s"), col("bs")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+  }
+
   /** Benchmark decontamination — the train/eval hygiene check a
     * pretraining pipeline runs before training: for every training
     * document, the fraction of its 3-gram shingles that appear
@@ -502,20 +548,14 @@ FROM final ORDER BY doc_id"""
     * sorted array built by a tree aggregation over the (small)
     * benchmark slice and broadcast; each training doc then scores
     * itself with a compiled merge-walk against its own in-row set —
-    * map-only over the training corpus, no join on the big side. */
+    * map-only over the training corpus, no join on the big side. The
+    * slice size is contract-checked against [[MaxBenchShingles]]
+    * (see [[benchUnionSet]]). */
   def q26Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
     val isBench = pmod(col("doc_id"), lit(BenchMod)) === 0
-    val bench = sets.filter(isBench)
-      .agg(sort_array(array_distinct(flatten(collect_list(col("s"))))).as("bs"))
-    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
-    sets.filter(!isBench)
-      .crossJoin(broadcast(bench))
-      .select(col("doc_id"), size(col("s")).as("n_shingles"),
-        call_function("graft_intersect_count", col("s"), col("bs")).as("n_overlap"))
-      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+    decontaminateSets(sets.filter(!isBench), sets.filter(isBench))
       .orderBy(col("doc_id"))
   }
 

@@ -105,6 +105,30 @@ class DedupAnnSpec extends GraftSpec {
       s"candidate pairs $nCand do not prune the ${n * (n - 1) / 2}-pair space")
   }
 
+  test("decontamination guard trips loudly on an oversized benchmark slice") {
+    import graft.dedup.DedupQueries
+    val docs = Tables.documents(spark, sfDir)
+    // cap of 10 hashes: any real slice exceeds it -> the guard must
+    // throw BEFORE the union set is collected, with an actionable message
+    val e = intercept[IllegalArgumentException] {
+      Graft.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(DedupQueries.BenchMod)) =!= 0),
+        col("doc_id"), col("text"),
+        docs.filter(pmod(col("doc_id"), lit(DedupQueries.BenchMod)) === 0),
+        col("text"), maxBenchShingles = 10L).collect()
+    }
+    assert(e.getMessage.contains("decontamination") && e.getMessage.contains("cap 10"))
+    // default cap: same inputs pass, facade matches the q26 fixture
+    val viaFacade = Graft.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(DedupQueries.BenchMod)) =!= 0),
+      col("doc_id"), col("text"),
+      docs.filter(pmod(col("doc_id"), lit(DedupQueries.BenchMod)) === 0),
+      col("text")).orderBy(col("doc_id")).collect()
+    val viaQuery = DedupQueries.q26Decontaminate(spark, sfDir).collect()
+    assert(viaFacade.length === viaQuery.length && viaFacade.nonEmpty)
+    viaFacade.zip(viaQuery).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("brute KNN returns k ranked neighbors per query (sf0.001)") {
     val rows = graft.ann.AnnQueries.q30KnnBrute(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
