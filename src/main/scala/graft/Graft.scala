@@ -43,6 +43,20 @@ object Graft {
     graph.LinkRank.run(spark, edges, init, iters = iters,
       trustedMode = true, tol = tol)
 
+  /** Warm-start / incremental LinkRank: RAW (pre-normalization) damped
+    * scores with convergence halting, plus the round count actually
+    * run. Feed a previous result back as `init` after an edge delta —
+    * the loop starts near the new fixed point and halts in far fewer
+    * rounds than a cold uniform start (don't re-rank a 100 TB graph
+    * from scratch because one crawl batch landed). Apply
+    * [[linkRank]]-style normalization downstream if display scores are
+    * needed; keep the raw frame as the next delta's init. */
+  def linkRankIncremental(spark: SparkSession, edges: DataFrame,
+                          init: DataFrame, iters: Int = 60,
+                          tol: Double = 1e-8): (DataFrame, Int) =
+    graph.LinkRank.runCounted(spark, edges, init, iters = iters,
+      tol = Some(tol), normalize = false)
+
   /** HostRank: page edges projected to their hosts, then LinkRank. */
   def hostRank(spark: SparkSession, pageEdges: DataFrame): DataFrame = {
     val hedges = graph.WebGraph.hostEdges(pageEdges)
@@ -101,6 +115,11 @@ object Graft {
   /** bits-bit random-hyperplane LSH code of an array<double> column. */
   def lshCode(v: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =
     VF.lshCode(v, dims, bits, planeOffset)
+
+  /** All nBands band codes (array<long>) in one compiled pass — the
+    * multi-band LSH emission for banded dedup/ANN blocking. */
+  def lshBands(v: Column, dims: Int, bits: Int, nBands: Int): Column =
+    VF.lshBands(v, dims, bits, nBands)
 
   // ------------------------------------------ operators (DataFrames)
   /** Exact dedup of `df` on a fingerprint expression: adds

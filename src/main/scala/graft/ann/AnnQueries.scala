@@ -41,6 +41,8 @@ object AnnQueries {
   val NProbe = 2
   val Dims = 64
   val LshBits = 16 // 4 bands x 4 bits
+  val LshBandBits = 4
+  val LshBandCount = 4
 
   /** (vec_id, v, nrm): the norm is precomputed ONCE per vector so every
     * pairwise score below is a single dot product, not three. */
@@ -86,17 +88,20 @@ WHERE rank <= $K ORDER BY qid, rank"""
   // ---------------------------------------------------------------- q31
   /** LSH ANN: 16 hyperplane-sign bits split into 4 bands of 4; a
     * candidate shares at least one band with the query. Top-k among
-    * candidates only. */
+    * candidates only. The band keys come from ONE fused kernel call per
+    * vector (planes [4b, 4b+4) per band — identical keys to shifting a
+    * single 16-bit code, which is what the oracle still does), and the
+    * coded frame is cached so the two join sides don't each re-run the
+    * scan + kernel. */
   def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val coded = vecs(spark, sfDir)
-      .withColumn("code", VF.lshCode(col("v"), Dims, LshBits))
+    val coded = graft.Checkpoints.deferUnpersist(vecs(spark, sfDir)
+      .withColumn("bands", VF.lshBands(col("v"), Dims, LshBandBits, LshBandCount))
+      .cache())
     val bandsOf = (idCol: String, vCol: String, nCol: String) =>
       coded.select(col("vec_id").as(idCol), col("v").as(vCol), col("nrm").as(nCol),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"), shiftright(col("code"), 4 * b).bitwiseAND(15).as("key"))
-        }: _*)).as("bk"))
+        posexplode(col("bands")))
         .select(col(idCol), col(vCol), col(nCol),
-          col("bk.band").as("band"), col("bk.key").as("key"))
+          col("pos").as("band"), col("col").as("key"))
     val qb = bandsOf("qid", "qv", "qn").filter(pmod(col("qid"), lit(QueryMod)) === 0)
     val eb = bandsOf("vec_id", "v", "nrm")
     val cand = qb.join(eb, Seq("band", "key"))

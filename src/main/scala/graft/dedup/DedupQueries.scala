@@ -361,14 +361,13 @@ ORDER BY c.da, c.db"""
     e.unionAll(perturbed).withColumn("nrm", VF.norm(col("v")))
   }
 
-  /** (vec_id, band, key): 4 independent 8-bit hyperplane band codes. */
+  /** (vec_id, band, key): 4 independent 8-bit hyperplane band codes —
+    * ONE fused kernel call per vector (band b = planes [8b, 8b+8), same
+    * codes as the r4 per-band emission, pinned by VectorKernelSpec). */
   private[graft] def embBands(vc: DataFrame): DataFrame =
     vc.select(col("vec_id"),
-      explode(array((0 until EmbBands).map { b =>
-        struct(lit(b).as("band"),
-          VF.lshCode(col("v"), EmbDims, CodeBits, CodeBits * b).as("key"))
-      }: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(VF.lshBands(col("v"), EmbDims, CodeBits, EmbBands)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
 
   def q24EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val vc = graft.Checkpoints.deferUnpersist(embCorpus(spark, sfDir).cache())

@@ -77,4 +77,12 @@ object VectorFunctions {
     (0 until bits).map { j =>
       when(dot(v, signVec(planeOffset + j, dims)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All `nBands` × `bits`-bit band codes as ONE array<long> in ONE
+    * compiled pass over the vector — element b (1-based b+1 via
+    * element_at) equals `lshCode(v, dims, bits, b*bits)`. Multi-band
+    * LSH emission (q24's 4×8, q31's 4×4) reads each vector once instead
+    * of once per band (VectorKernelSpec pins fused ≡ per-band). */
+  def lshBands(v: Column, dims: Int, bits: Int, nBands: Int): Column =
+    call_function("graft_lsh_bands", v, lit(dims), lit(bits), lit(nBands))
 }

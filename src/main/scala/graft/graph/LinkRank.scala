@@ -60,12 +60,24 @@ object LinkRank {
     * the scale-correct generalization, same shape as q25's
     * convergence-stop. Cost: one O(1)-row max-aggregate job per round
     * on the already-checkpointed snapshot.
+    *
+    * `normalize = false` skips the log-normal CDF and returns the RAW
+    * damped iterate — the representation a warm start needs: feeding a
+    * previous raw result back as `init` after an edge delta starts the
+    * loop near the new fixed point, so `tol` halts in far fewer rounds
+    * than a cold uniform init (normalized scores live on the [0,scale]
+    * CDF grid, nowhere near the raw fixed point, and would warm-start
+    * WORSE than uniform). LinkRankSpec has the convergence-count
+    * property; the reference has no counterpart (every Giraph job
+    * re-ranks from scratch) — this is the incremental-operations path
+    * a 100 TB graph needs when one crawl batch lands.
     */
   def runCounted(spark: SparkSession, edges: DataFrame, init: DataFrame,
                  iters: Int = 9, damping: Double = 0.85, scale: Double = 10.0,
                  trustedMode: Boolean = false,
                  cacheKey: Option[String] = None,
-                 tol: Option[Double] = None): (DataFrame, Int) = {
+                 tol: Option[Double] = None,
+                 normalize: Boolean = true): (DataFrame, Int) = {
 
     // The edge list is consumed by outdeg, the join base, and (via the
     // caller's init) the vertex set. Pass an already-cached frame
@@ -152,6 +164,19 @@ object LinkRank {
         val d = ranks.agg(max(col("delta"))).first()
         converged = d.isNullAt(0) || d.getDouble(0) < eps // null = empty graph
       }
+    }
+
+    if (!normalize) {
+      // raw damped scores (warm-start food): nothing is materialized
+      // beyond the loop's checkpoint, so every block is freed at the
+      // caller's drain, after its action.
+      val out = ranks.join(vmap, "vid").select(col("id"), col("score"))
+      graft.Checkpoints.deferFree(ranks)
+      if (cacheKey.isEmpty) {
+        eod.unpersist()
+        graft.Checkpoints.deferCleanup(spark)(() => graft.Checkpoints.free(vmap))
+      }
+      return (out, rounds)
     }
 
     // Log-normal CDF normalization — two explicit passes (sum, then

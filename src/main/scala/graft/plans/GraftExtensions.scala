@@ -68,5 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshCodeExpr].getName, "graft_lsh_code"),
       (args: Seq[Expression]) => LshCodeExpr(Cast(args(0), dblArr),
         args(1), args(2), args(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandsExpr].getName, "graft_lsh_bands"),
+      (args: Seq[Expression]) => LshBandsExpr(Cast(args(0), dblArr),
+        args(1), args(2), args(3))))
   }
 }

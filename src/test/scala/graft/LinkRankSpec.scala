@@ -75,6 +75,39 @@ class LinkRankSpec extends GraftSpec {
       assert(math.abs(r.getDouble(1) - fixed(r.getString(0))) < 1e-12))
   }
 
+  test("warm start: edge-delta re-rank converges in fewer rounds than uniform init") {
+    // ring of 12 + two chords; damping 0.5 so the contraction factor
+    // makes round counts small and the separation crisp
+    val ring = (0 until 12).map(i => s"v$i" -> s"v${(i + 1) % 12}")
+    val chords = Seq("v0" -> "v6", "v3" -> "v9")
+    val e1 = (ring ++ chords).toDF("src", "dst")
+    val tol = Some(1e-6)
+    val (raw1, _) = LinkRank.runCounted(spark, e1, LinkRank.uniformInit(e1),
+      iters = 40, damping = 0.5, tol = tol, normalize = false)
+    // a real pipeline persists the raw frame; here the toy scores ride
+    // the driver (the deferred checkpoint blocks die at the next drain)
+    val prev = raw1.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    Checkpoints.drain(spark)
+
+    val e2 = (ring ++ chords :+ ("v5" -> "v11")).toDF("src", "dst") // delta
+    val (rawWarm, roundsWarm) = LinkRank.runCounted(spark, e2,
+      prev.toDF("id", "score"), iters = 40, damping = 0.5, tol = tol,
+      normalize = false)
+    val warm = rawWarm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Checkpoints.drain(spark)
+    val (rawCold, roundsCold) = LinkRank.runCounted(spark, e2,
+      LinkRank.uniformInit(e2), iters = 40, damping = 0.5, tol = tol,
+      normalize = false)
+    val cold = rawCold.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Checkpoints.drain(spark)
+
+    // both actually converged (not budget-clamped), warm strictly faster
+    assert(roundsWarm < 40 && roundsCold < 40, s"warm=$roundsWarm cold=$roundsCold")
+    assert(roundsWarm < roundsCold, s"warm=$roundsWarm cold=$roundsCold")
+    // and to the same fixed point: |v - v*| <= tol*d/(1-d) = 1e-6 each
+    warm.foreach { case (k, v) => assert(math.abs(v - cold(k)) < 1e-5, k) }
+  }
+
   test("edge dedup matches removeDuplicateLinks semantics") {
     val raw = Seq(
       ("http://a.com/x", " http://b.com/y#frag"),

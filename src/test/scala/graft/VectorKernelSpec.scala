@@ -80,6 +80,19 @@ class VectorKernelSpec extends GraftSpec {
     }
   }
 
+  test("fused multi-band LSH codes equal the per-band kernel calls") {
+    val df = randVecs(100, 64).toDF("id", "a", "b")
+    Seq((8, 4), (4, 4), (16, 1)).foreach { case (bits, nBands) =>
+      val rows = df.select(
+          VF.lshBands(col("a"), 64, bits, nBands).as("fused"),
+          array((0 until nBands).map(b =>
+            VF.lshCode(col("a"), 64, bits, bits * b)): _*).as("perBand"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"bits=$bits nBands=$nBands"))
+    }
+  }
+
   test("odd lengths and empty arrays behave (clamped fold)") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
         (Array.empty[Double], Array.empty[Double]))
