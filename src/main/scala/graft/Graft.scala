@@ -130,6 +130,27 @@ object Graft {
       .withColumn("is_dup", idCol =!= col("canonical_id"))
   }
 
+  /** TF-IDF top-k terms per document over any (id, text) frame:
+    * (doc_id, term, rank, tfidf) with smoothed ln IDF. Aggregated-rows
+    * joins only; the per-doc top-k compiles to WindowGroupLimit. The
+    * score is round(6)-gridded before ranking (engine-stable order). */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val tok = base.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
+  }
+
   /** Skew-safe sum+count of `value` per `key` (two-stage salted agg). */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      salts: Int = 16): DataFrame =
@@ -177,6 +198,16 @@ object Graft {
       train.select(id.as("doc_id"), shingleSet(text).as("s")),
       bench.select(shingleSet(benchText).as("s")),
       maxBenchShingles)
+
+  /** [[decontaminate]] for a benchmark too large to broadcast: the
+    * exploded training shingles equi-join the benchmark's distinct hash
+    * set — identical output, no size cap, at the price of shuffling the
+    * training corpus's shingles. */
+  def decontaminateJoin(train: DataFrame, id: Column, text: Column,
+                        bench: DataFrame, benchText: Column): DataFrame =
+    dedup.DedupQueries.decontaminateJoinSets(
+      train.select(id.as("doc_id"), shingleSet(text).as("s")),
+      bench.select(shingleSet(benchText).as("s")))
 
   /** Distributed k-means (Lloyd) over any (id, vector) frame:
     * (vec_id, cluster, dist2). Broadcast centroids, map-side arg-min,

@@ -558,6 +558,39 @@ FROM final ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q27
+  /** Join-shape decontamination — the fallback [[benchUnionSet]]'s
+    * guard points at, as a first-class verified operator: the exploded
+    * training shingle hashes equi-join the benchmark's distinct hash
+    * set, then re-group per doc. Identical output to q26 (same schema,
+    * same values — the driver hashes both against the same oracle), but
+    * the scale contract inverts: works for ANY benchmark size (nothing
+    * is broadcast or collected) at the price of shuffling the training
+    * corpus's shingles — choose q26's broadcast merge-walk while the
+    * held-out slice is small, this once it isn't. */
+  private[graft] def decontaminateJoinSets(trainSets: DataFrame,
+                                           benchSets: DataFrame): DataFrame = {
+    val bset = benchSets.select(explode(col("s")).as("h")).distinct()
+    val overlaps = trainSets.select(col("doc_id"), explode(col("s")).as("h"))
+      .join(bset, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("o"))
+    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+    trainSets.select(col("doc_id"), size(col("s")).as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("o"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+  }
+
+  def q27DecontaminateJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+    val isBench = pmod(col("doc_id"), lit(BenchMod)) === 0
+    decontaminateJoinSets(sets.filter(!isBench), sets.filter(isBench))
+      .orderBy(col("doc_id"))
+  }
+
   val q26Sql: String =
     s"""WITH sh AS (
   SELECT doc_id, unnest(${shingleSql("text")}) AS g FROM documents),
@@ -580,7 +613,8 @@ ORDER BY c.doc_id"""
     "q23_ngram_jaccard" -> q23NgramJaccard,
     "q24_embedding_dedup" -> q24EmbeddingDedup,
     "q25_dup_clusters" -> q25DupClusters,
-    "q26_decontaminate" -> q26Decontaminate)
+    "q26_decontaminate" -> q26Decontaminate,
+    "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20Sql,
@@ -589,5 +623,8 @@ ORDER BY c.doc_id"""
     "q23_ngram_jaccard" -> q23Sql,
     "q24_embedding_dedup" -> q24Sql,
     "q25_dup_clusters" -> q25Sql,
-    "q26_decontaminate" -> q26Sql)
+    "q26_decontaminate" -> q26Sql,
+    // the join shape computes the identical result; one oracle, two
+    // physical strategies hash-pinned to it
+    "q27_decontaminate_join" -> q26Sql)
 }

@@ -383,6 +383,61 @@ FROM base b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id"""
   FROM documents)
 SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q48
+  /** Top terms kept per document. */
+  val TfidfTopK = 3
+
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * signal a corpus-curation pipeline computes for filtering and
+    * search: tf(doc, term) × ln((N+1)/(df(term)+1)) (smoothed IDF),
+    * top-[[TfidfTopK]] terms per doc.
+    *
+    * Shape for 100 TB: the exploded token frame feeds two partial
+    * aggregations (per-doc tf, global df — both map-side combined), the
+    * document count is a broadcast 1-row aggregate, and the per-doc
+    * top-k is a rank window Spark rewrites to WindowGroupLimit
+    * (per-partition top-k before the shuffle). The term join (tf ⋈ df)
+    * exchanges only aggregated rows — never the raw token stream.
+    *
+    * Determinism across engines: the score is round(,6)-gridded BEFORE
+    * ranking, so a sub-grid libm difference in ln() can't reorder the
+    * top-k between Spark and the DuckDB oracle; ties break on the term.
+    */
+  def q48Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q48Sql: String =
+    s"""WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, rank, tfidf FROM ranked
+WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
@@ -391,7 +446,8 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
     "q44_pii_scrub" -> q44PiiScrub,
     "q45_salted_tokens" -> q45SaltedTokens,
     "q46_repetition" -> q46Repetition,
-    "q47_stratified_sample" -> q47StratifiedSample)
+    "q47_stratified_sample" -> q47StratifiedSample,
+    "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
     "q40_langid" -> q40Sql,
@@ -401,5 +457,6 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
     "q44_pii_scrub" -> q44Sql,
     "q45_salted_tokens" -> q45Sql,
     "q46_repetition" -> q46Sql,
-    "q47_stratified_sample" -> q47Sql)
+    "q47_stratified_sample" -> q47Sql,
+    "q48_tfidf" -> q48Sql)
 }

@@ -129,6 +129,14 @@ class DedupAnnSpec extends GraftSpec {
     viaFacade.zip(viaQuery).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("join-shape decontamination equals the broadcast merge-walk exactly") {
+    import graft.dedup.DedupQueries
+    val broadcastShape = DedupQueries.q26Decontaminate(spark, sfDir).collect()
+    val joinShape = DedupQueries.q27DecontaminateJoin(spark, sfDir).collect()
+    assert(joinShape.length === broadcastShape.length && joinShape.nonEmpty)
+    joinShape.zip(broadcastShape).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("brute KNN returns k ranked neighbors per query (sf0.001)") {
     val rows = graft.ann.AnnQueries.q30KnnBrute(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))

@@ -80,4 +80,28 @@ class TextSpec extends GraftSpec {
       assert(r > 0.25 && r < 0.75, s"$l keep rate $r should be ~0.50")
     }
   }
+
+  test("q48 tf-idf: contiguous ranks, non-increasing scores, rare terms outrank ubiquitous ones") {
+    val rows = TextQueries.q48Tfidf(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === nDocs) // every doc has at least one term
+    byDoc.foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= TextQueries.TfidfTopK)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a term in EVERY document has idf = ln((N+1)/(N+1)) = 0 — it can
+    // never beat a term that skips even one doc; top terms are rarer
+    val facade = Graft.tfidfTopTerms(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).sorted
+    val fixture = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(facade.toSeq === fixture.toSeq) // facade ≡ driver fixture
+  }
 }
