@@ -47,6 +47,24 @@ object StreamingWindows {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join — the streaming shape of q17's as-of
+    * enrichment: every error event joins the clicks of the same user
+    * from the preceding `lookbackMin` minutes. True ASOF (only the
+    * single most recent row) needs a global per-key order and is not
+    * expressible in a streaming join; the bounded time-range join IS,
+    * and both watermarks + the range condition let Spark evict click
+    * state once it can no longer match any future error — state is
+    * O(events inside the lookback+delay horizon), never O(history).
+    * Expects `errors(user_id, ets, ...)` and `clicks(c_user_id, cts,
+    * ...)`; emits the inner join. */
+  def recentClickJoin(errors: DataFrame, clicks: DataFrame,
+                      lookbackMin: Int = 10,
+                      watermarkDelay: String = "20 minutes"): DataFrame =
+    errors.withWatermark("ets", watermarkDelay)
+      .join(clicks.withWatermark("cts", watermarkDelay),
+        expr(s"user_id = c_user_id AND " +
+          s"cts BETWEEN ets - INTERVAL $lookbackMin MINUTES AND ets"))
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * streaming twin of q15_sessionize (gap > 30 min closes a session).
     * Emits CLOSED sessions only: a session is emitted when a later

@@ -278,6 +278,44 @@ class StreamingSpec extends GraftSpec {
     assert(got > 0 && got % 120 === 0) // whole deterministic batches only
   }
 
+  test("stream-stream interval join equals the batch join on the same events") {
+    implicit val sqlCtx = sp.sqlContext
+    val errMem = MemoryStream[(Long, Timestamp, String)]
+    val clkMem = MemoryStream[(Long, Timestamp, String)]
+    val errors = errMem.toDF.toDF("user_id", "ets", "code")
+    val clicks = clkMem.toDF.toDF("c_user_id", "cts", "page")
+    val query = StreamingWindows.recentClickJoin(errors, clicks)
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+
+    val base = 1700000000000L
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    // user 1: clicks at 0, 5, 30 min; errors at 8 (catches 0,5) and
+    // 35 (catches 30; 0 and 5 are outside the 10-min lookback).
+    // user 2: click at 3; error at 20 → no match (outside lookback).
+    val clkRows = Seq((1L, ts(0), "a"), (1L, ts(5), "b"), (1L, ts(30), "c"),
+      (2L, ts(3), "d"))
+    val errRows = Seq((1L, ts(8), "E1"), (1L, ts(35), "E2"), (2L, ts(20), "E3"))
+    clkMem.addData(clkRows: _*)
+    errMem.addData(errRows: _*)
+    query.processAllAvailable()
+
+    val got = sp.table("interval_join")
+      .select(col("user_id"), col("ets"), col("code"), col("cts"), col("page"))
+      .collect().map(_.toSeq).toSet
+    val want = StreamingWindows.recentClickJoin(
+        errRows.toDF("user_id", "ets", "code"),
+        clkRows.toDF("c_user_id", "cts", "page"))
+      .select(col("user_id"), col("ets"), col("code"), col("cts"), col("page"))
+      .collect().map(_.toSeq).toSet
+    query.stop()
+    assert(got === want)
+    // the documented matches, exactly
+    val pages = got.toSeq.groupBy(r => r(2)).view
+      .mapValues(_.map(_(4)).toSet).toMap
+    assert(pages === Map("E1" -> Set("a", "b"), "E2" -> Set("c")))
+  }
+
   test("streaming exact dedup: duplicate fingerprints within the watermark are dropped") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
