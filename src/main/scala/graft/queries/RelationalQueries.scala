@@ -304,6 +304,120 @@ object RelationalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** Bin granularity and interval padding for the range join: alert
+    * intervals are [hour − 15 min, hour + 75 min] around busy hours. */
+  val RjBinUs = 3600000000L
+  val RjLoPadUs = 900000000L
+  val RjHiPadUs = 4500000000L
+
+  /** UNKEYED point-in-interval range join, bin-bucketed — the join
+    * class Spark has no shuffle strategy for (a bare `ts BETWEEN lo
+    * AND hi` predicate compiles to BroadcastNestedLoopJoin: every
+    * point × every interval). The scale-safe shape: quantize both
+    * sides to fixed time bins — an interval explodes to the bins it
+    * overlaps (≤3 here, bounded by interval span / bin), a point maps
+    * to exactly ONE bin — equi-join on the bin, then the residual
+    * range filter. Each (point, interval) pair meets in exactly one
+    * bin, so no post-join dedup is needed. The join is a plain hash
+    * shuffle on `bin` that scales to any number of intervals; at
+    * 100 TB the bin width tunes fan-out vs bucket size exactly like
+    * an LSH band. Intervals here are derived from the data (hours
+    * whose error count exceeds 1.5× the hourly average — SF-relative
+    * by construction), points are the click events.
+    * Oracle: DuckDB's native IEJoin on the raw BETWEEN predicate —
+    * same pairs, different physical strategy on each engine. */
+  def q19RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    val hr = ev.filter(col("event_type") === "error")
+      .groupBy(expr(s"ts_us div $RjBinUs").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val thr = hr.agg(avg(col("c")).as("avg_c")) // 1 row, broadcast below
+    val iv = hr.crossJoin(broadcast(thr))
+      .filter(col("c").cast("double") > lit(1.5) * col("avg_c"))
+      .select((col("h") * RjBinUs).as("wstart_us"),
+        (col("h") * RjBinUs - RjLoPadUs).as("lo_us"),
+        (col("h") * RjBinUs + RjHiPadUs).as("hi_us"))
+    val ivBinned = iv.withColumn("bin",
+      explode(sequence(expr(s"lo_us div $RjBinUs"), expr(s"hi_us div $RjBinUs"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("bin", expr(s"ts_us div $RjBinUs"))
+    ivBinned.join(clicks, Seq("bin"))
+      .filter(col("ts_us").between(col("lo_us"), col("hi_us")))
+      .groupBy(col("wstart_us"), col("lo_us"), col("hi_us"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"),
+        asD(dsum(col("value"))).as("click_value"))
+      .orderBy(col("wstart_us"))
+  }
+
+  val q19Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |hr AS (
+      |  SELECT ts_us // $RjBinUs AS h, count(*) AS c
+      |  FROM ev WHERE event_type = 'error' GROUP BY 1),
+      |iv AS (
+      |  SELECT h * $RjBinUs AS wstart_us,
+      |         h * $RjBinUs - $RjLoPadUs AS lo_us,
+      |         h * $RjBinUs + $RjHiPadUs AS hi_us
+      |  FROM hr WHERE CAST(c AS DOUBLE) > 1.5 * (SELECT avg(c) FROM hr))
+      |SELECT wstart_us, lo_us, hi_us, count(*) AS n_clicks,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS click_value
+      |FROM iv JOIN ev ON event_type = 'click' AND ts_us BETWEEN lo_us AND hi_us
+      |GROUP BY wstart_us, lo_us, hi_us
+      |ORDER BY wstart_us""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Multi-level aggregate: ROLLUP over (year, region) — detail rows,
+    * per-year subtotals, and the grand total in one pass. Spark
+    * expands the grouping sets BEFORE the exchange, so partial
+    * aggregation still combines map-side and the extra levels cost one
+    * ~3× row expansion of the AGGREGATED frame, not a second scan —
+    * the same plan holds at 100 TB. Grouping-null markers are
+    * projected to sentinel values (-1 / 'ALL') on both engines so the
+    * hash compare never depends on engine null conventions. */
+  def q38Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).as("o_year"), col("r_name"), col("o_totalprice"))
+    joined.rollup(col("o_year"), col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), asD(dsum(col("o_totalprice"))).as("revenue"))
+      .select(
+        (when(col("o_year").isNull, 2).otherwise(0) +
+          when(col("r_name").isNull, 1).otherwise(0)).as("gid"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), col("o_year"), col("region"))
+  }
+
+  val q38Sql: String =
+    """WITH j AS (
+      |  SELECT year(o_orderdate) AS o_year, r_name, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |r AS (
+      |  SELECT o_year, r_name, count(*) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |  FROM j GROUP BY ROLLUP (o_year, r_name))
+      |SELECT
+      |  (CASE WHEN o_year IS NULL THEN 2 ELSE 0 END)
+      |    + (CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) AS gid,
+      |  coalesce(o_year, -1) AS o_year,
+      |  coalesce(r_name, 'ALL') AS region,
+      |  n_orders, revenue
+      |FROM r
+      |ORDER BY gid, o_year, region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -312,7 +426,9 @@ object RelationalQueries {
     "q15_sessionize" -> q15Sessionize,
     "q16_tumbling_window" -> q16TumblingWindow,
     "q17_asof_join" -> q17AsofJoin,
-    "q18_bucketed_join" -> q18BucketedJoin)
+    "q18_bucketed_join" -> q18BucketedJoin,
+    "q19_range_join" -> q19RangeJoin,
+    "q38_rollup" -> q38Rollup)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -322,5 +438,7 @@ object RelationalQueries {
     "q15_sessionize" -> q15Sql,
     "q16_tumbling_window" -> q16Sql,
     "q17_asof_join" -> q17Sql,
-    "q18_bucketed_join" -> q18Sql)
+    "q18_bucketed_join" -> q18Sql,
+    "q19_range_join" -> q19Sql,
+    "q38_rollup" -> q38Sql)
 }

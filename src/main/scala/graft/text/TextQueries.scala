@@ -438,7 +438,146 @@ ranked AS (
 SELECT doc_id, term, rank, tfidf FROM ranked
 WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
 
+  // ---------------------------------------------------------------- q49
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** Approximate distinct counting via a KMV (k-minimum-values)
+    * sketch: hash every distinct token to [0, 2^32), keep the K
+    * smallest hashes per group, estimate |distinct| = (K−1)·2^32 /
+    * kth-smallest-hash. The sketch the 100 TB cardinality path wants
+    * when `approx_count_distinct`'s HLL is a black box the oracle
+    * can't replay — KMV is pure integer/double arithmetic, so the
+    * SAME estimator runs on both engines and the driver hash-gates it
+    * (exact count emitted alongside, with the realized relative
+    * error).
+    *
+    * Shape at scale: the distinct() dedups map-side (partial agg);
+    * the per-group K smallest ride a rank window whose sort key is
+    * the hash — at 100 TB swap the window for an `approx`-style
+    * per-partition top-K merge or keep groups partitioned; state is
+    * O(K) per group either way. */
+  def q49KmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val ranked = tok
+      .withColumn("h", MF.hash32(col("tok")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("tok"))))
+    // (K-1) * 2^32 as one literal, identical text on both engines
+    val scale = lit(f"${(KmvK - 1).toLong * 4294967296L}%d.0".toDouble)
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rn") <= KmvK, col("h"))).as("kth"))
+      .withColumn("kmv_estimate",
+        round(when(col("n_exact") < KmvK, col("n_exact").cast("double"))
+          .otherwise(scale / col("kth").cast("double")), 6))
+      .withColumn("rel_err",
+        round(abs(col("kmv_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6))
+      .select(col("lang"), col("n_exact"), col("kth"),
+        col("kmv_estimate"), col("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  val q49Sql: String = {
+    val scale = s"${(KmvK - 1).toLong * 4294967296L}.0"
+    s"""WITH tok AS (
+  SELECT DISTINCT lang, tok FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h, tok) AS rn
+  FROM (SELECT lang, tok, ${Sql.hash32("tok")} AS h FROM tok)),
+a AS (
+  SELECT lang, count(*) AS n_exact,
+    max(CASE WHEN rn <= $KmvK THEN h END) AS kth
+  FROM rk GROUP BY lang),
+e AS (
+  SELECT lang, n_exact, kth,
+    round(CASE WHEN n_exact < $KmvK THEN CAST(n_exact AS DOUBLE)
+          ELSE $scale / CAST(kth AS DOUBLE) END, 6) AS kmv_estimate
+  FROM a)
+SELECT lang, n_exact, kth, kmv_estimate,
+  round(abs(kmv_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+FROM e ORDER BY lang"""
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Exact distributed percentiles of document length per language
+    * (p25/p50/p90/p99, linearly interpolated — Spark `percentile` ≡
+    * DuckDB `quantile_cont` on identical integer inputs; the round(,6)
+    * grid absorbs the one-ulp association difference in the
+    * interpolation formulas). Exact percentile holds a per-group
+    * value buffer, which is fine while group cardinality is bounded
+    * (languages); for 100 TB groups of unbounded width, swap
+    * `percentile` for `approx_percentile` — same call shape, bounded
+    * t-digest state (not oracle-replayable, hence the exact form is
+    * the driver-gated row). */
+  def q50Quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        percentile(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("q"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("min_chars"),
+        round(col("q")(0), 6).as("p25"), round(col("q")(1), 6).as("p50"),
+        round(col("q")(2), 6).as("p90"), round(col("q")(3), 6).as("p99"),
+        col("max_chars"))
+      .orderBy(col("lang"))
+
+  val q50Sql: String =
+    """WITH a AS (
+  SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+    quantile_cont(n_chars, [0.25, 0.5, 0.9, 0.99]) AS q,
+    max(n_chars) AS max_chars
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, min_chars,
+  round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+  round(q[3], 6) AS p90, round(q[4], 6) AS p99,
+  max_chars
+FROM a ORDER BY lang"""
+
+  // ---------------------------------------------------------------- q51
+  /** Pivot values — the corpus languages, pinned so the output schema
+    * is static (a pivot without explicit values runs an extra
+    * distinct-collect job and breaks schema stability at scale). */
+  val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Pivot to wide format: documents per (source, language) as one row
+    * per source with a column per language. With pinned values a pivot
+    * is ONE conditional aggregation — map-side partials, single
+    * exchange on the groupBy key, no second pass — so the 100 TB cost
+    * equals a plain groupBy. */
+  def q51Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+    val filled = PivotLangs.foldLeft(p)((d, l) =>
+      d.withColumn(l, coalesce(col(l), lit(0L))))
+    filled
+      .withColumn("n_total", PivotLangs.map(col).reduce(_ + _))
+      .select(col("source") +: PivotLangs.map(l => col(l).as(s"n_$l"))
+        :+ col("n_total"): _*)
+      .orderBy(col("source"))
+  }
+
+  val q51Sql: String = {
+    val cols = PivotLangs.map(l =>
+      s"count(*) FILTER (WHERE lang = '$l') AS n_$l").mkString(",\n  ")
+    s"""SELECT source,
+  $cols,
+  count(*) AS n_total
+FROM documents GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_kmv_distinct" -> q49KmvDistinct,
+    "q50_quantiles" -> q50Quantiles,
+    "q51_pivot" -> q51Pivot,
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
     "q42_tokens" -> q42Tokens,
@@ -458,5 +597,8 @@ WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
     "q45_salted_tokens" -> q45Sql,
     "q46_repetition" -> q46Sql,
     "q47_stratified_sample" -> q47Sql,
-    "q48_tfidf" -> q48Sql)
+    "q48_tfidf" -> q48Sql,
+    "q49_kmv_distinct" -> q49Sql,
+    "q50_quantiles" -> q50Sql,
+    "q51_pivot" -> q51Sql)
 }
