@@ -209,6 +209,18 @@ object Graft {
       train.select(id.as("doc_id"), shingleSet(text).as("s")),
       bench.select(shingleSet(benchText).as("s")))
 
+  /** [[decontaminate]] through a fixed-size Bloom sketch: the
+    * broadcast is `numBits` bits regardless of benchmark size and the
+    * training side stays map-only. No false negatives — the flagged
+    * set is a conservative superset of the exact one (false positives
+    * at the sketch's fpp inflate overlap counts slightly). */
+  def decontaminateBloom(train: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchText: Column,
+                         numBits: Long = 8L << 20): DataFrame =
+    dedup.DedupQueries.decontaminateBloomSets(
+      train.select(id.as("doc_id"), shingleSet(text).as("s")),
+      bench.select(shingleSet(benchText).as("s")), numBits)
+
   /** Distributed k-means (Lloyd) over any (id, vector) frame:
     * (vec_id, cluster, dist2). Broadcast centroids, map-side arg-min,
     * algebraic per-dimension means. */

@@ -591,6 +591,39 @@ FROM final ORDER BY doc_id"""
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — the middle path between q26's
+    * exact broadcast set (bounded by [[MaxBenchShingles]]) and q27's
+    * full shuffle join: the benchmark shingle hashes fold into a
+    * fixed-size Bloom sketch (`bloom_filter_agg`, `numBits` bounds the
+    * broadcast NO MATTER how many shingles the benchmark holds), and
+    * every training doc probes it map-only via `might_contain`. One-
+    * sided error: NO false negatives (every truly contaminated doc is
+    * flagged), false positives inflate `n_overlap` by ~fpp — so the
+    * contaminated flag is a SUPERSET of the exact one, which is the
+    * conservative direction train/eval hygiene wants. Spec-gated
+    * (DecontaminateBloomSpec) rather than driver-gated: a Bloom
+    * sketch's bit pattern isn't replayable in the DuckDB oracle. */
+  private[graft] def decontaminateBloomSets(trainSets: DataFrame,
+                                            benchSets: DataFrame,
+                                            numBits: Long = 8L << 20): DataFrame = {
+    // one O(1)-row driver scalar (the dangling-mass pattern): the
+    // sketch is `numBits/8` bytes regardless of benchmark size, and
+    // might_contain requires a CONSTANT sketch — embed it as a literal
+    val bf: Array[Byte] = benchSets.select(explode(col("s")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(1L << 20), lit(numBits)).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+    trainSets
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        aggregate(col("s"), lit(0L),
+          (acc, x) => acc +
+            when(call_function("graft_might_contain", lit(bf), x), 1L)
+              .otherwise(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+  }
+
   val q26Sql: String =
     s"""WITH sh AS (
   SELECT doc_id, unnest(${shingleSql("text")}) AS g FROM documents),

@@ -73,5 +73,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBandsExpr].getName, "graft_lsh_bands"),
       (args: Seq[Expression]) => LshBandsExpr(Cast(args(0), dblArr),
         args(1), args(2), args(3))))
+    // Spark's own Bloom sketch pair (used internally for runtime join
+    // pruning) exposed by name: they are not in the public registry,
+    // but a fixed-size broadcastable membership sketch is exactly what
+    // scale-path decontamination wants (DedupQueries
+    // .decontaminateBloomSets). graft_bloom_agg(longCol, estItems,
+    // numBits) → binary sketch; graft_might_contain(sketch, longCol).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          Cast(args(0), LongType), args(1), args(2)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), Cast(args(1), LongType))))
   }
 }

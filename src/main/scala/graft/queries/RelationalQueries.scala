@@ -418,6 +418,40 @@ object RelationalQueries {
       |FROM r
       |ORDER BY gid, o_year, region""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Semi-structured extraction — schema-on-read over the events'
+    * JSON `props` payload: `from_json` with an explicit struct schema
+    * (typed, null-safe, codegen'd JSON parse — one pass per row, no
+    * regex), then a plain typed aggregation. At 100 TB the parse cost
+    * dominates, so it runs exactly once per row inside the scan
+    * projection and only the two extracted longs reach the exchange;
+    * a malformed payload yields null (counted, not crashed). Oracle:
+    * DuckDB's native `->>` JSON extraction. */
+  def q52Json(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), from_json(col("props"), schema)("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q52Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -428,7 +462,8 @@ object RelationalQueries {
     "q17_asof_join" -> q17AsofJoin,
     "q18_bucketed_join" -> q18BucketedJoin,
     "q19_range_join" -> q19RangeJoin,
-    "q38_rollup" -> q38Rollup)
+    "q38_rollup" -> q38Rollup,
+    "q52_json" -> q52Json)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -440,5 +475,6 @@ object RelationalQueries {
     "q17_asof_join" -> q17Sql,
     "q18_bucketed_join" -> q18Sql,
     "q19_range_join" -> q19Sql,
-    "q38_rollup" -> q38Sql)
+    "q38_rollup" -> q38Sql,
+    "q52_json" -> q52Sql)
 }

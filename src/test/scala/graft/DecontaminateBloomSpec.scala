@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.RelationalQueries
+
+/** Bloom-sketch decontamination pinned against the exact broadcast-set
+  * path, and the q52 JSON extraction's parse contract.
+  */
+class DecontaminateBloomSpec extends GraftSpec {
+
+  test("bloom decontamination never misses a contaminated doc (no false negatives)") {
+    val docs = Tables.documents(spark, sfDir)
+    val isBench = pmod(col("doc_id"), lit(dedup.DedupQueries.BenchMod)) === 0
+    val train = docs.filter(!isBench)
+    val bench = docs.filter(isBench)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+          r.getBoolean(4))).toMap
+
+    val exact = keyed(Graft.decontaminate(
+      train, col("doc_id"), col("text"), bench, col("text")))
+    val bloom = keyed(Graft.decontaminateBloom(
+      train, col("doc_id"), col("text"), bench, col("text")))
+
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, (nSh, nOv, contaminated)) =>
+      val (bSh, bOv, bContaminated) = bloom(id)
+      assert(bSh === nSh, s"doc $id shingle count")
+      // one-sided error: the sketch can only ADD overlaps
+      assert(bOv >= nOv, s"doc $id: bloom overlap $bOv < exact $nOv")
+      if (contaminated) assert(bContaminated, s"doc $id: false negative")
+    }
+    // and at this sketch size the false-positive inflation is tiny:
+    // flagged sets actually coincide on the fixture corpus
+    assert(exact.count(_._2._3) === bloom.count(_._2._3))
+  }
+
+  test("q52 JSON extraction parses every well-formed props payload") {
+    val rows = RelationalQueries.q52Json(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"${r.getString(0)}: every synthetic props row carries k")
+      assert(r.getLong(5) <= r.getLong(6), "min <= max")
+    }
+    // malformed payloads null out instead of crashing
+    val sp = spark
+    import sp.implicits._
+    val bad = Seq("""{"k": 7}""", "not json", """{"j": 1}""").toDF("props")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(bad.toSeq === Seq(Some(7L), None, None))
+  }
+}
