@@ -639,7 +639,49 @@ SELECT c.doc_id, c.n AS n_shingles, coalesce(o.o, 0) AS n_overlap,
 FROM cnt c LEFT JOIN ov o ON o.doc_id = c.doc_id
 ORDER BY c.doc_id"""
 
+  // ---------------------------------------------------------------- q54
+  /** Edit-distance prefix length: O(n·m) DP cost is bounded to
+    * 80×80 per pair regardless of document size. */
+  val EditPrefix = 80
+
+  /** Fuzzy matching: exact Levenshtein distance over the LSH-BLOCKED
+    * candidate pairs only — the two-stage shape fuzzy joins need at
+    * 100 TB (edit distance on all pairs is O(n²·len²); on banded
+    * candidates it's O(|cand|·prefix²), and the prefix cap bounds the
+    * per-pair DP). Spark's codegen'd `levenshtein` ≡ DuckDB's
+    * `levenshtein` (classic unit-cost DP) on the same prefixes;
+    * similarity = 1 − dist/max(len). */
+  def q54EditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val c = corpus(spark, sfDir)
+    val ta = c.select(col("doc_id").as("da"),
+      substring(col("text"), 1, EditPrefix).as("ta"))
+    val tb = c.select(col("doc_id").as("db"),
+      substring(col("text"), 1, EditPrefix).as("tb"))
+    val dist = levenshtein(col("ta"), col("tb"))
+    cand.join(ta, "da").join(tb, "db")
+      .select(col("da"), col("db"), dist.as("edit_dist"),
+        round(lit(1.0) - dist.cast("double")
+          / greatest(length(col("ta")), length(col("tb"))), 6).as("prefix_sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q54Sql: String =
+    s"""WITH $corpusCte,
+$shingleHashCte,
+$signaturesCte,
+$bandsCte,
+$candCte,
+pre AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS p FROM corpus)
+SELECT da, db,
+  levenshtein(a.p, b.p) AS edit_dist,
+  round(1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE)
+    / greatest(length(a.p), length(b.p)), 6) AS prefix_sim
+FROM cand JOIN pre a ON da = a.doc_id JOIN pre b ON db = b.doc_id
+ORDER BY da, db"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_edit_distance" -> q54EditDistance,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_minhash_lsh" -> q21MinHashLsh,
     "q22_simhash" -> q22SimHash,
@@ -659,5 +701,6 @@ ORDER BY c.doc_id"""
     "q26_decontaminate" -> q26Sql,
     // the join shape computes the identical result; one oracle, two
     // physical strategies hash-pinned to it
-    "q27_decontaminate_join" -> q26Sql)
+    "q27_decontaminate_join" -> q26Sql,
+    "q54_edit_distance" -> q54Sql)
 }

@@ -249,7 +249,75 @@ ${RankSql.chain("edges", "1.0")}
 SELECT id, round(score, 6) AS score FROM ranked
 ORDER BY score DESC, id LIMIT 20"""
 
+  // ---------------------------------------------------------------- q55
+  /** Per-host triangle count + local clustering coefficient over the
+    * undirected host graph — the cohesion signal a web-graph quality
+    * pipeline reads next to rank (a high-rank host inside a dense
+    * cluster is a different animal from one bridging sparse regions).
+    *
+    * Shape: canonicalize each edge to (u < v) once, then count every
+    * triangle exactly once as a < b < c — two self-equi-joins where
+    * BOTH sides carry the orientation filter already, so the wedge
+    * frame is Σ_v lower(v)·higher(v) rows, not deg², and no post-join
+    * dedup or /6 correction is needed. This is the node-iterator++
+    * shape that survives scale; at 100 TB add degree-descending
+    * relabeling so hub vertices sit on the `lower` side (bounds the
+    * per-key wedge fan-out — same skew lever as LSH bucket caps). */
+  def q55Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val und = hedges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e1 = und.select(col("u").as("a"), col("v").as("b"))
+    val e2 = und.select(col("u").as("b"), col("v").as("c"))
+    val e3 = und.select(col("u").as("a"), col("v").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val perHost = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(perHost, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+      .orderBy(col("id"))
+  }
+
+  val q55Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM hedges WHERE src <> dst),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+per AS (
+  SELECT id, count(*) AS n_triangles FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY id),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id)
+SELECT deg.id, degree, coalesce(n_triangles, 0) AS n_triangles,
+  round(CASE WHEN degree >= 2
+        THEN 2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))
+        ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN per ON deg.id = per.id
+ORDER BY deg.id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_triangles" -> q55Triangles,
     "q01_linkrank" -> q01LinkRank,
     "q02_trustrank" -> q02TrustRank,
     "q03_hostrank" -> q03HostRank,
@@ -269,5 +337,6 @@ ORDER BY score DESC, id LIMIT 20"""
     "q09_vertex_io" -> q09Sql,
     "q10_toprank" -> q10Sql,
     "q34_graphx_rank" -> q01Sql, // identical semantics ⇒ identical oracle
-    "q35_host_trustrank" -> q35Sql)
+    "q35_host_trustrank" -> q35Sql,
+    "q55_triangles" -> q55Sql)
 }

@@ -452,6 +452,67 @@ object RelationalQueries {
       |  min(k) AS min_k, max(k) AS max_k
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Ordered event-funnel analysis (view → click → purchase): how many
+    * users reach each stage IN ORDER — a click counts only after the
+    * user's first view, a purchase only after that first qualifying
+    * click. The product-analytics sequential-pattern operator.
+    *
+    * Shape: one `min` aggregate per stage, each conditioned on the
+    * previous stage's timestamp through an equi-join on user_id — the
+    * chain stays hash-partitioned on user_id the whole way (with
+    * co-partitioned inputs no stage reshuffles), and each stage's
+    * frame only SHRINKS. No window over the full event history, no
+    * per-user sort: at 100 TB this is ~3 partial-aggregated
+    * shuffles of user-level rows, nothing event-level rides more than
+    * the first groupBy. */
+  def q53Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"))
+    val stages =
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .select(lit(0).as("stage"), lit("all_users").as("step"), col("n_users"))
+      .unionAll(v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit("view").as("step"), col("n_users")))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), lit("click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), lit("purchase").as("step"), col("n_users")))
+    // 4-row frame: the unpartitioned lag window is fine
+    val w = Window.orderBy(col("stage"))
+    stages.withColumn("conversion",
+        coalesce(round(col("n_users").cast("double")
+          / lag(col("n_users"), 1).over(w).cast("double"), 6), lit(1.0)))
+      .orderBy(col("stage"))
+  }
+
+  val q53Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS c_ts FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_us) AS p_ts FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY e.user_id),
+      |s AS (
+      |  SELECT 0 AS stage, 'all_users' AS step, count(DISTINCT user_id) AS n_users FROM ev
+      |  UNION ALL SELECT 1, 'view', count(*) FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+      |SELECT stage, step, n_users,
+      |  coalesce(round(CAST(n_users AS DOUBLE)
+      |    / CAST(lag(n_users) OVER (ORDER BY stage) AS DOUBLE), 6), 1.0) AS conversion
+      |FROM s ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -463,7 +524,8 @@ object RelationalQueries {
     "q18_bucketed_join" -> q18BucketedJoin,
     "q19_range_join" -> q19RangeJoin,
     "q38_rollup" -> q38Rollup,
-    "q52_json" -> q52Json)
+    "q52_json" -> q52Json,
+    "q53_funnel" -> q53Funnel)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -476,5 +538,6 @@ object RelationalQueries {
     "q18_bucketed_join" -> q18Sql,
     "q19_range_join" -> q19Sql,
     "q38_rollup" -> q38Sql,
-    "q52_json" -> q52Sql)
+    "q52_json" -> q52Sql,
+    "q53_funnel" -> q53Sql)
 }

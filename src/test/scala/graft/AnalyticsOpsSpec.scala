@@ -102,6 +102,69 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(math.abs(rows.head.getDouble(4) - expected) < 1e-6)
   }
 
+  test("q53 funnel stages match an independent driver-side event walk") {
+    val rows = RelationalQueries.q53Funnel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)), "funnel only narrows")
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    // independent recompute: per-user ordered scan of the raw events
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nV, nC, nP) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val vTs = es.filter(_._2 == "view").map(_._3).minOption
+      val cTs = vTs.flatMap(v => es.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption)
+      val pTs = cTs.flatMap(c => es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+      if (vTs.isDefined) nV += 1
+      if (cTs.isDefined) nC += 1
+      if (pTs.isDefined) nP += 1
+    }
+    assert(counts.toSeq === Seq(byUser.size.toLong, nV, nC, nP))
+  }
+
+  test("q54 edit distance: shared-prefix duplicate pairs score 0, all pairs bounded") {
+    val rows = graft.dedup.DedupQueries.q54EditDistance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dist, sim) = (r.getInt(2), r.getDouble(3))
+      assert(dist >= 0 && dist <= graft.dedup.DedupQueries.EditPrefix)
+      assert(sim >= 0.0 && sim <= 1.0)
+      // exact dups are identical → prefix distance 0; near-dups append
+      // a suffix, so the distance is bounded by the marker's length
+      // (visible only when the base text is shorter than the prefix)
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      if (db - da == 200000) assert(dist === 0, s"pair ($da,$db) identical")
+      if (db - da == 100000)
+        assert(dist <= " graft dup marker tokens".length,
+          s"pair ($da,$db) differs only by the marker suffix")
+    }
+  }
+
+  test("q55 triangle counts match an independent set-based recount") {
+    val rows = graft.queries.GraphQueries.q55Triangles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // independent recount on the collected (small) host graph
+    val hedges = graph.WebGraph.hostEdges(graph.WebGraph.cachedEdges(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val und = hedges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(p => p._1 != p._2).toSet
+    val adj = (und.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count(p => und.contains(
+        if (p(0) < p(1)) (p(0), p(1)) else (p(1), p(0)))).toLong
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) === expected.getOrElse(r.getString(0), 0L),
+        s"host ${r.getString(0)}")
+      assert(r.getLong(1) === adj(r.getString(0)).size.toLong)
+    }
+  }
+
   test("q51 pivot counts match the plain group-by and fill absent cells with 0") {
     val rows = TextQueries.q51Pivot(spark, sfDir).collect()
     val plain = Tables.documents(spark, sfDir)
