@@ -265,14 +265,22 @@ ORDER BY score DESC, id LIMIT 20"""
     * per-key wedge fan-out — same skew lever as LSH bucket caps). */
   def q55Triangles(spark: SparkSession, sfDir: String): DataFrame = {
     val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
-    val und = hedges.select(
+    // four consumers (e1/e2/e3/deg): materialize the canonical edge set
+    // once instead of re-running its distinct per consumer
+    val und = graft.Checkpoints.deferUnpersist(hedges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().cache())
     val e1 = und.select(col("u").as("a"), col("v").as("b"))
     val e2 = und.select(col("u").as("b"), col("v").as("c"))
     val e3 = und.select(col("u").as("a"), col("v").as("c"))
-    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    // the host EDGE set is bounded (hosts ≪ pages) — broadcast it so
+    // the wedge frame (Σ lower·higher rows, the big intermediate) is
+    // generated AND closed map-side, never riding an exchange; the
+    // only shuffle left is the 200-key partial-agged groupBy. On a
+    // graph whose edge set outgrows a broadcast, drop the two hints
+    // and the same plan runs as shuffle joins.
+    val tri = e1.join(broadcast(e2), "b").join(broadcast(e3), Seq("a", "c"))
     val perHost = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
     val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))

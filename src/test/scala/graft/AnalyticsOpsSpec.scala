@@ -165,6 +165,24 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("q55 agrees with the GraphX TriangleCount backend") {
+    val rows = graft.queries.GraphQueries.q55Triangles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val hedges = graph.WebGraph.hostEdges(graph.WebGraph.cachedEdges(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ids = hedges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.zipWithIndex.toMap
+    val g = org.apache.spark.graphx.Graph.fromEdges(
+      spark.sparkContext.parallelize(hedges.toSeq.map { case (a, b) =>
+        org.apache.spark.graphx.Edge(ids(a).toLong, ids(b).toLong, ())
+      }), ())
+    val tc = org.apache.spark.graphx.lib.TriangleCount.run(g)
+      .vertices.collect().toMap
+    assert(rows.size === ids.size)
+    rows.foreach { case (host, n) =>
+      assert(tc(ids(host).toLong).toLong === n, s"host $host")
+    }
+  }
+
   test("q51 pivot counts match the plain group-by and fill absent cells with 0") {
     val rows = TextQueries.q51Pivot(spark, sfDir).collect()
     val plain = Tables.documents(spark, sfDir)
