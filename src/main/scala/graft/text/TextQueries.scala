@@ -574,7 +574,121 @@ FROM a ORDER BY lang"""
 FROM documents GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Count-Min sketch geometry: D independent hash rows × W counters.
+    * Error bound: overestimate ≤ (e/W)·total_tokens with prob
+    * 1 − (1/2)^D-ish; W=1024 keeps the demo sketch at 4 KB/row. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Count-Min heavy-hitter frequencies — the frequency sketch next to
+    * q49's KMV cardinality sketch: fold the token stream into a D×W
+    * counter grid (fixed size NO MATTER the vocabulary), estimate a
+    * token's count as the min over its D counters. One-sided error:
+    * estimates only OVERCOUNT (collisions add), never undercount —
+    * emitted beside the exact counts with the realized overestimate.
+    * Like KMV, the estimator is pure integer arithmetic on the shared
+    * universal-hash family, so the SAME sketch runs on both engines
+    * and the driver hash-gates it (unlike Spark's opaque
+    * `count_min_sketch` binary).
+    *
+    * Shape at scale: one partial-agged groupBy compresses the token
+    * stream to vocab rows; the counter grid aggregates vocab rows (a
+    * D-way in-row explode of vocab only, never of the stream); the
+    * top-k probe is a 20-row broadcast join. */
+  def q56Countmin(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    val buck = vocab.select(col("tok"), col("exact_cnt"),
+      explode(array((0 until CmsD).map { k =>
+        struct(lit(k).as("k"),
+          pmod(MF.universalHash(MF.hash32(col("tok")), k), lit(CmsW)).as("bucket"))
+      }: _*)).as("kb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("kb.k").as("k"), col("kb.bucket").as("bucket"))
+    val counters = buck.groupBy(col("k"), col("bucket"))
+      .agg(sum(col("exact_cnt")).as("c"))
+    val top = vocab.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    top.join(buck.drop("exact_cnt"), "tok")
+      .join(counters, Seq("k", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("tok"), col("exact_cnt"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val q56Sql: String = {
+    val branches = (0 until CmsD).map { k =>
+      s"SELECT tok, exact_cnt, $k AS k, ${Sql.universalHash(s"${Sql.hash32("tok")}", k)} % $CmsW AS bucket FROM vocab"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS MATERIALIZED (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+buck AS MATERIALIZED (
+  $branches),
+counters AS (SELECT k, bucket, CAST(sum(exact_cnt) AS BIGINT) AS c
+             FROM buck GROUP BY k, bucket),
+top AS (SELECT tok, exact_cnt FROM vocab ORDER BY exact_cnt DESC, tok LIMIT 20)
+SELECT t.tok, t.exact_cnt, min(c.c) AS cms_estimate,
+  min(c.c) - t.exact_cnt AS overestimate
+FROM top t JOIN buck b ON t.tok = b.tok JOIN counters c ON b.k = c.k AND b.bucket = c.bucket
+GROUP BY t.tok, t.exact_cnt
+ORDER BY t.exact_cnt DESC, t.tok"""
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** Per-language Pearson correlation + OLS regression (tokens ~
+    * chars) computed ALGEBRAICALLY: one pass accumulates the six
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — exact
+    * int64 sums, map-side combined), then the closed forms run in
+    * double with identical expression structure on both engines —
+    * unlike a streaming `corr()` implementation whose accumulation
+    * order leaks into the float result. The sufficient-statistics
+    * shape is also WHY it scales: merging two partitions' statistics
+    * is addition, so 1000 executors combine in a tree; at extreme
+    * scale where n·Σxy nears int64, swap the sums to DECIMAL(38,0). */
+  def q57Corr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("lang"),
+      col("n_chars").as("x"), size(split(col("text"), " ")).cast("long").as("y"))
+    val s = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val numer = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = numer.cast("double") / dx.cast("double")
+    s.select(col("lang"), col("n").as("n_docs"),
+      round(numer.cast("double")
+        / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6).as("pearson_r"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n"), 6).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val q57Sql: String =
+    """WITH d AS (
+  SELECT lang, n_chars AS x, CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents),
+s AS (
+  SELECT lang, count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM d GROUP BY lang)
+SELECT lang, n AS n_docs,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM s ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_countmin" -> q56Countmin,
+    "q57_corr" -> q57Corr,
     "q49_kmv_distinct" -> q49KmvDistinct,
     "q50_quantiles" -> q50Quantiles,
     "q51_pivot" -> q51Pivot,
@@ -600,5 +714,7 @@ FROM documents GROUP BY source ORDER BY source"""
     "q48_tfidf" -> q48Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q50_quantiles" -> q50Sql,
-    "q51_pivot" -> q51Sql)
+    "q51_pivot" -> q51Sql,
+    "q56_countmin" -> q56Sql,
+    "q57_corr" -> q57Sql)
 }

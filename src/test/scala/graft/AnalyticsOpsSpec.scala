@@ -183,6 +183,39 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("q56 Count-Min estimates only overcount and track exact frequencies") {
+    val rows = TextQueries.q56Countmin(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"${r.getString(0)}: CMS must never undercount")
+      assert(r.getLong(2) === r.getLong(1) + r.getLong(3))
+    }
+    // exact count of the top token cross-checked on the driver
+    val top = rows.head
+    val n = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getString(0)).count()
+    assert(top.getLong(1) === n)
+  }
+
+  test("q57 Pearson r and OLS match a mean-centered driver recompute") {
+    val rows = TextQueries.q57Corr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    val lang = rows.head.getString(0)
+    val xy = Tables.documents(spark, sfDir).filter(col("lang") === lang)
+      .select(col("n_chars"), size(split(col("text"), " ")))
+      .collect().map(r => (r.getLong(0).toDouble, r.getInt(1).toDouble))
+    val n = xy.length.toDouble
+    val (mx, my) = (xy.map(_._1).sum / n, xy.map(_._2).sum / n)
+    val cov = xy.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val (vx, vy) = (xy.map(p => (p._1 - mx) * (p._1 - mx)).sum,
+      xy.map(p => (p._2 - my) * (p._2 - my)).sum)
+    assert(math.abs(rows.head.getDouble(2) - cov / math.sqrt(vx * vy)) < 1e-6)
+    assert(math.abs(rows.head.getDouble(3) - cov / vx) < 1e-6)
+    assert(math.abs(rows.head.getDouble(4) - (my - (cov / vx) * mx)) < 1e-5)
+  }
+
   test("q51 pivot counts match the plain group-by and fill absent cells with 0") {
     val rows = TextQueries.q51Pivot(spark, sfDir).collect()
     val plain = Tables.documents(spark, sfDir)
