@@ -221,6 +221,20 @@ object Graft {
       train.select(id.as("doc_id"), shingleSet(text).as("s")),
       bench.select(shingleSet(benchText).as("s")), numBits)
 
+  /** Per-vertex triangle count + local clustering coefficient over any
+    * (src, dst) edge frame — oriented a<b<c enumeration, wedge closure
+    * broadcast when the edge set is bounded (see graph.Triangles). */
+  def triangles(edges: DataFrame, src: Column, dst: Column,
+                broadcastEdges: Boolean = true): DataFrame =
+    graph.Triangles.run(edges.select(src.as("src"), dst.as("dst")), broadcastEdges)
+
+  /** Ordered funnel counts over any event frame: (stage, step,
+    * n_users, conversion), step k reached only strictly after step
+    * k−1 (see operators.Funnel). */
+  def funnel(events: DataFrame, user: Column, step: Column, ts: Column,
+             steps: Seq[String]): DataFrame =
+    operators.Funnel.stageCounts(events, user, step, ts, steps)
+
   /** Distributed k-means (Lloyd) over any (id, vector) frame:
     * (vec_id, cluster, dist2). Broadcast centroids, map-side arg-min,
     * algebraic per-dimension means. */

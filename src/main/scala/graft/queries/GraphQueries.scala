@@ -254,46 +254,12 @@ ORDER BY score DESC, id LIMIT 20"""
     * undirected host graph — the cohesion signal a web-graph quality
     * pipeline reads next to rank (a high-rank host inside a dense
     * cluster is a different animal from one bridging sparse regions).
-    *
-    * Shape: canonicalize each edge to (u < v) once, then count every
-    * triangle exactly once as a < b < c — two self-equi-joins where
-    * BOTH sides carry the orientation filter already, so the wedge
-    * frame is Σ_v lower(v)·higher(v) rows, not deg², and no post-join
-    * dedup or /6 correction is needed. This is the node-iterator++
-    * shape that survives scale; at 100 TB add degree-descending
-    * relabeling so hub vertices sit on the `lower` side (bounds the
-    * per-key wedge fan-out — same skew lever as LSH bucket caps). */
-  def q55Triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
-    // four consumers (e1/e2/e3/deg): materialize the canonical edge set
-    // once instead of re-running its distinct per consumer
-    val und = graft.Checkpoints.deferUnpersist(hedges.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().cache())
-    val e1 = und.select(col("u").as("a"), col("v").as("b"))
-    val e2 = und.select(col("u").as("b"), col("v").as("c"))
-    val e3 = und.select(col("u").as("a"), col("v").as("c"))
-    // the host EDGE set is bounded (hosts ≪ pages) — broadcast it so
-    // the wedge frame (Σ lower·higher rows, the big intermediate) is
-    // generated AND closed map-side, never riding an exchange; the
-    // only shuffle left is the 200-key partial-agged groupBy. On a
-    // graph whose edge set outgrows a broadcast, drop the two hints
-    // and the same plan runs as shuffle joins.
-    val tri = e1.join(broadcast(e2), "b").join(broadcast(e3), Seq("a", "c"))
-    val perHost = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
-    val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    deg.join(perHost, Seq("id"), "left")
-      .select(col("id"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        round(when(col("degree") >= 2,
-          lit(2.0) * coalesce(col("n_triangles"), lit(0L))
-            / (col("degree") * (col("degree") - 1)))
-          .otherwise(lit(0.0)), 6).as("clustering"))
+    * Engine: [[graft.graph.Triangles]] (oriented a<b<c enumeration,
+    * broadcast wedge closure — see its doc for the scale shape). */
+  def q55Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Triangles
+      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)))
       .orderBy(col("id"))
-  }
 
   val q55Sql: String =
     s"""WITH $pageGraphCtes,

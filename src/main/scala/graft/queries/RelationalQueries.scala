@@ -466,33 +466,12 @@ object RelationalQueries {
     * per-user sort: at 100 TB this is ~3 partial-aggregated
     * shuffles of user-level rows, nothing event-level rides more than
     * the first groupBy. */
-  def q53Funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts_us") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_ts"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts_us") > col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"))
-    val stages =
-      ev.agg(countDistinct(col("user_id")).as("n_users"))
-        .select(lit(0).as("stage"), lit("all_users").as("step"), col("n_users"))
-      .unionAll(v.agg(count(lit(1)).as("n_users"))
-        .select(lit(1).as("stage"), lit("view").as("step"), col("n_users")))
-      .unionAll(c.agg(count(lit(1)).as("n_users"))
-        .select(lit(2).as("stage"), lit("click").as("step"), col("n_users")))
-      .unionAll(p.agg(count(lit(1)).as("n_users"))
-        .select(lit(3).as("stage"), lit("purchase").as("step"), col("n_users")))
-    // 4-row frame: the unpartitioned lag window is fine
-    val w = Window.orderBy(col("stage"))
-    stages.withColumn("conversion",
-        coalesce(round(col("n_users").cast("double")
-          / lag(col("n_users"), 1).over(w).cast("double"), 6), lit(1.0)))
-      .orderBy(col("stage"))
-  }
+  def q53Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Funnel.stageCounts(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us")),
+      col("user_id"), col("event_type"), col("ts_us"),
+      Seq("view", "click", "purchase"))
 
   val q53Sql: String =
     """WITH ev AS (

@@ -70,6 +70,26 @@ class GraftApiSpec extends GraftSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }) // ranked
   }
 
+  test("triangles and funnel on user frames") {
+    // K4 minus one edge: triangles {a,b,c} and {a,b,d}
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d", "b" -> "d")
+      .toDF("x", "y")
+    val tri = Graft.triangles(edges, col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tri("a") === (3L, 2L) && tri("b") === (3L, 2L))
+    assert(tri("c") === (2L, 1L) && tri("d") === (2L, 1L))
+
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "buy", 20L),          // full funnel in order
+      (2L, "buy", 5L), (2L, "signup", 8L),            // buy BEFORE signup: stops at signup
+      (3L, "signup", 1L))                             // never buys
+      .toDF("uid", "what", "at")
+    val f = Graft.funnel(ev, col("uid"), col("what"), col("at"),
+      Seq("signup", "buy")).collect()
+    assert(f.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((0, "all_users", 3L), (1, "signup", 3L), (2, "buy", 1L)))
+  }
+
   test("vector and sampling helpers on user data") {
     val v = Seq((1L, Array(1.0, 0.0), Array(0.0, 2.0))).toDF("id", "a", "b")
     assert(v.select(Graft.dot(col("a"), col("b"))).first().getDouble(0) === 0.0)
