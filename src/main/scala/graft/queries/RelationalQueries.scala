@@ -492,6 +492,86 @@ object RelationalQueries {
       |    / CAST(lag(n_users) OVER (ORDER BY stage) AS DOUBLE), 6), 1.0) AS conversion
       |FROM s ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** First day of the window the partition-pruned scan reads. */
+  val PruneFrom = "1995-03-01"
+  val PruneTo = "1995-03-08"
+
+  /** Partitioned layout + partition-pruned scan — the directory-level
+    * twin of q18's bucketed layout, and the single biggest 100 TB
+    * lever: orders are written ONCE per session as a
+    * `partitionBy(o_orderdate)`-style date-partitioned table, and the
+    * window query reads ONLY the matching directories (the date
+    * predicate resolves against partition VALUES at planning time —
+    * `PartitionFilters` in the scan, zero data files opened outside
+    * the window; plan-asserted in ScaleOpsSpec). The driver row
+    * hash-verifies the write→partitioned-read→aggregate path against
+    * the plain-parquet oracle. */
+  def q58PartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = Integer.toHexString(sfDir.hashCode)
+    val tbl = s"graft_part_orders_$sfx"
+    if (!spark.catalog.tableExists(tbl)) {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_partitions_$sfx").toString
+      Tables.orders(spark, sfDir)
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_date")
+        .option("path", s"$tmp/orders").saveAsTable(tbl)
+    }
+    spark.table(tbl)
+      .filter(col("o_date") >= lit(PruneFrom) && col("o_date") < lit(PruneTo))
+      .groupBy(col("o_date").cast("string").as("day"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        asD(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("day"), col("o_orderpriority"))
+  }
+
+  val q58Sql: String =
+    s"""SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '$PruneFrom'
+      |  AND CAST(o_orderdate AS DATE) < DATE '$PruneTo'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Relational set operations — INTERSECT / EXCEPT as first-class
+    * distributed operators (Spark compiles both to hash aggregations +
+    * a left-semi/anti join — partial-agged, no sort): which customers
+    * placed filled orders in BOTH 1995 and 1996 (retention), and which
+    * churned (1995 EXCEPT 1996), summarized per nation. */
+  def q59SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def buyers(yr: Int) = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === yr && col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val retained = buyers(1995).intersect(buyers(1996))
+      .withColumn("cohort", lit("retained"))
+    val churned = buyers(1995).except(buyers(1996))
+      .withColumn("cohort", lit("churned"))
+    retained.unionAll(churned)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("cohort"), col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("cohort"), col("nationkey"))
+  }
+
+  val q59Sql: String =
+    """WITH b95 AS (SELECT o_custkey FROM orders
+      |             WHERE year(o_orderdate) = 1995 AND o_orderstatus = 'F'),
+      |b96 AS (SELECT o_custkey FROM orders
+      |        WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'F'),
+      |cohorts AS (
+      |  SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)
+      |  UNION ALL
+      |  SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96))
+      |SELECT cohort, c_nationkey AS nationkey, count(*) AS n_customers
+      |FROM cohorts JOIN customer ON o_custkey = c_custkey
+      |GROUP BY cohort, nationkey
+      |ORDER BY cohort, nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -504,7 +584,9 @@ object RelationalQueries {
     "q19_range_join" -> q19RangeJoin,
     "q38_rollup" -> q38Rollup,
     "q52_json" -> q52Json,
-    "q53_funnel" -> q53Funnel)
+    "q53_funnel" -> q53Funnel,
+    "q58_partitioned_scan" -> q58PartitionedScan,
+    "q59_setops" -> q59SetOps)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -518,5 +600,7 @@ object RelationalQueries {
     "q19_range_join" -> q19Sql,
     "q38_rollup" -> q38Sql,
     "q52_json" -> q52Sql,
-    "q53_funnel" -> q53Sql)
+    "q53_funnel" -> q53Sql,
+    "q58_partitioned_scan" -> q58Sql,
+    "q59_setops" -> q59Sql)
 }

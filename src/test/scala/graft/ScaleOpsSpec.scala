@@ -27,6 +27,44 @@ class ScaleOpsSpec extends GraftSpec {
     assert(plan.contains("__salt"))
   }
 
+  test("date-partitioned table prunes to the queried window at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partitions").toString
+    sp.sql("DROP TABLE IF EXISTS graft_p_orders")
+    Tables.orders(spark, sfDir)
+      .withColumn("o_date", to_date(col("o_orderdate")))
+      .write.partitionBy("o_date")
+      .option("path", s"$tmp/orders").saveAsTable("graft_p_orders")
+    try {
+      val q = sp.table("graft_p_orders")
+        .filter(col("o_date") >= lit("1995-03-01") && col("o_date") < lit("1995-03-08"))
+        .groupBy(col("o_date")).agg(count(lit(1)).as("n"))
+      // sparkPlan (pre-AQE): the file scan is a visible leaf there
+      val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.partitionFilters.nonEmpty, "date predicate must prune partitions")
+      // the scan touches only the ≤7 in-window partition dirs, not all days
+      val total = sp.table("graft_p_orders").select(col("o_date")).distinct().count()
+      assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .map(_.files.size).sum <= 7L, s"pruned scan reads a bounded file set (of $total days)")
+      assert(q.collect().map(_.getLong(1)).sum > 0)
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS graft_p_orders")
+    }
+  }
+
+  test("set operations compile to aggregations + semi/anti joins, not sorts") {
+    val rows = graft.queries.RelationalQueries.q59SetOps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    // a customer cannot be both retained and churned: cohorts partition b95
+    assert(byCohort.keySet.subsetOf(Set("retained", "churned")))
+    val plan = graft.queries.RelationalQueries.q59SetOps(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SemiJoin") || plan.contains("LeftSemi"))
+    assert(plan.contains("AntiJoin") || plan.contains("LeftAnti"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     sp.sql("DROP TABLE IF EXISTS graft_b_orders")
