@@ -680,8 +680,22 @@ SELECT da, db,
 FROM cand JOIN pre a ON da = a.doc_id JOIN pre b ON db = b.doc_id
 ORDER BY da, db"""
 
+  /** The Bloom path as a driver row. Deliberately ABSENT from
+    * `oracles`: the sketch's bit pattern isn't replayable in DuckDB,
+    * so the driver records its weaker rows-only check — the exact
+    * guarantees (no false negatives, ⊇-flagging vs q26) are spec-gated
+    * in DecontaminateBloomSpec instead. */
+  def q28DecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+    val isBench = pmod(col("doc_id"), lit(BenchMod)) === 0
+    decontaminateBloomSets(sets.filter(!isBench), sets.filter(isBench))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_edit_distance" -> q54EditDistance,
+    "q28_decontaminate_bloom" -> q28DecontaminateBloom,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_minhash_lsh" -> q21MinHashLsh,
     "q22_simhash" -> q22SimHash,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Triangles
+import graft.operators.Funnel
+
+/** Randomized cross-checks (seeded, deterministic): Triangles and
+  * Funnel against brute-force driver-side recomputations on generated
+  * inputs — the operators hold on shapes the fixtures never produce
+  * (isolated vertices, repeated edges, both directions present,
+  * users with shuffled step orders, ties in timestamps).
+  */
+class GraphOpsPropertySpec extends GraftSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("Triangles equals brute force on random multigraphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n * 4)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      val df = edges.toDF("src", "dst")
+      val got = Triangles.run(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(p => p._1 != p._2).toSet
+      val vs = und.flatMap(p => Seq(p._1, p._2))
+      val adj = vs.map(v => v -> und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }).toMap
+      assert(got.keySet === vs, s"trial $trial vertex set")
+      vs.foreach { v =>
+        val ns = adj(v).toSeq
+        val tri = ns.combinations(2).count(p => und.contains(
+          if (p(0) < p(1)) (p(0), p(1)) else (p(1), p(0))))
+        assert(got(v) === ((ns.size.toLong, tri.toLong)), s"trial $trial vertex $v")
+      }
+    }
+  }
+
+  test("Funnel equals a brute-force walk on random event logs") {
+    val rnd = new scala.util.Random(11)
+    val steps = Seq("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val events = Seq.fill(300)(
+        (rnd.nextInt(25).toLong, steps(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+      val got = Funnel.stageCounts(events.toDF("u", "s", "t"),
+          col("u"), col("s"), col("t"), steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+      val byUser = events.groupBy(_._1)
+      val reached = Array.fill(steps.length)(0L)
+      byUser.values.foreach { es =>
+        var prev = Option(Long.MinValue)
+        steps.indices.foreach { i =>
+          prev = prev.flatMap(p =>
+            es.filter(e => e._2 == steps(i) && e._3 > p).map(_._3).minOption)
+          if (prev.isDefined) reached(i) += 1
+        }
+      }
+      assert(got(0) === byUser.size.toLong, s"trial $trial stage 0")
+      steps.indices.foreach(i =>
+        assert(got(i + 1) === reached(i), s"trial $trial stage ${i + 1}"))
+    }
+  }
+}
