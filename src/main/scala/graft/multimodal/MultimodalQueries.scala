@@ -110,11 +110,89 @@ SELECT doc_id, n_frames,
 FROM h ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Fixed chunk width (chars standing in for bytes, like q60/q61's
+    * text-backed payloads). */
+  val ChunkLen = 32
+
+  /** Storage-level chunk dedup across assets — the blob-store shape
+    * (content-addressable chunking) next to CONTENT near-dup: slice
+    * every payload into fixed [[ChunkLen]] windows, hash each chunk,
+    * and measure how much of each asset is shared with ANY other
+    * asset. Runs over the dedup corpus (documents ∪ synthetic
+    * near/exact dups) so real sharing exists: exact dups share every
+    * chunk, near-dups all but the tail. Fixed windows are the
+    * deterministic stand-in for content-defined chunking — a rolling-
+    * hash cut-point kernel would slot into the same chunk column.
+    *
+    * Shape at 100 TB: chunks explode 1:len/32 (bounded fan-out, unlike
+    * shingles), the reference-count groupBy is partial-agged on the
+    * chunk hash, and the per-asset rollup joins hash-partitioned
+    * frames — every exchange carries (hash, count) pairs, never
+    * payload bytes. */
+  def q62ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft dup marker tokens")).as("text")))
+      .unionAll(
+        d.filter(pmod(col("doc_id"), lit(15)) === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val nChunks = ceil(length(col("text")).cast("double") / ChunkLen).cast("long")
+    val idx = sequence(lit(0L), col("n_chunks") - 1)
+    val chunks = corpus
+      .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), explode(transform(idx, i =>
+        MF.hash32(col("text").substr((i * ChunkLen + 1).cast("int"), lit(ChunkLen)))))
+        .as("h"))
+      .distinct()
+    val refs = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_assets"))
+    chunks.join(refs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_assets") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_chunks"), 6).as("shared_ratio"),
+        (col("n_shared") === col("n_chunks")).as("fully_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62Sql: String = {
+    val chunk = s"substr(text, CAST(i * $ChunkLen + 1 AS INTEGER), $ChunkLen)"
+    s"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' graft dup marker tokens' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
+f AS (
+  SELECT doc_id, text,
+    CAST(ceil(CAST(length(text) AS DOUBLE) / $ChunkLen) AS BIGINT) AS n_chunks
+  FROM corpus),
+chunks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_transform(range(0, n_chunks),
+      i -> ${Sql.hash32(chunk)})) AS h
+    FROM f WHERE n_chunks > 0)),
+refs AS (SELECT h, count(*) AS n_assets FROM chunks GROUP BY h)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  round(CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio,
+  (CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS BIGINT) = count(*)) AS fully_shared
+FROM chunks JOIN refs USING (h)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal" -> q60Multimodal,
-    "q61_frame_sample" -> q61FrameSample)
+    "q61_frame_sample" -> q61FrameSample,
+    "q62_chunk_dedup" -> q62ChunkDedup)
 
   val oracles: Map[String, String] = Map(
     "q60_multimodal" -> q60Sql,
-    "q61_frame_sample" -> q61Sql)
+    "q61_frame_sample" -> q61Sql,
+    "q62_chunk_dedup" -> q62Sql)
 }

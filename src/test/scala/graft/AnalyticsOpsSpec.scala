@@ -216,6 +216,31 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(math.abs(rows.head.getDouble(4) - (my - (cov / vx) * mx)) < 1e-5)
   }
 
+  test("q62 chunk dedup: exact duplicates are fully shared, near-dups mostly") {
+    val rows = graft.multimodal.MultimodalQueries.q62ChunkDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    byId.foreach { case (id, (n, s, ratio, full)) =>
+      assert(s <= n && ratio >= 0.0 && ratio <= 1.0 && full == (s == n), s"doc $id")
+    }
+    val exactDups = byId.keys.filter(id => id >= 200000 && id < 300000)
+    assert(exactDups.nonEmpty)
+    exactDups.foreach { id =>
+      assert(byId(id)._4, s"exact dup $id must be fully shared")
+      assert(byId(id - 200000)._4, s"its base ${id - 200000} too")
+    }
+    // near-dups (suffix append) share everything but the altered tail
+    val nearDups = byId.keys.filter(id => id >= 100000 && id < 200000)
+    assert(nearDups.nonEmpty)
+    // suffix append alters at most the tail chunk and adds one: with
+    // n chunks, at least n-2 stay shared
+    nearDups.filter(id => byId(id)._1 >= 4).foreach { id =>
+      val (n, s, _, _) = byId(id)
+      assert(s >= n - 2, s"near-dup $id shares all but the tail: $s of $n")
+    }
+  }
+
   test("q51 pivot counts match the plain group-by and fill absent cells with 0") {
     val rows = TextQueries.q51Pivot(spark, sfDir).collect()
     val plain = Tables.documents(spark, sfDir)
