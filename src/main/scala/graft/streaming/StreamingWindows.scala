@@ -108,7 +108,7 @@ object StreamingWindows {
             // horizon (must stay above the current watermark)
             state.setTimeoutTimestamp(math.max(
               s.lastUs / 1000L + gapMin * 60L * 1000L,
-              state.getCurrentWatermarkMs + 1))
+              state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }

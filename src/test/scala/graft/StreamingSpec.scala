@@ -347,4 +347,53 @@ class StreamingSpec extends GraftSpec {
     firstBurst.foreach(r => assert(r.getLong(1) < 30L, r))
     assert(out.count(_.getLong(1) === 900L) === 1) // re-admitted after horizon
   }
+
+  test("composed pipeline: streaming dedup -> windowed agg equals the batch twin") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val docs = mem.toDF.toDF("ts", "doc_id", "fp", "value")
+    // dedupStream feeds a downstream watermarked tumbling aggregation —
+    // the ingest shape of a real corpus pipeline (dedup AT ingest, stats
+    // over the survivors), two stateful operators in ONE query
+    val query = StreamingWindows.dedupStream(docs, "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), substring(col("fp"), 1, 3).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("grp"), col("n"), col("total"))
+      .writeStream.format("memory").queryName("dedup_agg_stream")
+      .outputMode("append").start()
+
+    val base = 1700000000000L
+    val events = (0 until 120).map { i =>
+      (new Timestamp(base + (i % 40) * 90000L), i.toLong, s"fp${i % 40}", (i % 40).toDouble)
+    }
+    // survivors: first arrival of each of the 40 fingerprints
+    mem.addData(events.take(60): _*)
+    query.processAllAvailable()
+    mem.addData(events.drop(60): _*)
+    query.processAllAvailable()
+    // closing event: watermark passes every open window so it emits
+    mem.addData((new Timestamp(base + 12L * 3600 * 1000), 999L, "fp_close", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = sp.table("dedup_agg_stream")
+      .filter(col("grp") =!= "fp_")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // batch twin over the SAME logical input: distinct-by-fp (first
+    // arrival) then the same aggregation
+    val sp2 = sp
+    import sp2.implicits._
+    val firstOfFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("ts"), col("doc_id"))
+    val batch = events.toDF("ts", "doc_id", "fp", "value")
+      .withColumn("rn", row_number().over(firstOfFp))
+      .filter(col("rn") === 1)
+      .groupBy(window(col("ts"), "1 hour"), substring(col("fp"), 1, 3).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("grp"), col("n"), col("total"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === batch)
+  }
 }
