@@ -572,6 +572,58 @@ object RelationalQueries {
       |GROUP BY cohort, nationkey
       |ORDER BY cohort, nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Z-score threshold for flagging an hour as anomalous. */
+  val AnomalyZ = 2.5
+
+  /** Volume-anomaly detection — the ingest-monitoring operator: flag
+    * hours whose event count sits more than [[AnomalyZ]] population
+    * standard deviations from that event type's hourly mean (over
+    * observed hours). The statistics are ALGEBRAIC (n, Σc, Σc² exact
+    * int64 sums, map-side combined, merged by addition across
+    * executors — the same sufficient-statistics shape as q57), and
+    * the per-type scalar frame joins back broadcast, so the event
+    * stream is scanned once and only (type, hour) rows ride
+    * exchanges. Variance numerator n·Σc²−(Σc)² stays in exact integer
+    * arithmetic; the double math is structurally identical on both
+    * engines. */
+  def q63Anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr(s"(ts div 1000) div $RjBinUs").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val mean = col("sc").cast("double") / col("n")
+    val std =
+      sqrt((col("n") * col("scc") - col("sc") * col("sc")).cast("double")) / col("n")
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("c").cast("double") - mean) / std)
+      .filter(abs(col("z")) > AnomalyZ)
+      .select(col("event_type"), (col("h") * RjBinUs).as("wstart_us"),
+        col("c").as("n_events"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("wstart_us"))
+  }
+
+  val q63Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // $RjBinUs AS h,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+      |    CAST(sum(c * c) AS BIGINT) AS scc
+      |  FROM hourly GROUP BY event_type),
+      |z AS (
+      |  SELECT hourly.event_type, h, c,
+      |    (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+      |      / (sqrt(CAST(n * scc - sc * sc AS DOUBLE)) / n) AS z
+      |  FROM hourly JOIN stats ON hourly.event_type = stats.event_type)
+      |SELECT event_type, h * $RjBinUs AS wstart_us, c AS n_events, round(z, 6) AS z
+      |FROM z WHERE abs(z) > $AnomalyZ
+      |ORDER BY event_type, wstart_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
@@ -586,7 +638,8 @@ object RelationalQueries {
     "q52_json" -> q52Json,
     "q53_funnel" -> q53Funnel,
     "q58_partitioned_scan" -> q58PartitionedScan,
-    "q59_setops" -> q59SetOps)
+    "q59_setops" -> q59SetOps,
+    "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
     "q11_pricing_summary" -> q11Sql,
@@ -602,5 +655,6 @@ object RelationalQueries {
     "q52_json" -> q52Sql,
     "q53_funnel" -> q53Sql,
     "q58_partitioned_scan" -> q58Sql,
-    "q59_setops" -> q59Sql)
+    "q59_setops" -> q59Sql,
+    "q63_anomaly" -> q63Sql)
 }

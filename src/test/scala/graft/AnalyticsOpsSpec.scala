@@ -241,6 +241,26 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("q63 anomaly z-scores match a driver-side recompute of the worst hour") {
+    val rows = RelationalQueries.q63Anomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the toy SF has low-count hours beyond 2.5 sigma")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > RelationalQueries.AnomalyZ))
+    // recompute the flagged hour's z from scratch for one event type
+    val t = rows.head.getString(0)
+    val counts = Tables.events(spark, sfDir)
+      .filter(col("event_type") === t)
+      .select(expr(s"(ts div 1000) div ${RelationalQueries.RjBinUs}").as("h"))
+      .groupBy(col("h")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = counts.size.toDouble
+    val mean = counts.values.sum / n
+    val std = math.sqrt(counts.values.map(c => (c - mean) * (c - mean)).sum / n)
+    val h = rows.head.getLong(1) / RelationalQueries.RjBinUs
+    val z = (counts(h) - mean) / std
+    assert(math.abs(rows.head.getDouble(3) - z) < 1e-6)
+    assert(rows.head.getLong(2) === counts(h))
+  }
+
   test("q51 pivot counts match the plain group-by and fill absent cells with 0") {
     val rows = TextQueries.q51Pivot(spark, sfDir).collect()
     val plain = Tables.documents(spark, sfDir)
