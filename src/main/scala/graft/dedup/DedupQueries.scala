@@ -22,7 +22,7 @@ import graft.oracle.Sql
   */
 object DedupQueries {
 
-  private val NearDupSuffix = " graft dup marker tokens"
+  private[graft] val NearDupSuffix = " graft dup marker tokens"
 
   // -------------------------------------------------- shared: corpus
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {

@@ -135,7 +135,7 @@ FROM h ORDER BY doc_id"""
     val corpus = d.unionAll(
         d.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" graft dup marker tokens")).as("text")))
+            concat(col("text"), lit(graft.dedup.DedupQueries.NearDupSuffix)).as("text")))
       .unionAll(
         d.filter(pmod(col("doc_id"), lit(15)) === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
@@ -164,7 +164,7 @@ FROM h ORDER BY doc_id"""
     s"""WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text || ' graft dup marker tokens' AS text
+  SELECT doc_id + 100000 AS doc_id, text || '${graft.dedup.DedupQueries.NearDupSuffix}' AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0),

@@ -138,7 +138,7 @@ class AnalyticsOpsSpec extends GraftSpec {
       val (da, db) = (r.getLong(0), r.getLong(1))
       if (db - da == 200000) assert(dist === 0, s"pair ($da,$db) identical")
       if (db - da == 100000)
-        assert(dist <= " graft dup marker tokens".length,
+        assert(dist <= graft.dedup.DedupQueries.NearDupSuffix.length,
           s"pair ($da,$db) differs only by the marker suffix")
     }
   }
