@@ -139,7 +139,9 @@ object Graft {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     val tok = base.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val idf = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df from tf, not a second corpus tokenization: tf has one row per
+    // (doc, term), so its per-term row count IS the document frequency
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = base.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
@@ -222,10 +224,11 @@ object Graft {
       bench.select(shingleSet(benchText).as("s")), numBits)
 
   /** Per-vertex triangle count + local clustering coefficient over any
-    * (src, dst) edge frame — oriented a<b<c enumeration, wedge closure
-    * broadcast when the edge set is bounded (see graph.Triangles). */
+    * (src, dst) edge frame — oriented a<b<c enumeration. Defaults to
+    * the any-size shuffle-join plan; pass `broadcastEdges = true` only
+    * for a known-bounded edge set (see graph.Triangles). */
   def triangles(edges: DataFrame, src: Column, dst: Column,
-                broadcastEdges: Boolean = true): DataFrame =
+                broadcastEdges: Boolean = false): DataFrame =
     graph.Triangles.run(edges.select(src.as("src"), dst.as("dst")), broadcastEdges)
 
   /** Ordered funnel counts over any event frame: (stage, step,

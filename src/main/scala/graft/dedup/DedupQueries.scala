@@ -11,9 +11,9 @@ import graft.oracle.Sql
   *
   * The synthetic corpus has no duplicates, so each query runs on a
   * deterministically augmented corpus: exact copies (doc_id%15==0 →
-  * +200000) and near-duplicates with appended marker tokens
-  * (doc_id%10==0 → +100000). Both sides (Spark / DuckDB oracle) build
-  * the identical corpus.
+  * +[[DedupQueries.ExactDupOffset]]) and near-duplicates with appended
+  * marker tokens (doc_id%10==0 → +[[DedupQueries.NearDupOffset]]).
+  * Both sides (Spark / DuckDB oracle) build the identical corpus.
   *
   * Scale posture: every operator is a band/bucket join — candidates
   * come from groupBy(bucket key) equality joins, NEVER an O(n²) cross
@@ -24,26 +24,36 @@ object DedupQueries {
 
   private[graft] val NearDupSuffix = " graft dup marker tokens"
 
+  /** Synthetic-duplicate id offsets — the single owner for every
+    * augmented corpus (documents here and in q62, embeddings below) and
+    * the specs that classify rows by id range. 1e9/2e9 sit far above
+    * any real doc_id/vec_id at any scale factor (ids are dense row
+    * numbers; even a 10000× scale-up stays under 1e9), so a synthetic
+    * id can never collide with a real row — the r5 +100000 offsets
+    * would have collided once real ids reached 100000. */
+  private[graft] val NearDupOffset: Long = 1000000000L
+  private[graft] val ExactDupOffset: Long = 2000000000L
+
   // -------------------------------------------------- shared: corpus
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     d.unionAll(
         d.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + NearDupOffset).as("doc_id"),
             concat(col("text"), lit(NearDupSuffix)).as("text")))
       .unionAll(
         d.filter(pmod(col("doc_id"), lit(15)) === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text")))
   }
 
   private val corpusCte: String =
     s"""corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text || '$NearDupSuffix' AS text
+  SELECT doc_id + $NearDupOffset AS doc_id, text || '$NearDupSuffix' AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0)"""
+  SELECT doc_id + $ExactDupOffset AS doc_id, text FROM documents WHERE doc_id % 15 = 0)"""
 
   // ------------------------------------------- shared: word shingles
   /** Word 3-gram shingles; docs under 3 words shingle to [text]. */
@@ -346,8 +356,8 @@ ORDER BY c.da, c.db"""
     * 8-bit code: 4×2^8 buckets per band level keeps buckets ~n/1024,
     * and the OR over bands restores the recall a single band loses
     * (P[all 4 bands split a true pair] ≈ (1-(1-θ/π)^8)^4). Near-dups
-    * are injected (vec_id%10==0 → +100000, slight deterministic
-    * perturbation). */
+    * are injected (vec_id%10==0 → +[[NearDupOffset]], slight
+    * deterministic perturbation). */
   /** (vec_id, v, nrm): base embeddings plus injected near-dups, with
     * the L2 norm precomputed once per vector (pair scoring is then one
     * dot product per pair). */
@@ -355,7 +365,7 @@ ORDER BY c.da, c.db"""
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
     val perturbed = e.filter(pmod(col("vec_id"), lit(10)) === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + NearDupOffset).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * lit(1.01) + (pmod(i, lit(5)) - 2).cast("double") * lit(0.001)).as("v"))
     e.unionAll(perturbed).withColumn("nrm", VF.norm(col("v")))
@@ -394,7 +404,7 @@ ORDER BY c.da, c.db"""
 vc0 AS (
   SELECT vec_id, v FROM ed
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, $pert AS v
+  SELECT vec_id + $NearDupOffset AS vec_id, $pert AS v
   FROM embeddings WHERE vec_id % 10 = 0),
 vc AS MATERIALIZED (SELECT vec_id, v, ${Sql.listNorm("v")} AS nrm FROM vc0),
 banded AS MATERIALIZED (
@@ -608,10 +618,14 @@ FROM final ORDER BY doc_id"""
                                             numBits: Long = 8L << 20): DataFrame = {
     // one O(1)-row driver scalar (the dangling-mass pattern): the
     // sketch is `numBits/8` bytes regardless of benchmark size, and
-    // might_contain requires a CONSTANT sketch — embed it as a literal
+    // might_contain requires a CONSTANT sketch — embed it as a literal.
+    // estimatedNumItems scales WITH numBits (numBits/8 ≈ the ~8
+    // bits/item regime of the default 1M-items/8M-bits pairing) so a
+    // caller shrinking the sketch keeps a hash-function count tuned to
+    // its size instead of one pinned to the default's load factor.
     val bf: Array[Byte] = benchSets.select(explode(col("s")).as("h"))
       .agg(call_function("graft_bloom_agg", col("h"),
-        lit(1L << 20), lit(numBits)).as("bf"))
+        lit(math.max(1L, numBits / 8)), lit(numBits)).as("bf"))
       .first().getAs[Array[Byte]](0)
     val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
     trainSets

@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** (id, degree, n_triangles, clustering) per vertex of the
-    * canonicalized graph. `edges` must expose `src`/`dst` columns. */
-  def run(edges: DataFrame, broadcastEdges: Boolean = true): DataFrame = {
+    * canonicalized graph. `edges` must expose `src`/`dst` columns.
+    *
+    * `broadcastEdges` defaults FALSE: the shuffle-join plan is safe at
+    * any edge-set size, so an unknowing caller on a page-scale graph
+    * cannot inherit a broadcast OOM. Pass `true` when the canonical
+    * edge set is known-bounded (host graphs, sampled subgraphs) — the
+    * wedge generation and closure then run map-side. */
+  def run(edges: DataFrame, broadcastEdges: Boolean = false): DataFrame = {
     val und = graft.Checkpoints.deferUnpersist(edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

@@ -132,13 +132,15 @@ FROM h ORDER BY doc_id"""
     * payload bytes. */
   def q62ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // synthetic-dup ids use the corpus-wide offsets owned by
+    // DedupQueries — far above any real doc_id at any SF
     val corpus = d.unionAll(
         d.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + graft.dedup.DedupQueries.NearDupOffset).as("doc_id"),
             concat(col("text"), lit(graft.dedup.DedupQueries.NearDupSuffix)).as("text")))
       .unionAll(
         d.filter(pmod(col("doc_id"), lit(15)) === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + graft.dedup.DedupQueries.ExactDupOffset).as("doc_id"), col("text")))
     val nChunks = ceil(length(col("text")).cast("double") / ChunkLen).cast("long")
     val idx = sequence(lit(0L), col("n_chunks") - 1)
     val chunks = corpus
@@ -164,10 +166,10 @@ FROM h ORDER BY doc_id"""
     s"""WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text || '${graft.dedup.DedupQueries.NearDupSuffix}' AS text
+  SELECT doc_id + ${graft.dedup.DedupQueries.NearDupOffset} AS doc_id, text || '${graft.dedup.DedupQueries.NearDupSuffix}' AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
+  SELECT doc_id + ${graft.dedup.DedupQueries.ExactDupOffset} AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
 f AS (
   SELECT doc_id, text,
     CAST(ceil(CAST(length(text) AS DOUBLE) / $ChunkLen) AS BIGINT) AS n_chunks

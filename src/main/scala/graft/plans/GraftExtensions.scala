@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Session extension point: registers graft's native expressions so
   * SQL users get them by name. Activate with
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
       (args: Seq[Expression]) => IntersectCount(Cast(args(0), longArr), Cast(args(1), longArr))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) => CdcChunks(Cast(args.head, StringType),
+        Cast(args(1), IntegerType))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),

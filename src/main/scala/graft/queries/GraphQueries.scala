@@ -254,11 +254,14 @@ ORDER BY score DESC, id LIMIT 20"""
     * undirected host graph — the cohesion signal a web-graph quality
     * pipeline reads next to rank (a high-rank host inside a dense
     * cluster is a different animal from one bridging sparse regions).
-    * Engine: [[graft.graph.Triangles]] (oriented a<b<c enumeration,
-    * broadcast wedge closure — see its doc for the scale shape). */
+    * Engine: [[graft.graph.Triangles]] (oriented a<b<c enumeration;
+    * `broadcastEdges = true` is explicit here because the HOST graph is
+    * bounded — 200 hosts at every SF — so the wedge closure runs
+    * map-side; the default is the any-size shuffle plan). */
   def q55Triangles(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Triangles
-      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)))
+      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)),
+        broadcastEdges = true)
       .orderBy(col("id"))
 
   val q55Sql: String =

@@ -277,8 +277,17 @@ object RelationalQueries {
     * daily on the same key amortizes its shuffle to zero. This driver
     * row hash-verifies the whole bucketed write→catalog→read→join path
     * against the plain-parquet oracle. */
+  /** Session-table / tmpdir suffix for the layout queries (q18/q58):
+    * the sanitized FULL source path, not its hashCode — two distinct
+    * sfDirs can never silently reuse each other's cached table (a
+    * hashCode collision would). Mutating the data under an sfDir
+    * mid-session still reuses the session's table, like every other
+    * session memo. */
+  private def pathKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   def q18BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfx = Integer.toHexString(sfDir.hashCode)
+    val sfx = pathKey(sfDir)
     val (to, tc) = (s"graft_bko_$sfx", s"graft_bkc_$sfx")
     if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tc)) {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -426,7 +435,15 @@ object RelationalQueries {
     * dominates, so it runs exactly once per row inside the scan
     * projection and only the two extracted longs reach the exchange;
     * a malformed payload yields null (counted, not crashed). Oracle:
-    * DuckDB's native `->>` JSON extraction. */
+    * DuckDB's native `->>` JSON extraction.
+    *
+    * CONTRACT (cross-engine parity): the fixture's `props.k` is always
+    * a JSON INTEGER. On a string-encoded ("7") or fractional (7.5) k
+    * the engines diverge by design — Spark's `from_json` with LongType
+    * yields null for both, while DuckDB's `CAST(->> AS BIGINT)` coerces
+    * '7' to 7 and errors on '7.5'. A fixture change that emits k as
+    * text or a fraction must also normalize one side (e.g. DuckDB
+    * `json_extract(props, 'k')` with an explicit type check). */
   def q52Json(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
@@ -508,7 +525,7 @@ object RelationalQueries {
     * hash-verifies the write→partitioned-read→aggregate path against
     * the plain-parquet oracle. */
   def q58PartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfx = Integer.toHexString(sfDir.hashCode)
+    val sfx = pathKey(sfDir)
     val tbl = s"graft_part_orders_$sfx"
     if (!spark.catalog.tableExists(tbl)) {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -392,12 +392,15 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
     * search: tf(doc, term) × ln((N+1)/(df(term)+1)) (smoothed IDF),
     * top-[[TfidfTopK]] terms per doc.
     *
-    * Shape for 100 TB: the exploded token frame feeds two partial
-    * aggregations (per-doc tf, global df — both map-side combined), the
-    * document count is a broadcast 1-row aggregate, and the per-doc
-    * top-k is a rank window Spark rewrites to WindowGroupLimit
-    * (per-partition top-k before the shuffle). The term join (tf ⋈ df)
-    * exchanges only aggregated rows — never the raw token stream.
+    * Shape for 100 TB: the corpus is tokenized ONCE — the exploded
+    * token frame feeds the per-doc tf partial aggregation, and df is
+    * derived FROM tf (`tf.groupBy(term).count()`: tf already holds one
+    * row per (doc, term), so counting its rows per term IS the distinct
+    * document frequency — no second pass over the corpus). The document
+    * count is a broadcast 1-row aggregate, and the per-doc top-k is a
+    * rank window Spark rewrites to WindowGroupLimit (per-partition
+    * top-k before the shuffle). The term join (tf ⋈ df) exchanges only
+    * aggregated rows — never the raw token stream.
     *
     * Determinism across engines: the score is round(,6)-gridded BEFORE
     * ranking, so a sub-grid libm difference in ln() can't reorder the
@@ -407,7 +410,7 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
@@ -425,7 +428,7 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
     s"""WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,

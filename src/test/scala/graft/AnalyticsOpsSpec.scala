@@ -136,8 +136,9 @@ class AnalyticsOpsSpec extends GraftSpec {
       // a suffix, so the distance is bounded by the marker's length
       // (visible only when the base text is shorter than the prefix)
       val (da, db) = (r.getLong(0), r.getLong(1))
-      if (db - da == 200000) assert(dist === 0, s"pair ($da,$db) identical")
-      if (db - da == 100000)
+      if (db - da == graft.dedup.DedupQueries.ExactDupOffset)
+        assert(dist === 0, s"pair ($da,$db) identical")
+      if (db - da == graft.dedup.DedupQueries.NearDupOffset)
         assert(dist <= graft.dedup.DedupQueries.NearDupSuffix.length,
           s"pair ($da,$db) differs only by the marker suffix")
     }
@@ -224,14 +225,16 @@ class AnalyticsOpsSpec extends GraftSpec {
     byId.foreach { case (id, (n, s, ratio, full)) =>
       assert(s <= n && ratio >= 0.0 && ratio <= 1.0 && full == (s == n), s"doc $id")
     }
-    val exactDups = byId.keys.filter(id => id >= 200000 && id < 300000)
+    val nearOff = graft.dedup.DedupQueries.NearDupOffset
+    val exactOff = graft.dedup.DedupQueries.ExactDupOffset
+    val exactDups = byId.keys.filter(_ >= exactOff)
     assert(exactDups.nonEmpty)
     exactDups.foreach { id =>
       assert(byId(id)._4, s"exact dup $id must be fully shared")
-      assert(byId(id - 200000)._4, s"its base ${id - 200000} too")
+      assert(byId(id - exactOff)._4, s"its base ${id - exactOff} too")
     }
     // near-dups (suffix append) share everything but the altered tail
-    val nearDups = byId.keys.filter(id => id >= 100000 && id < 200000)
+    val nearDups = byId.keys.filter(id => id >= nearOff && id < exactOff)
     assert(nearDups.nonEmpty)
     // suffix append alters at most the tail chunk and adds one: with
     // n chunks, at least n-2 stay shared

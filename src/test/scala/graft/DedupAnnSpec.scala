@@ -49,16 +49,18 @@ class DedupAnnSpec extends GraftSpec {
   test("exact dedup groups identical texts only (sf0.001)") {
     val rows = graft.dedup.DedupQueries.q20DedupExact(spark, sfDir).collect()
     val dups = rows.filter(_.getAs[Boolean]("is_dup"))
-    // injected exact copies: doc_id%15==0 -> +200000; near-dups differ
+    // injected exact copies: doc_id%15==0 -> +ExactDupOffset; near-dups differ
     assert(dups.nonEmpty)
-    assert(dups.forall(r => r.getAs[Long]("doc_id") >= 200000))
+    assert(dups.forall(r =>
+      r.getAs[Long]("doc_id") >= graft.dedup.DedupQueries.ExactDupOffset))
   }
 
   test("minhash-LSH finds the injected near-duplicates (sf0.001)") {
     val pairs = graft.dedup.DedupQueries.q21MinHashLsh(spark, sfDir).collect()
     val injected = pairs.filter { r =>
       val a = r.getAs[Long]("da"); val b = r.getAs[Long]("db")
-      b == a + 100000 || b == a + 200000
+      b == a + graft.dedup.DedupQueries.NearDupOffset ||
+        b == a + graft.dedup.DedupQueries.ExactDupOffset
     }
     assert(injected.nonEmpty)
     injected.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.5))
@@ -92,8 +94,9 @@ class DedupAnnSpec extends GraftSpec {
       .cache()
     val nCand = cand.count()
     // union over 4 bands must still find every injected near-dup pair
-    val injected = vc.filter(col("vec_id") >= 100000)
-      .select((col("vec_id") - 100000).as("va"), col("vec_id").as("vb"))
+    val injected = vc.filter(col("vec_id") >= graft.dedup.DedupQueries.NearDupOffset)
+      .select((col("vec_id") - graft.dedup.DedupQueries.NearDupOffset).as("va"),
+        col("vec_id").as("vb"))
     val missed = injected.join(cand, Seq("va", "vb"), "left_anti").count()
     cand.unpersist(); vc.unpersist()
     assert(missed === 0L, s"$missed injected near-dup pairs not blocked together")

@@ -43,10 +43,12 @@ class ScaleOpsSpec extends GraftSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.get
       assert(scan.partitionFilters.nonEmpty, "date predicate must prune partitions")
-      // the scan touches only the ≤7 in-window partition dirs, not all days
+      // the scan touches only the ≤7 in-window partition DIRECTORIES,
+      // not all days (directory count, not file count: write
+      // parallelism may emit several files per partition dir)
       val total = sp.table("graft_p_orders").select(col("o_date")).distinct().count()
       assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
-        .map(_.files.size).sum <= 7L, s"pruned scan reads a bounded file set (of $total days)")
+        .size <= 7, s"pruned scan reads a bounded partition set (of $total days)")
       assert(q.collect().map(_.getLong(1)).sum > 0)
     } finally {
       sp.sql("DROP TABLE IF EXISTS graft_p_orders")
