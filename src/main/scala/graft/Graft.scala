@@ -231,6 +231,17 @@ object Graft {
                 broadcastEdges: Boolean = false): DataFrame =
     graph.Triangles.run(edges.select(src.as("src"), dst.as("dst")), broadcastEdges)
 
+  /** Connected components over any (src, dst) edge frame: (id,
+    * component) with component = the minimum id reachable over
+    * undirected paths — the transitive-grouping primitive behind
+    * near-dup cluster canonicalization (q25), on a caller schema.
+    * Convergence-stopped min-label propagation, one checkpointed label
+    * snapshot live at a time (see graph.ConnectedComponents). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          maxIters: Int = 20): DataFrame =
+    graph.ConnectedComponents.run(
+      edges.select(src.as("src"), dst.as("dst")), maxIters)
+
   /** Ordered funnel counts over any event frame: (stage, step,
     * n_users, conversion), step k reached only strictly after step
     * k−1 (see operators.Funnel). */

@@ -349,17 +349,81 @@ SELECT vec_id, cid AS cluster, d2 AS dist2 FROM fin ORDER BY vec_id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q65
+  /** ANN recall@k — the measurement that turns q31/q32 from "claims to
+    * approximate" into approximations with a number: each method's
+    * top-k joined against q30's exact ground truth, recall = hit
+    * fraction per query point, plus the micro-averaged summary row
+    * (qid = −1, totals over all queries). This is the tuning loop's
+    * metric: more bands/bits (q31) or a higher nprobe (q32) must move
+    * THIS column, measured, not asserted. Pure equi-joins + counts over
+    * three already-deterministic top-k frames ⇒ fully oracle-replayable.
+    *
+    * Scale shape: the per-method hit count is a join on (qid, neighbor)
+    * between two k·|queries|-row frames — ANN outputs, never the
+    * embedding table — so the recall audit costs nothing at 100 TB
+    * (run it over a sampled query panel exactly like this fixture's). */
+  def q65AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = q30KnnBrute(spark, sfDir).select(col("qid"), col("neighbor"))
+    val lsh = q31KnnLsh(spark, sfDir).select(col("qid"), col("neighbor"))
+    val ivf = q32IvfKnn(spark, sfDir).select(col("qid"), col("neighbor"))
+    def hits(m: DataFrame, as: String): DataFrame =
+      exact.join(m, Seq("qid", "neighbor"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    val per = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits(lsh, "lh"), Seq("qid"), "left")
+      .join(hits(ivf, "ih"), Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("lh"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ih"), lit(0L)).as("ivf_hits"))
+    val summary = per.agg(sum(col("n_exact")).as("n_exact"),
+        sum(col("lsh_hits")).as("lsh_hits"), sum(col("ivf_hits")).as("ivf_hits"))
+      .select(lit(-1L).as("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"))
+    per.unionAll(summary)
+      .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        round(col("lsh_hits").cast("double") / col("n_exact"), 6).as("lsh_recall"),
+        round(col("ivf_hits").cast("double") / col("n_exact"), 6).as("ivf_recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** The three ANN oracles composed as CTEs (DuckDB allows a full
+    * WITH…SELECT as a CTE body), then the same join-count arithmetic. */
+  val q65Sql: String =
+    s"""WITH exact AS MATERIALIZED ($q30Sql),
+lshq AS MATERIALIZED ($q31Sql),
+ivfq AS MATERIALIZED ($q32Sql),
+base AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+lh AS (SELECT e.qid, count(*) AS lh FROM exact e
+       JOIN lshq l ON e.qid = l.qid AND e.neighbor = l.neighbor GROUP BY e.qid),
+ih AS (SELECT e.qid, count(*) AS ih FROM exact e
+       JOIN ivfq v ON e.qid = v.qid AND e.neighbor = v.neighbor GROUP BY e.qid),
+per AS (
+  SELECT b.qid, b.n_exact,
+    coalesce(lh.lh, 0) AS lsh_hits, coalesce(ih.ih, 0) AS ivf_hits
+  FROM base b LEFT JOIN lh USING (qid) LEFT JOIN ih USING (qid)),
+allrows AS (
+  SELECT qid, n_exact, lsh_hits, ivf_hits FROM per
+  UNION ALL
+  SELECT -1, CAST(sum(n_exact) AS BIGINT), CAST(sum(lsh_hits) AS BIGINT),
+    CAST(sum(ivf_hits) AS BIGINT) FROM per)
+SELECT qid, n_exact, lsh_hits, ivf_hits,
+  round(CAST(lsh_hits AS DOUBLE) / n_exact, 6) AS lsh_recall,
+  round(CAST(ivf_hits AS DOUBLE) / n_exact, 6) AS ivf_recall
+FROM allrows ORDER BY qid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30KnnBrute,
     "q31_knn_lsh" -> q31KnnLsh,
     "q32_ivf_knn" -> q32IvfKnn,
     "q33_quantize" -> q33Quantize,
-    "q36_kmeans" -> q36KMeans)
+    "q36_kmeans" -> q36KMeans,
+    "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_ivf_knn" -> q32Sql,
     "q33_quantize" -> q33Sql,
-    "q36_kmeans" -> q36Sql)
+    "q36_kmeans" -> q36Sql,
+    "q65_ann_recall" -> q65Sql)
 }

@@ -421,37 +421,14 @@ SELECT va, vb, cosine FROM pairs WHERE cosine >= $CosThreshold ORDER BY va, vb""
   // ---------------------------------------------------------------- q25
   val CcIters = 8
 
-  /** Min-label propagation over an undirected edge list `und(a, b)`
-    * from `init(id, lbl)`, until a round changes no label or `maxIters`
-    * rounds ran. Early exit is result-identical to running the full
-    * round budget (the update is monotone and idempotent at the fixed
-    * point) — at 100× data the component diameter isn't known a priori,
-    * so the loop must detect convergence instead of guessing a count.
-    * Each round holds exactly one checkpointed label snapshot (rotate).
-    *
-    * @return (labels(id, lbl), rounds actually run) */
+  /** Min-label propagation — the loop lives in
+    * [[graft.graph.ConnectedComponents]] since r6 (the facade exposes
+    * it on caller schemas); q25 keeps this forwarding alias because its
+    * `init` carries the FULL corpus (isolated docs become their own
+    * singleton clusters), which the edge-derived facade can't know. */
   private[graft] def propagateLabels(und: DataFrame, init: DataFrame,
-                                     maxIters: Int): (DataFrame, Int) = {
-    var labels = init.select(col("id"), col("lbl")).localCheckpoint()
-    var rounds = 0
-    var converged = false
-    while (rounds < maxIters && !converged) {
-      val pulled = und.join(labels.select(col("id"), col("lbl")), col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("ml"))
-        .withColumnRenamed("a", "mid")
-      val next = labels.join(pulled, col("id") === col("mid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"),
-          (coalesce(col("ml"), col("lbl")) < col("lbl")).as("chg"))
-      labels = graft.Checkpoints.rotate(next, labels)
-      rounds += 1
-      // one limit-1 job on the already-materialized checkpoint
-      converged = labels.filter(col("chg")).isEmpty
-    }
-    // return the checkpoint itself (not a projection) so the caller can
-    // deferFree its blocks; it carries (id, lbl, chg)
-    (labels, rounds)
-  }
+                                     maxIters: Int): (DataFrame, Int) =
+    graft.graph.ConnectedComponents.propagate(und, init, maxIters)
 
   /** Near-dup clusters: connected components over the LSH candidate
     * pairs via iterative min-label propagation (round cap 8 — far

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{MathFunctions => MF}
@@ -130,26 +130,25 @@ FROM h ORDER BY doc_id"""
     * chunk hash, and the per-asset rollup joins hash-partitioned
     * frames — every exchange carries (hash, count) pairs, never
     * payload bytes. */
-  def q62ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The dedup corpus (documents ∪ synthetic near/exact dups — the
+    * id offsets are single-owned by DedupQueries, far above any real
+    * doc_id at any SF), shared by q62 and q64. */
+  private def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    // synthetic-dup ids use the corpus-wide offsets owned by
-    // DedupQueries — far above any real doc_id at any SF
-    val corpus = d.unionAll(
+    d.unionAll(
         d.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select((col("doc_id") + graft.dedup.DedupQueries.NearDupOffset).as("doc_id"),
             concat(col("text"), lit(graft.dedup.DedupQueries.NearDupSuffix)).as("text")))
       .unionAll(
         d.filter(pmod(col("doc_id"), lit(15)) === 0)
           .select((col("doc_id") + graft.dedup.DedupQueries.ExactDupOffset).as("doc_id"), col("text")))
-    val nChunks = ceil(length(col("text")).cast("double") / ChunkLen).cast("long")
-    val idx = sequence(lit(0L), col("n_chunks") - 1)
-    val chunks = corpus
-      .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
-      .filter(col("n_chunks") > 0)
-      .select(col("doc_id"), explode(transform(idx, i =>
-        MF.hash32(col("text").substr((i * ChunkLen + 1).cast("int"), lit(ChunkLen)))))
-        .as("h"))
-      .distinct()
+  }
+
+  /** Per-asset shared-chunk rollup over distinct (doc_id, h) chunk
+    * rows — the content-addressable-store accounting shared by q62 and
+    * q64: every exchange carries (hash, count) pairs, never payload
+    * bytes. */
+  private def chunkShareRollup(chunks: DataFrame): DataFrame = {
     val refs = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_assets"))
     chunks.join(refs, "h")
       .groupBy(col("doc_id"))
@@ -159,6 +158,19 @@ FROM h ORDER BY doc_id"""
         round(col("n_shared").cast("double") / col("n_chunks"), 6).as("shared_ratio"),
         (col("n_shared") === col("n_chunks")).as("fully_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  def q62ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nChunks = ceil(length(col("text")).cast("double") / ChunkLen).cast("long")
+    val idx = sequence(lit(0L), col("n_chunks") - 1)
+    val chunks = dupCorpus(spark, sfDir)
+      .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), explode(transform(idx, i =>
+        MF.hash32(col("text").substr((i * ChunkLen + 1).cast("int"), lit(ChunkLen)))))
+        .as("h"))
+      .distinct()
+    chunkShareRollup(chunks)
   }
 
   val q62Sql: String = {
@@ -188,13 +200,115 @@ FROM chunks JOIN refs USING (h)
 GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q64
+  /** CDC mask width: cut when the low 5 gear-hash bits are zero → mean
+    * chunk length 2^5 = 32 chars, q62's fixed width — so q62 vs q64 is
+    * an apples-to-apples fixed-vs-content-defined comparison. */
+  val CdcMaskBits = 5
+
+  /** Content-defined chunk dedup — q62's blob-store accounting with
+    * REAL cut points: chunk boundaries come from the Gear rolling-hash
+    * rule compiled in [[graft.plans.CdcMath]] (`graft_cdc_chunks`, one
+    * map-only pass per payload), not fixed offsets. Fixed windows lose
+    * ALL chunk sharing on a one-character insert (every later window
+    * shifts); content-defined cut points re-align after the edit, so
+    * only the edited chunk changes — CdcSpec proves exactly that, and
+    * this row drives it through the full rollup: near-dups (suffix
+    * append) now share every chunk except the last even though their
+    * byte lengths differ.
+    *
+    * The cut rule is shift-local integer arithmetic (see CdcMath), so
+    * the DuckDB oracle replays it exactly as a windowed sum — the
+    * sketch-family pattern (KMV/CMS): approximate operators built from
+    * portable arithmetic stay hash-gated. */
+  def q64CdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = dupCorpus(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(call_function("graft_cdc_chunks", col("text"), lit(CdcMaskBits))).as("h"))
+      .distinct()
+    chunkShareRollup(chunks)
+  }
+
+  /** Per-position code points of `text` — stage this as a REAL column
+    * (withColumn) before feeding [[cdcChunksComposed]]: interpreted
+    * HOF lambdas get no common-subexpression elimination, so an inline
+    * codes subtree would be re-evaluated on every element access
+    * (O(L²·M) per document). */
+  private[graft] def cdcCodes(text: Column): Column =
+    transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
+
+  /** Composed-builtins twin of `graft_cdc_chunks` (CdcSpec pins the
+    * kernel to it bitwise): the cut predicate at position i is the
+    * trailing-window sum Σ_{k<min(M,i)} gear(c_{i−k})·2^k mod 2^M — the
+    * shift-local form of the rolling hash (CdcMath doc has the
+    * derivation), so it needs no sequential state. `codes` must be the
+    * staged [[cdcCodes]] column. Interpreted HOFs, spec-only — the
+    * query path uses the kernel. */
+  private[graft] def cdcChunksComposed(text: Column, codes: Column,
+                                       maskBits: Int): Column = {
+    val L = size(codes)
+    def gearOf(c: Column): Column =
+      ((c.cast("long") + 1L) * lit(2654435761L)) % lit(4294967296L)
+    def pred(i: Column): Column =
+      aggregate(sequence(lit(0), least(lit(maskBits), i) - 1), lit(0L),
+        (acc, k) => acc + gearOf(element_at(codes, i - k))
+          * pow(lit(2.0), k.cast("double")).cast("long")) % lit(1L << maskBits) === 0
+    val cuts = filter(sequence(lit(1), L), i => i < L && pred(i))
+    val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(L))
+    transform(sequence(lit(1), size(ends)), j =>
+      MF.hash32(text.substr(element_at(starts, j),
+        element_at(ends, j) - element_at(starts, j) + 1)))
+  }
+
+  val q64Sql: String = {
+    val m = CdcMaskBits
+    val mod = 1L << m
+    val gear = "(((unicode(text[i-k]) + 1) * 2654435761) % 4294967296)"
+    val chunk = "substr(text, CAST(starts[j] AS INTEGER), CAST(ends[j] - starts[j] + 1 AS INTEGER))"
+    s"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + ${graft.dedup.DedupQueries.NearDupOffset} AS doc_id, text || '${graft.dedup.DedupQueries.NearDupSuffix}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + ${graft.dedup.DedupQueries.ExactDupOffset} AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
+f AS (SELECT doc_id, text, length(text) AS L FROM corpus WHERE length(text) > 0),
+cut AS (
+  SELECT doc_id, text, L,
+    list_filter(range(1, L), i ->
+      list_sum(list_transform(range(0, least($m, i)), k ->
+        $gear * CAST(pow(2, k) AS BIGINT))) % $mod = 0) AS cuts
+  FROM f),
+b AS (
+  SELECT doc_id, text,
+    list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+    list_append(cuts, L) AS ends
+  FROM cut),
+chunks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ends) + 1),
+      j -> ${Sql.hash32(chunk)})) AS h
+    FROM b)),
+refs AS (SELECT h, count(*) AS n_assets FROM chunks GROUP BY h)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  round(CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio,
+  (CAST(sum(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS BIGINT) = count(*)) AS fully_shared
+FROM chunks JOIN refs USING (h)
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal" -> q60Multimodal,
     "q61_frame_sample" -> q61FrameSample,
-    "q62_chunk_dedup" -> q62ChunkDedup)
+    "q62_chunk_dedup" -> q62ChunkDedup,
+    "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
     "q60_multimodal" -> q60Sql,
     "q61_frame_sample" -> q61Sql,
-    "q62_chunk_dedup" -> q62Sql)
+    "q62_chunk_dedup" -> q62Sql,
+    "q64_cdc_chunks" -> q64Sql)
 }

@@ -293,8 +293,58 @@ SELECT deg.id, degree, coalesce(n_triangles, 0) AS n_triangles,
 FROM deg LEFT JOIN per ON deg.id = per.id
 ORDER BY deg.id"""
 
+  // ---------------------------------------------------------------- q66
+  /** Round budget shared with the oracle's unrolled CTE chain. Equality
+    * is unconditional: early exit fires only at the fixed point (where
+    * further rounds are identity), so Spark-with-early-exit after ≤8
+    * rounds ≡ the oracle's exactly-8 rounds whether or not the graph
+    * converged inside the budget. */
+  val CcRounds = 8
+
+  /** Connected components of the undirected host graph — the facade's
+    * [[graft.graph.ConnectedComponents]] loop (q25's engine, extracted
+    * r6) as its own driver-verified row: component = min reachable host
+    * id, is_root marks the canonical host per component. Integer labels
+    * end-to-end ⇒ exact cross-engine hash, no float grid needed. */
+  def q66Components(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.ConnectedComponents
+      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)),
+        maxIters = CcRounds)
+      .select(col("id"), col("component"),
+        (col("id") === col("component")).as("is_root"))
+      .orderBy(col("id"))
+
+  val q66Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+e2 AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM hedges UNION SELECT dst AS a, src AS b FROM hedges)
+  WHERE a <> b),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM e2),
+"""
+    for (k <- 1 to CcRounds) {
+      val p = s"l${k - 1}"
+      sb ++= s"""l$k AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, coalesce(m.ml, v.lbl)) AS lbl
+  FROM $p v LEFT JOIN (
+    SELECT e2.a AS mid, min(p.lbl) AS ml FROM e2 JOIN $p p ON e2.b = p.id GROUP BY e2.a) m
+  ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""fin AS (SELECT id, lbl FROM l$CcRounds)
+SELECT id, lbl AS component, (id = lbl) AS is_root
+FROM fin ORDER BY id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_triangles" -> q55Triangles,
+    "q66_components" -> q66Components,
     "q01_linkrank" -> q01LinkRank,
     "q02_trustrank" -> q02TrustRank,
     "q03_hostrank" -> q03HostRank,
@@ -315,5 +365,6 @@ ORDER BY deg.id"""
     "q10_toprank" -> q10Sql,
     "q34_graphx_rank" -> q01Sql, // identical semantics ⇒ identical oracle
     "q35_host_trustrank" -> q35Sql,
-    "q55_triangles" -> q55Sql)
+    "q55_triangles" -> q55Sql,
+    "q66_components" -> q66Sql)
 }

@@ -45,6 +45,35 @@ class GraphOpsPropertySpec extends GraftSpec {
     }
   }
 
+  test("connectedComponents splits a handcrafted multi-component graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (7L, 7L), (6L, 5L))
+      .toDF("src", "dst")
+    val got = Graft.connectedComponents(edges, col("src"), col("dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 7's self-loop drops; isolated vertices aren't in an edge list
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("facade connectedComponents agrees with q25's near-dup clusters") {
+    val q25 = graft.dedup.DedupQueries.q25DupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the facade sees only the pair graph (no isolated docs) — on the
+    // docs it does see, labels must match q25's exactly
+    val pairs = q25.toSeq.filter { case (id, c) => id != c }
+      .flatMap { case (id, c) => Seq(id, c) }.toSet
+    val cc = Graft.connectedComponents(
+        graft.dedup.DedupQueries.q21MinHashLsh(spark, sfDir),
+        col("da"), col("db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graft.drain(spark)
+    assert(cc.nonEmpty && pairs.nonEmpty)
+    cc.foreach { case (id, comp) =>
+      assert(q25(id) === comp, s"doc $id: facade $comp vs q25 ${q25(id)}")
+    }
+    // every doc in a non-singleton q25 cluster appears in the facade run
+    pairs.foreach(id => assert(cc.contains(id), s"doc $id missing from facade CC"))
+  }
+
   test("Funnel equals a brute-force walk on random event logs") {
     val rnd = new scala.util.Random(11)
     val steps = Seq("a", "b", "c")
