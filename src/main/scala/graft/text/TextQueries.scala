@@ -577,6 +577,87 @@ FROM a ORDER BY lang"""
 FROM documents GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Histogram bin width (chars) — sketch state per group is
+    * O(range/HistBin) counters, not O(n) values. */
+  val HistBin = 16
+
+  /** Mergeable quantile sketch — the 100 TB percentile path q50's doc
+    * points at, built deterministic and oracle-replayable like the
+    * KMV/CMS sketches (Spark's `approx_percentile` t-digest is a black
+    * box the oracle can't replay): a fixed-grid histogram of doc
+    * length per language. Bin counts are plain sums — map-side
+    * combinable, tree-mergeable, union-able across corpus shards — and
+    * the estimator reads the cumulative histogram: for rank r =
+    * ceil(p·n), the unique bin with cum_prev < r ≤ cum interpolates
+    * est = bin_lo + width·(r − cum_prev)/cnt. The exact percentile
+    * (q50's operator) and the realized |error| are emitted beside each
+    * estimate; the error is bounded by construction at ±2·HistBin
+    * (estimate and exact rank value sit in the same or adjacent bins —
+    * TextSpec asserts it), so precision is a knob: halving the bin
+    * width halves the bound, 2× the (still tiny) state. */
+  def q67HistQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"),
+        floor(col("n_chars") / lit(16.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    def est(p: Double): Column = {
+      val r = ceil(lit(p) * col("n")).cast("double")
+      max(when(col("cum") >= r && (col("cum") - col("cnt")) < r,
+        round(col("bin") * HistBin
+          + lit(16.0) * (r - (col("cum") - col("cnt"))) / col("cnt"), 6)))
+    }
+    val sk = cum.groupBy(col("lang")).agg(
+      max(col("n")).as("n_docs"),
+      est(0.5).as("est_p50"), est(0.9).as("est_p90"), est(0.99).as("est_p99"))
+    val exact = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .select(col("lang"), round(col("q")(0), 6).as("exact_p50"),
+        round(col("q")(1), 6).as("exact_p90"), round(col("q")(2), 6).as("exact_p99"))
+    sk.join(exact, "lang")
+      .select(col("lang"), col("n_docs"),
+        col("est_p50"), col("exact_p50"),
+        round(abs(col("est_p50") - col("exact_p50")), 6).as("err_p50"),
+        col("est_p90"), col("exact_p90"),
+        round(abs(col("est_p90") - col("exact_p90")), 6).as("err_p90"),
+        col("est_p99"), col("exact_p99"),
+        round(abs(col("est_p99") - col("exact_p99")), 6).as("err_p99"))
+      .orderBy(col("lang"))
+  }
+
+  val q67Sql: String = {
+    def est(p: Double, as: String): String =
+      s"""max(CASE WHEN cum >= ceil($p * n) AND cum - cnt < ceil($p * n)
+      THEN round(bin * $HistBin + 16.0 * (ceil($p * n) - (cum - cnt)) / cnt, 6) END) AS $as"""
+    s"""WITH binned AS (
+  SELECT lang, CAST(floor(n_chars / 16.0) AS BIGINT) AS bin, count(*) AS cnt
+  FROM documents GROUP BY lang, bin),
+cum AS (
+  SELECT lang, bin, cnt,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM binned),
+sk AS (
+  SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+    ${est(0.5, "est_p50")},
+    ${est(0.9, "est_p90")},
+    ${est(0.99, "est_p99")}
+  FROM cum GROUP BY lang),
+ex AS (
+  SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q
+  FROM documents GROUP BY lang)
+SELECT s.lang, n_docs,
+  est_p50, round(q[1], 6) AS exact_p50, round(abs(est_p50 - round(q[1], 6)), 6) AS err_p50,
+  est_p90, round(q[2], 6) AS exact_p90, round(abs(est_p90 - round(q[2], 6)), 6) AS err_p90,
+  est_p99, round(q[3], 6) AS exact_p99, round(abs(est_p99 - round(q[3], 6)), 6) AS err_p99
+FROM sk s JOIN ex USING (lang) ORDER BY s.lang"""
+  }
+
   // ---------------------------------------------------------------- q56
   /** Count-Min sketch geometry: D independent hash rows × W counters.
     * Error bound: overestimate ≤ (e/W)·total_tokens with prob
@@ -694,6 +775,7 @@ FROM s ORDER BY lang"""
     "q57_corr" -> q57Corr,
     "q49_kmv_distinct" -> q49KmvDistinct,
     "q50_quantiles" -> q50Quantiles,
+    "q67_hist_quantiles" -> q67HistQuantiles,
     "q51_pivot" -> q51Pivot,
     "q40_langid" -> q40LangId,
     "q41_quality" -> q41Quality,
@@ -717,6 +799,7 @@ FROM s ORDER BY lang"""
     "q48_tfidf" -> q48Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q50_quantiles" -> q50Sql,
+    "q67_hist_quantiles" -> q67Sql,
     "q51_pivot" -> q51Sql,
     "q56_countmin" -> q56Sql,
     "q57_corr" -> q57Sql)

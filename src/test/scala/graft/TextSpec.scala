@@ -104,4 +104,21 @@ class TextSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).sorted
     assert(facade.toSeq === fixture.toSeq) // facade ≡ driver fixture
   }
+
+  test("q67 histogram quantile sketch: error bounded by the bin width") {
+    val rows = TextQueries.q67HistQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      Seq("err_p50", "err_p90", "err_p99").foreach { c =>
+        val err = r.getAs[Double](c)
+        // estimate and exact rank value sit in the same or adjacent
+        // bins → |err| ≤ 2·HistBin by construction, any input
+        assert(err >= 0.0 && err <= 2.0 * TextQueries.HistBin, s"$lang $c = $err")
+      }
+      // estimates are ordered like the percentiles they estimate
+      assert(r.getAs[Double]("est_p50") <= r.getAs[Double]("est_p90"))
+      assert(r.getAs[Double]("est_p90") <= r.getAs[Double]("est_p99"))
+    }
+  }
 }
