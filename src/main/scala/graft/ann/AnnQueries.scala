@@ -227,7 +227,15 @@ WHERE rank <= $K ORDER BY qid, rank"""
   // ---------------------------------------------------------------- q33
   /** Int8 embedding quantization (the storage path at 100 TB: 4x
     * smaller vectors for IVF cells): per-vector absmax scale,
-    * q = round(v/scale*127), reconstruction-error stats. */
+    * q = round(v/scale*127), reconstruction-error stats.
+    *
+    * The transform/zip_with/aggregate lambdas here run interpreted, but
+    * over a FIXED 64-element vector with O(1) arithmetic per element —
+    * ~256 interpreted steps per row, no quadratic blowup, no sketch
+    * deserialization per step (the cases that forced kernels elsewhere:
+    * Winnow, LshCode, BloomCountContains). Measured: q33 is among the
+    * cheapest bench rows (~0.2s warm at sf0.1), so a kernel would buy
+    * nothing observable. */
   def q33Quantize(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val mx = aggregate(transform(col("v"), x => abs(x)), lit(0.0),

@@ -607,10 +607,8 @@ FROM final ORDER BY doc_id"""
     val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
     trainSets
       .select(col("doc_id"), size(col("s")).as("n_shingles"),
-        aggregate(col("s"), lit(0L),
-          (acc, x) => acc +
-            when(call_function("graft_might_contain", lit(bf), x), 1L)
-              .otherwise(0L)).as("n_overlap"))
+        call_function("graft_bloom_count_contains", lit(bf), col("s"))
+          .as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
   }

@@ -88,8 +88,10 @@ FROM documents ORDER BY doc_id"""
       .withColumn("fh", hashes)
       .select(col("doc_id"), col("n_frames"),
         size(col("fh")).as("n_sampled"),
-        aggregate(col("fh"), lit(Long.MaxValue), (a, x) => least(a, x)).as("fh_min"),
-        aggregate(col("fh"), lit(Long.MinValue), (a, x) => greatest(a, x)).as("fh_max"))
+        // array_min/max are native codegen (no interpreted lambda) and
+        // equal the sentinel-fold on these non-empty, non-null arrays
+        array_min(col("fh")).as("fh_min"),
+        array_max(col("fh")).as("fh_max"))
       .orderBy(col("doc_id"))
   }
 

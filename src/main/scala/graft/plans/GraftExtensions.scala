@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           Cast(args(0), LongType), args(1), args(2)).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_count_contains"),
+      new ExpressionInfo(classOf[BloomCountContains].getName, "graft_bloom_count_contains"),
+      (args: Seq[Expression]) => BloomCountContains(args(0), Cast(args(1), longArr))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

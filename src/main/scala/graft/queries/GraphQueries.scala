@@ -342,9 +342,83 @@ FROM fin ORDER BY id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q68
+  /** Warm-phase round budget after the edge delta — shared with the
+    * oracle's unrolled chain. Less than half the reference's 9-update
+    * schedule, grounded by measurement at sf0.001 (~1% edge delta,
+    * tol-converged rank as the yardstick): 4 warm rounds land as close
+    * to the converged answer as the full 9-round cold schedule does
+    * (max CDF-space dev 0.319 warm-4 vs 0.324 cold-9 on the [0,10]
+    * scale — both dominated by the 9-update semantics' own distance
+    * from convergence, a property of the reference's fixed schedule,
+    * not of the warm start). The convergence CLAIM — warm start halts
+    * in fewer tol-rounds and lands on the same fixed point — is
+    * LinkRankSpec's property in raw-score space, where it is robust;
+    * CDF space amplifies μ/σ drift and is gated by replay instead. */
+  val WarmRounds = 4
+  // ~1% dropped + ~1% reverse-added: one crawl batch against a standing
+  // web graph, not a rebuild — the regime an incremental path is FOR
+  private[graft] val DropMod = 97
+  private[graft] val RevMod = 89
+
+  /** Raw (un-normalized) 9-round damped iterate over the page graph —
+    * the representation a warm start feeds on (LinkRank.runCounted
+    * normalize=false doc). Session-cached: one raw ranking per session
+    * feeds any number of incremental re-ranks. */
+  private def pageRawRank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"rank-raw:page:$sfDir") {
+      val edges = WebGraph.cachedEdges(spark, sfDir)
+      LinkRank.runCounted(spark, edges, LinkRank.uniformInit(edges),
+        cacheKey = Some(s"page:$sfDir"), normalize = false)._1
+    }
+
+  /** Incremental LinkRank — the 100 TB operations path when one crawl
+    * batch lands: a deterministic ~2% edge delta (drop edges with
+    * (pk(src)+pk(dst)) % DropMod = 0, add the reverse of edges with
+    * (pk(src)+3·pk(dst)) % RevMod = 0) mutates the page graph, and the
+    * re-rank WARM-STARTS from the previous raw iterate over the
+    * ORIGINAL vertex set, running only [[WarmRounds]] updates instead
+    * of the reference's 9-round full recompute. The reference has no
+    * counterpart (every Giraph job re-ranks from scratch). The oracle
+    * replays both phases exactly (9 unrolled rounds on the original
+    * graph feeding 4 on the mutated one), so the warm-start engine path
+    * — delta construction, init-from-frame, unchanged vertex domain,
+    * normalization — is hash-gated end to end; the convergence claim
+    * (fewer tol-rounds than cold, same fixed point) is LinkRankSpec's
+    * property on this same graph and mutation rule. */
+  def q68IncrementalRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    val pks = pkOf(col("src"))
+    val pkd = pkOf(col("dst"))
+    val kept = edges.filter(pmod(pks + pkd, lit(DropMod)) =!= 0)
+    val added = edges.filter(pmod(pks + pkd * 3, lit(RevMod)) === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val mutated = kept.unionByName(added).distinct()
+    LinkRank.run(spark, mutated, pageRawRank(spark, sfDir),
+        iters = WarmRounds, cacheKey = Some(s"pagemut:$sfDir"))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"))
+  }
+
+  val q68Sql: String = {
+    val pkS = pkOfSql("src")
+    val pkD = pkOfSql("dst")
+    s"""WITH $pageGraphCtes,
+${RankSql.chain("edges", "1.0", prefix = "a_", normalize = false)},
+m_edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE ($pkS + $pkD) % $DropMod <> 0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE ($pkS + $pkD * 3) % $RevMod = 0)),
+${RankSql.chain("m_edges", "", iters = WarmRounds, prefix = "b_",
+        initFromCte = Some("a_ranked"), verticesFrom = Some("a_vertices"))}
+SELECT id, round(score, 6) AS score FROM b_ranked ORDER BY id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_triangles" -> q55Triangles,
     "q66_components" -> q66Components,
+    "q68_incremental_rank" -> q68IncrementalRank,
     "q01_linkrank" -> q01LinkRank,
     "q02_trustrank" -> q02TrustRank,
     "q03_hostrank" -> q03HostRank,
@@ -366,5 +440,6 @@ FROM fin ORDER BY id"""
     "q34_graphx_rank" -> q01Sql, // identical semantics ⇒ identical oracle
     "q35_host_trustrank" -> q35Sql,
     "q55_triangles" -> q55Sql,
-    "q66_components" -> q66Sql)
+    "q66_components" -> q66Sql,
+    "q68_incremental_rank" -> q68Sql)
 }

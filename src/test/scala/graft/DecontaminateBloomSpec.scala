@@ -37,6 +37,27 @@ class DecontaminateBloomSpec extends GraftSpec {
     assert(exact.count(_._2._3) === bloom.count(_._2._3))
   }
 
+  test("graft_bloom_count_contains kernel == composed aggregate/might_contain twin") {
+    // same sketch, same probes: the compiled whole-array count must be
+    // bitwise identical to the interpreted per-element fold it replaced
+    val docs = Tables.documents(spark, sfDir)
+    val isBench = pmod(col("doc_id"), lit(dedup.DedupQueries.BenchMod)) === 0
+    val sets = docs.select(col("doc_id"),
+      call_function("graft_shingle_set", col("text")).as("s"))
+    val bf = sets.filter(isBench).select(explode(col("s")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(1L << 17), lit(8L << 20)))
+      .first().getAs[Array[Byte]](0)
+    val both = sets.filter(!isBench).select(col("doc_id"),
+        call_function("graft_bloom_count_contains", lit(bf), col("s")).as("kernel"),
+        aggregate(col("s"), lit(0L),
+          (acc, x) => acc + when(
+            call_function("graft_might_contain", lit(bf), x), 1L).otherwise(0L))
+          .as("twin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("q52 JSON extraction parses every well-formed props payload") {
     val rows = RelationalQueries.q52Json(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -108,6 +108,47 @@ class LinkRankSpec extends GraftSpec {
     warm.foreach { case (k, v) => assert(math.abs(v - cold(k)) < 1e-5, k) }
   }
 
+  test("incremental rank: q68's edge delta re-ranks in fewer tol-rounds from warm start") {
+    // the q68 scenario on the REAL sf0.001 page graph with q68's own
+    // mutation rule (~1% dropped, ~1% reverse-added), in raw-score
+    // space where "same answer" is well-defined (the fixed point).
+    // damping 0.5 keeps the round counts small; the contraction
+    // argument is damping-independent.
+    import graft.queries.GraphQueries.{DropMod, RevMod}
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    def pk(c: String) = regexp_extract(col(c), "p([0-9]+)$", 1).cast("long")
+    val kept = edges.filter(pmod(pk("src") + pk("dst"), lit(DropMod)) =!= 0)
+    val added = edges.filter(pmod(pk("src") + pk("dst") * 3, lit(RevMod)) === 0)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val mutated = kept.unionByName(added).distinct()
+
+    val tol = Some(1e-6)
+    // previous standing ranking: tol-converged raw iterate on e1
+    val (raw1, _) = LinkRank.runCounted(spark, edges, LinkRank.uniformInit(edges),
+      iters = 60, damping = 0.5, tol = tol, normalize = false)
+    val prev = raw1.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    Checkpoints.drain(spark)
+
+    val (rawWarm, roundsWarm) = LinkRank.runCounted(spark, mutated,
+      prev.toDF("id", "score"), iters = 60, damping = 0.5, tol = tol,
+      normalize = false)
+    val warm = rawWarm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Checkpoints.drain(spark)
+    val (rawCold, roundsCold) = LinkRank.runCounted(spark, mutated,
+      prev.toDF("id", "score").select(col("id"), lit(1.0).as("score")),
+      iters = 60, damping = 0.5, tol = tol, normalize = false)
+    val cold = rawCold.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Checkpoints.drain(spark)
+
+    // both converge inside the budget; the warm start is strictly
+    // cheaper; both land on the same fixed point (within the tol cone
+    // |v − v*| ≤ tol·d/(1−d) = 1e-6 each)
+    assert(roundsWarm < 60 && roundsCold < 60, s"warm=$roundsWarm cold=$roundsCold")
+    assert(roundsWarm < roundsCold, s"warm=$roundsWarm cold=$roundsCold")
+    warm.foreach { case (k, v) => assert(math.abs(v - cold(k)) < 1e-5, k) }
+    assert(warm.keySet === cold.keySet) // vertex domain preserved
+  }
+
   test("edge dedup matches removeDuplicateLinks semantics") {
     val raw = Seq(
       ("http://a.com/x", " http://b.com/y#frag"),
