@@ -242,6 +242,24 @@ object Graft {
     graph.ConnectedComponents.run(
       edges.select(src.as("src"), dst.as("dst")), maxIters)
 
+  /** Multi-source BFS hop distances over any directed (src, dst) edge
+    * frame: (id, dist), dist = NULL when no seed reaches the vertex
+    * within `maxIters` hops. Convergence-stopped min-propagation, one
+    * checkpointed snapshot live at a time (see graph.Bfs). */
+  def bfs(edges: DataFrame, src: Column, dst: Column,
+          seeds: DataFrame, seedId: Column, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    graph.Bfs.run(e, graph.WebGraph.vertices(e),
+      seeds.select(seedId.as("id")), maxIters)
+  }
+
+  /** HITS hubs & authorities over any directed (src, dst) edge frame:
+    * (id, auth, hub), sum-normalized after `iters` full update rounds
+    * (see graph.Hits). */
+  def hits(spark: SparkSession, edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 5): DataFrame =
+    graph.Hits.run(spark, edges.select(src.as("src"), dst.as("dst")), iters)
+
   /** Ordered funnel counts over any event frame: (stage, step,
     * n_users, conversion), step k reached only strictly after step
     * k−1 (see operators.Funnel). */

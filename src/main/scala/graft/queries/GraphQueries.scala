@@ -415,7 +415,111 @@ ${RankSql.chain("m_edges", "", iters = WarmRounds, prefix = "b_",
 SELECT id, round(score, 6) AS score FROM b_ranked ORDER BY id"""
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Round budget = radius bound; early exit at the fixed point makes
+    * budget-K ≡ the oracle's exactly-K unrolled rounds (q66 argument). */
+  val BfsRounds = 8
+
+  /** Multi-source BFS hop distance from the trusted seed hosts over
+    * the directed host graph — the reachability/frontier question a
+    * trust pipeline asks right after ranking (how many hops is every
+    * host from the seed set? what never gets reached?). Engine:
+    * [[graft.graph.Bfs]] (min-propagation rounds, convergence-stop).
+    * Unreached hosts emit dist = −1 (sentinel, not NULL, so the
+    * cross-engine hash is null-convention-free like q38). */
+  def q69BfsReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val verts = WebGraph.vertices(hedges)
+    val seeds = verts.filter(pmod(hostNum(col("id")), lit(17)) === 0)
+    graft.graph.Bfs.run(hedges, verts, seeds, maxIters = BfsRounds)
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("dist").isNotNull.as("reached"))
+      .orderBy(col("id"))
+  }
+
+  val q69Sql: String = {
+    val pred = (c: String) =>
+      s"(CAST(regexp_extract($c, 'part([0-9]+)', 1) AS BIGINT) % 17 = 0)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+hverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM hedges UNION ALL SELECT dst FROM hedges)),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN ${pred("id")} THEN CAST(0 AS BIGINT) ELSE NULL END AS dist FROM hverts),
+"""
+    for (k <- 1 to BfsRounds) {
+      val p = s"d${k - 1}"
+      sb ++= s"""d$k AS MATERIALIZED (
+  SELECT v.id, (CASE WHEN v.dist IS NULL THEN m.md WHEN m.md IS NULL THEN v.dist
+                ELSE least(v.dist, m.md) END) AS dist
+  FROM $p v LEFT JOIN (
+    SELECT e.dst AS mid, min(p.dist) + 1 AS md
+    FROM hedges e JOIN $p p ON e.src = p.id WHERE p.dist IS NOT NULL
+    GROUP BY e.dst) m ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""fin AS (SELECT id, dist FROM d$BfsRounds)
+SELECT id, coalesce(dist, -1) AS dist, (dist IS NOT NULL) AS reached
+FROM fin ORDER BY id"""
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- q70
+  /** Full (auth, hub) update rounds — fixed like the reference's rank
+    * schedule, unrolled exactly by the oracle. */
+  val HitsRounds = 5
+
+  /** HITS hubs & authorities over the page graph
+    * ([[graft.graph.Hits]]): the second classic link-analysis family
+    * next to the reference's PageRank variants — directories/link
+    * pages surface as hubs, targets as authorities, a split one-score
+    * rank models can't express. Sum-normalized so every step is
+    * oracle-replayable arithmetic. */
+  def q70Hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    graft.graph.Hits.run(spark, edges, iters = HitsRounds,
+        cacheKey = Some(s"page:$sfDir"))
+      .select(col("id"), round(col("auth"), 6).as("auth"),
+        round(col("hub"), 6).as("hub"))
+      .orderBy(col("id"))
+  }
+
+  val q70Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+vertices AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM vertices),
+"""
+    for (k <- 1 to HitsRounds) {
+      val p = s"h${k - 1}"
+      sb ++= s"""hn$k AS (SELECT id, h / (SELECT sum(h) FROM $p) AS h FROM $p),
+a$k AS MATERIALIZED (
+  SELECT v.id, coalesce(r.a, 0.0) AS a
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS rid, sum(p.h) AS a FROM edges e JOIN hn$k p ON e.src = p.id
+    GROUP BY e.dst) r ON v.id = r.rid),
+an$k AS (SELECT id, a / (SELECT sum(a) FROM a$k) AS a FROM a$k),
+h$k AS MATERIALIZED (
+  SELECT v.id, coalesce(r.h, 0.0) AS h
+  FROM vertices v LEFT JOIN (
+    SELECT e.src AS rid, sum(p.a) AS h FROM edges e JOIN an$k p ON e.dst = p.id
+    GROUP BY e.src) r ON v.id = r.rid),
+"""
+    }
+    sb ++= s"""hnf AS (SELECT id, h / (SELECT sum(h) FROM h$HitsRounds) AS h FROM h$HitsRounds)
+SELECT a.id, round(a.a, 6) AS auth, round(hf.h, 6) AS hub
+FROM an$HitsRounds a JOIN hnf hf ON a.id = hf.id ORDER BY a.id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bfs_reach" -> q69BfsReach,
+    "q70_hits" -> q70Hits,
     "q55_triangles" -> q55Triangles,
     "q66_components" -> q66Components,
     "q68_incremental_rank" -> q68IncrementalRank,
@@ -441,5 +545,7 @@ SELECT id, round(score, 6) AS score FROM b_ranked ORDER BY id"""
     "q35_host_trustrank" -> q35Sql,
     "q55_triangles" -> q55Sql,
     "q66_components" -> q66Sql,
-    "q68_incremental_rank" -> q68Sql)
+    "q68_incremental_rank" -> q68Sql,
+    "q69_bfs_reach" -> q69Sql,
+    "q70_hits" -> q70Sql)
 }

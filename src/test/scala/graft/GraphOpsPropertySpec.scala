@@ -74,6 +74,67 @@ class GraphOpsPropertySpec extends GraftSpec {
     pairs.foreach(id => assert(cc.contains(id), s"doc $id missing from facade CC"))
   }
 
+  test("Bfs equals brute-force multi-source distances on random digraphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 5
+      val edges = Seq.fill(n * 2)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      val seeds = (0 until 2).map(i => s"v${rnd.nextInt(n)}").distinct
+      val got = Graft.bfs(edges.toDF("src", "dst"), col("src"), col("dst"),
+          seeds.toDF("id"), col("id"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      Graft.drain(spark)
+
+      // brute force: level-synchronous BFS following edge direction
+      val vs = edges.flatMap(p => Seq(p._1, p._2)).toSet
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var dist = seeds.filter(vs).map(_ -> 0L).toMap
+      var level = 0L
+      var cur = dist.keySet
+      while (cur.nonEmpty) {
+        level += 1
+        val nxt = cur.flatMap(v => adj.getOrElse(v, Seq.empty))
+          .filterNot(dist.contains)
+        nxt.foreach(v => dist += v -> level)
+        cur = nxt
+      }
+      assert(got.keySet === vs, s"trial $trial vertex set")
+      vs.foreach { v =>
+        assert(got(v) === dist.get(v), s"trial $trial vertex $v")
+      }
+    }
+  }
+
+  test("Hits equals a driver-side dense power iteration on a handcrafted graph") {
+    // two hubs pointing at a shared authority, plus a side chain
+    val edges = Seq("a" -> "x", "b" -> "x", "b" -> "y", "c" -> "a")
+    val got = Graft.hits(spark, edges.toDF("src", "dst"), col("src"), col("dst"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Graft.drain(spark)
+
+    // same sum-normalized recurrence, dense, in the driver
+    val vs = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var hub = vs.map(_ -> 1.0).toMap
+    var auth = Map.empty[String, Double]
+    for (_ <- 1 to 5) {
+      val hn = { val s = hub.values.sum; hub.map { case (k, v) => k -> v / s } }
+      auth = vs.map(v => v -> edges.filter(_._2 == v).map(e => hn(e._1)).sum).toMap
+      val an = { val s = auth.values.sum; auth.map { case (k, v) => k -> v / s } }
+      hub = vs.map(v => v -> edges.filter(_._1 == v).map(e => an(e._2)).sum).toMap
+      auth = an
+    }
+    val hubN = { val s = hub.values.sum; hub.map { case (k, v) => k -> v / s } }
+    vs.foreach { v =>
+      assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth $v")
+      assert(math.abs(got(v)._2 - hubN(v)) < 1e-9, s"hub $v")
+    }
+    // x gathers both strong hubs: it must be the top authority, and the
+    // two-target hub b must out-rank the single-target hub a
+    assert(auth("x") === auth.values.max)
+    assert(got("b")._2 > got("a")._2)
+  }
+
   test("Funnel equals a brute-force walk on random event logs") {
     val rnd = new scala.util.Random(11)
     val steps = Seq("a", "b", "c")
