@@ -524,7 +524,10 @@ object RelationalQueries {
     * the window; plan-asserted in ScaleOpsSpec). The driver row
     * hash-verifies the write→partitioned-read→aggregate path against
     * the plain-parquet oracle. */
-  def q58PartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Date-partitioned orders as a session catalog table, written once
+    * per (session, sfDir) — q58's static-pruning scan and q72's
+    * dynamic-pruning join share the layout. */
+  private def partOrdersTable(spark: SparkSession, sfDir: String): String = {
     val sfx = pathKey(sfDir)
     val tbl = s"graft_part_orders_$sfx"
     if (!spark.catalog.tableExists(tbl)) {
@@ -535,6 +538,11 @@ object RelationalQueries {
         .write.mode("overwrite").partitionBy("o_date")
         .option("path", s"$tmp/orders").saveAsTable(tbl)
     }
+    tbl
+  }
+
+  def q58PartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = partOrdersTable(spark, sfDir)
     spark.table(tbl)
       .filter(col("o_date") >= lit(PruneFrom) && col("o_date") < lit(PruneTo))
       .groupBy(col("o_date").cast("string").as("day"), col("o_orderpriority"))
@@ -552,6 +560,68 @@ object RelationalQueries {
       |  AND CAST(o_orderdate AS DATE) < DATE '$PruneTo'
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Hopping (sliding) window aggregation — 1-hour windows every
+    * 15 minutes over the event stream, the overlapping-window twin of
+    * q16's tumbling agg and the batch shape of a streaming
+    * `window(ts, "1 hour", "15 minutes")`. Spark's native `window()`
+    * generator expands each event into its length/slide = 4 covering
+    * windows BEFORE the partial aggregation, so the exchange carries
+    * (window, type) partial rows — 4× the tumbling agg's aggregate
+    * state, never 4× the event stream. Windows are epoch-aligned in
+    * the UTC session, so the oracle replays them as integer floor
+    * arithmetic on microseconds. */
+  def q71SlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(window(timestamp_micros(expr("ts div 1000")),
+          "1 hour", "15 minutes").as("w"),
+        col("event_type"), col("value"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), asD(dsum(col("value"))).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  val q71Sql: String =
+    """WITH exp AS (
+      |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - j) * 900000000 AS ws,
+      |    event_type, value
+      |  FROM events, range(0, 4) t(j))
+      |SELECT ws AS window_start_us, event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+      |FROM exp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Dynamic partition pruning — the RUNTIME twin of q58's
+    * planning-time pruning, and the lever that matters when the date
+    * set is data-dependent: the fact side (the q58 date-partitioned
+    * orders table) joins a dim frame whose filter — "Mondays only" —
+    * selects the dates, and Spark prunes the fact scan's partitions
+    * with a DynamicPruningSubquery fed by the dim's broadcast (the
+    * fact directories for other weekdays are never opened; ScaleOpsSpec
+    * plan-asserts `dynamicpruning` in the scan's PartitionFilters).
+    * The dim derives from the RAW parquet (a separate source), so the
+    * optimizer cannot constant-fold the date set at planning time. */
+  def q72DynamicPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = partOrdersTable(spark, sfDir)
+    val mondays = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .filter(dayofweek(col("d")) === 2)
+    spark.table(tbl)
+      .join(broadcast(mondays), col("o_date") === col("d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        asD(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q72Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |FROM orders
+      |WHERE isodow(CAST(o_orderdate AS DATE)) = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q59
   /** Relational set operations — INTERSECT / EXCEPT as first-class
@@ -656,6 +726,8 @@ object RelationalQueries {
     "q53_funnel" -> q53Funnel,
     "q58_partitioned_scan" -> q58PartitionedScan,
     "q59_setops" -> q59SetOps,
+    "q71_sliding_window" -> q71SlidingWindow,
+    "q72_dynamic_pruning" -> q72DynamicPruning,
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
@@ -673,5 +745,7 @@ object RelationalQueries {
     "q53_funnel" -> q53Sql,
     "q58_partitioned_scan" -> q58Sql,
     "q59_setops" -> q59Sql,
+    "q71_sliding_window" -> q71Sql,
+    "q72_dynamic_pruning" -> q72Sql,
     "q63_anomaly" -> q63Sql)
 }

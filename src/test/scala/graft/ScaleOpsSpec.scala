@@ -55,6 +55,26 @@ class ScaleOpsSpec extends GraftSpec {
     }
   }
 
+  test("q72 join prunes fact partitions at runtime (dynamic partition pruning)") {
+    val q = graft.queries.RelationalQueries.q72DynamicPruning(spark, sfDir)
+    // the fact scan must carry a DynamicPruningSubquery on o_date —
+    // runtime pruning from the dim side's Monday filter, not a static
+    // predicate (sparkPlan: the file scan is a visible leaf pre-AQE)
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+    }.get
+    assert(scan.partitionFilters.mkString.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime pruning, got: ${scan.partitionFilters.mkString("; ")}")
+    // and the answer is right: every counted order is a Monday order
+    val viaRaw = Tables.orders(spark, sfDir)
+      .filter(dayofweek(to_date(col("o_orderdate"))) === 2)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === viaRaw)
+  }
+
   test("set operations compile to aggregations + semi/anti joins, not sorts") {
     val rows = graft.queries.RelationalQueries.q59SetOps(spark, sfDir).collect()
     assert(rows.nonEmpty)
