@@ -14,7 +14,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q73_bm25,q74_... runs a
+    // subset. Unset (the driver's invocation) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // repartition(1) (not coalesce): the upstream plan keeps full
       // parallelism; only the final small result funnels to one file.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")

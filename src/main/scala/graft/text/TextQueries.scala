@@ -770,7 +770,134 @@ SELECT lang, n AS n_docs,
   round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept
 FROM s ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q73
+  /** BM25 parameters (Robertson et al., TREC-3): k1 saturates term
+    * frequency, b scales document-length normalization. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Pinned query terms (the q51-pivot convention: a literal list, so
+    * no data-dependent collect drives the plan). */
+  val Bm25Terms = Seq("hash", "join", "vector", "filter")
+  val Bm25TopK = 10
+
+  /** Okapi BM25 retrieval scoring — the ranking function a corpus
+    * search / retrieval-augmented pipeline runs over the curated
+    * corpus: for each pinned query term, the top-[[Bm25TopK]] documents
+    * by idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) with the
+    * Robertson–Spärck-Jones smoothed idf ln(1 + (N−df+0.5)/(df+0.5)).
+    * Unlike q48's TF-IDF this is doc-length-normalized (b·dl/avgdl) and
+    * tf-saturating (k1) — the shape real retrieval uses.
+    *
+    * Shape for 100 TB: the corpus is tokenized ONCE; dl and df both
+    * derive from the per-(doc,term) tf frame (dl = Σ tf per doc, df =
+    * row-count per term), so nothing re-scans text. The query-term
+    * filter lands BEFORE the df/dl joins — the scored frame holds only
+    * |terms|·|matching docs| rows — and (N, Σdl) ride one broadcast
+    * 1-row aggregate. The per-term top-k is a rank window Spark
+    * rewrites to WindowGroupLimit. Scores are round(,6)-gridded before
+    * ranking with a doc_id tie-break (the q48 determinism convention).
+    */
+  def q73Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val dlNorm = col("dl").cast("double") * col("n").cast("double") / col("sumdl").cast("double")
+    val tfNorm = col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dlNorm))
+    val scored = tf.filter(col("term").isin(Bm25Terms: _*))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), round(idf * tfNorm, 6).as("score"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("term"), col("doc_id"), col("rank"), col("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val q73Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+    round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ${Bm25K1 + 1.0}
+         / (tf.tf + $Bm25K1 * (${1.0 - Bm25B}
+            + $Bm25B * (CAST(dl.dl AS DOUBLE) * CAST(st.n AS DOUBLE)
+                        / CAST(st.sumdl AS DOUBLE))))), 6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN $terms),
+ranked AS (
+  SELECT term, doc_id, score,
+    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT term, doc_id, rank, score FROM ranked
+WHERE rank <= $Bm25TopK ORDER BY term, rank"""
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Samples kept per language stratum. */
+  val WsTopK = 12
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES, IPL 2006): each document draws
+    * u ∈ (0,1] from a pure hash of its stable id (no RNG state — the
+    * q47 reproducibility convention) and keeps key = ln(u)/w with
+    * weight w = n_chars; the top-[[WsTopK]] keys per language ARE a
+    * weighted sample without replacement (P(i first) = wᵢ/Σw). This is
+    * the domain-mixing primitive q47's fixed-rate sampling can't
+    * express: strata where inclusion probability must follow a
+    * per-document weight (length, quality score, dedup cluster size).
+    *
+    * Shape for 100 TB: key assignment is map-only codegen arithmetic;
+    * the per-stratum top-k is a rank window → WindowGroupLimit (per-
+    * partition top-k BEFORE the exchange), so the shuffle carries at
+    * most k rows per partition per stratum — never the corpus. Keys are
+    * round(,6)-gridded with a doc_id tie-break (q48 convention), making
+    * the sample identical on both engines and across reruns. */
+  def q74WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (MF.universalHash(col("doc_id"), 5) + lit(1)).cast("double") /
+      lit(2147483647.0)
+    // + 0.0 collapses IEEE −0.0 (a just-below-grid key rounding up) to
+    // +0.0 identically on both engines before the hash gate.
+    val key = round(log(u) / col("n_chars"), 6) + lit(0.0)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("key").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("weight"), key.as("key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= WsTopK)
+      .select(col("lang"), col("rank"), col("doc_id"), col("weight"), col("key"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q74Sql: String =
+    s"""WITH keyed AS (
+  SELECT doc_id, lang, n_chars AS weight,
+    round(ln(CAST(${Sql.universalHash("doc_id", 5)} + 1 AS DOUBLE) / 2147483647.0)
+          / n_chars, 6) + 0.0 AS key
+  FROM documents),
+ranked AS (
+  SELECT lang, doc_id, weight, key,
+    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+  FROM keyed)
+SELECT lang, rank, doc_id, weight, key FROM ranked
+WHERE rank <= $WsTopK ORDER BY lang, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_bm25" -> q73Bm25,
+    "q74_weighted_sample" -> q74WeightedSample,
     "q56_countmin" -> q56Countmin,
     "q57_corr" -> q57Corr,
     "q49_kmv_distinct" -> q49KmvDistinct,
@@ -797,6 +924,8 @@ FROM s ORDER BY lang"""
     "q46_repetition" -> q46Sql,
     "q47_stratified_sample" -> q47Sql,
     "q48_tfidf" -> q48Sql,
+    "q73_bm25" -> q73Sql,
+    "q74_weighted_sample" -> q74Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q50_quantiles" -> q50Sql,
     "q67_hist_quantiles" -> q67Sql,
