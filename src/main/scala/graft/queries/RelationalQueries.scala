@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.{MathFunctions => MF}
 
 /** Relational / analytics core (SURVEY §2.B).
   *
@@ -711,7 +712,131 @@ object RelationalQueries {
       |FROM z WHERE abs(z) > $AnomalyZ
       |ORDER BY event_type, wstart_us""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Salt fan-out for the skew-join demonstration. */
+  val SkewSalts = 8
+
+  /** Skew-mitigated fact⋈dim join — the manual twin of AQE's skew-join
+    * split, as a first-class operator: the fact side (events) tags each
+    * row with salt = hash(event_id) mod [[SkewSalts]], the dim side
+    * (customer⋈nation, small) replicates [[SkewSalts]] ways via an
+    * in-row `explode(sequence(...))`, and the equi-join runs on
+    * (key, salt) — so ONE hot key spreads over [[SkewSalts]] shuffle
+    * partitions instead of hot-spotting one reducer. The salted join is
+    * value-identical to the plain join (each fact row still meets
+    * exactly one dim copy), so the oracle replays the UNSALTED join —
+    * the gate itself proves salting is semantics-preserving. Post-join
+    * the per-nation rollup is a partial-agged groupBy.
+    *
+    * At 100 TB: this is the shape for whale keys that AQE can't split
+    * (e.g. a sort-merge join forced by a non-shuffle-joinable plan, or
+    * pre-AQE engines); the dim-side replication cost is |dim|×salts
+    * rows — bounded, broadcast-sized — while the fact side stays
+    * map-only. With AQE on, `spark.sql.adaptive.skewJoin` does this
+    * split adaptively; the operator documents the explicit form. */
+  def q75SkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"),
+        pmod(MF.hash32(col("event_id").cast("string")), lit(SkewSalts)).as("salt"))
+    val dim = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"),
+        explode(sequence(lit(0), lit(SkewSalts - 1))).as("salt"))
+    fact.join(dim,
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), asD(dsum(col("value"))).as("total_value"))
+      .orderBy(col("n_name"))
+  }
+
+  val q75Sql: String =
+    """SELECT n_name, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** CUBE over (order year, priority) — all four grouping sets
+    * (detail, per-year, per-priority, grand total) in one pass,
+    * completing the grouping-sets family q38's ROLLUP opened. Same
+    * scale shape: Spark expands grouping sets BEFORE the exchange, so
+    * partial aggregation combines map-side and the exchange carries
+    * the ~4× AGGREGATED frame, never a re-scan per level. Sentinel
+    * projection (-1 / 'ALL') keeps the hash gate independent of
+    * engine grouping-null conventions (the q38 convention). */
+  def q76Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), asD(dsum(col("o_totalprice"))).as("revenue"))
+      .select(
+        (when(col("o_year").isNull, 2).otherwise(0) +
+          when(col("o_orderpriority").isNull, 1).otherwise(0)).as("gid"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), col("o_year"), col("priority"))
+  }
+
+  val q76Sql: String =
+    """WITH r AS (
+      |  SELECT year(o_orderdate) AS o_year, o_orderpriority, count(*) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |  FROM orders GROUP BY CUBE (o_year, o_orderpriority))
+      |SELECT
+      |  (CASE WHEN o_year IS NULL THEN 2 ELSE 0 END)
+      |    + (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid,
+      |  coalesce(o_year, -1) AS o_year,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  n_orders, revenue
+      |FROM r
+      |ORDER BY gid, o_year, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Jump size that counts as a change point. */
+  val JumpMin = 200.0
+
+  /** Per-user change-point detection over the event stream: a change
+    * point is a |value − lag(value)| jump above [[JumpMin]] in event-
+    * time order. lag/lead breadth over the q15 window shape — ONE hash
+    * shuffle on user_id, then everything (lag, jump, flags) stays
+    * inside the sorted partition; the output is one aggregated row per
+    * user. (user_id, ts) is collision-free in the data, so Spark's
+    * window order and DuckDB's agree exactly. */
+  def q77Changepoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("jump", abs(col("value") - lag(col("value"), 1).over(byUser)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("jump") > JumpMin, 1L).otherwise(0L)).as("n_jumps"),
+        asD(max(col("jump"))).as("max_jump"))
+      .orderBy(col("user_id"))
+  }
+
+  val q77Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+      |j AS (
+      |  SELECT user_id,
+      |    abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_us)) AS jump
+      |  FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN jump > $JumpMin THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps,
+      |  round(max(jump), 6) AS max_jump
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_skew_join" -> q75SkewJoin,
+    "q76_cube" -> q76Cube,
+    "q77_changepoints" -> q77Changepoints,
     "q11_pricing_summary" -> q11PricingSummary,
     "q12_top_customers" -> q12TopCustomers,
     "q13_market_share" -> q13MarketShare,
@@ -747,5 +872,8 @@ object RelationalQueries {
     "q59_setops" -> q59Sql,
     "q71_sliding_window" -> q71Sql,
     "q72_dynamic_pruning" -> q72Sql,
-    "q63_anomaly" -> q63Sql)
+    "q63_anomaly" -> q63Sql,
+    "q75_skew_join" -> q75Sql,
+    "q76_cube" -> q76Sql,
+    "q77_changepoints" -> q77Sql)
 }

@@ -27,6 +27,27 @@ class ScaleOpsSpec extends GraftSpec {
     assert(plan.contains("__salt"))
   }
 
+  test("q75 salted join equals the plain join and keys the shuffle on salt") {
+    import graft.queries.RelationalQueries
+    val salted = RelationalQueries.q75SkewJoin(spark, sfDir)
+    // value-identical to the unsalted join (the semantics-preservation
+    // claim the oracle also gates)
+    val plain = Tables.events(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("user_id") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === plain)
+    // the join condition must include the salt column — the hot key is
+    // spread across SkewSalts hash partitions, not one reducer
+    val joins = salted.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.condition.exists(_.toString.contains("salt"))),
+      "salted join must key on (user_id, salt)")
+  }
+
   test("date-partitioned table prunes to the queried window at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_partitions").toString
     sp.sql("DROP TABLE IF EXISTS graft_p_orders")
