@@ -253,6 +253,27 @@ object Graft {
       seeds.select(seedId.as("id")), maxIters)
   }
 
+  /** Semi-supervised label propagation over any undirected (src, dst)
+    * edge frame from a clamped (id, lbl ≥ 0) seed frame: (id, lbl,
+    * is_seed), lbl = −1 where no labeled vertex reaches within
+    * `maxIters` synchronous rounds (deterministic mode tie-break; see
+    * graph.LabelPropagation). */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       seeds: DataFrame, seedId: Column, seedLbl: Column,
+                       maxIters: Int = 10): DataFrame =
+    graph.LabelPropagation.run(
+      edges.select(src.as("src"), dst.as("dst")),
+      seeds.select(seedId.as("id"), seedLbl.as("lbl")), maxIters)
+
+  /** Adamic–Adar link prediction over any undirected (src, dst) edge
+    * frame: (a, b, common, aa_score) for non-adjacent pairs sharing
+    * ≥1 neighbor, wedges through hubs above `degreeCap` dropped
+    * (0 = no cap; see graph.LinkPrediction). */
+  def adamicAdar(edges: DataFrame, src: Column, dst: Column,
+                 degreeCap: Int = 0): DataFrame =
+    graph.LinkPrediction.adamicAdar(edges.select(src.as("src"), dst.as("dst")),
+      degreeCap)
+
   /** HITS hubs & authorities over any directed (src, dst) edge frame:
     * (id, auth, hub), sum-normalized after `iters` full update rounds
     * (see graph.Hits). */

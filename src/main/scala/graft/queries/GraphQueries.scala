@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.graph.{LinkRank, WebGraph}
 import graft.functions.UrlFunctions
@@ -517,7 +518,120 @@ FROM an$HitsRounds a JOIN hnf hf ON a.id = hf.id ORDER BY a.id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Synchronous LPA round budget (≡ the oracle's unrolled rounds via
+    * the q66 fixed-point argument) and the class count seeds spread. */
+  val LpaRounds = 4
+  val LpaClasses = 3
+
+  /** Semi-supervised label propagation over the undirected host graph
+    * ([[graft.graph.LabelPropagation]]): the trusted seed hosts (q69's
+    * part%17 rule) carry fixed classes part%[[LpaClasses]], every other
+    * host adopts the most frequent label among labeled neighbors
+    * (deterministic tie-break: max count, then smallest label),
+    * [[LpaRounds]] synchronous rounds. Integer labels end-to-end ⇒
+    * exact hash; unreached hosts stay −1 (q69's sentinel rule). */
+  def q78LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val seeds = WebGraph.vertices(hedges)
+      .filter(pmod(hostNum(col("id")), lit(17)) === 0)
+      .select(col("id"), pmod(hostNum(col("id")), lit(LpaClasses)).as("lbl"))
+    graft.graph.LabelPropagation.run(hedges, seeds, LpaRounds)
+      .orderBy(col("id"))
+  }
+
+  val q78Sql: String = {
+    val num = (c: String) => s"CAST(regexp_extract($c, 'part([0-9]+)', 1) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+e2 AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM hedges UNION SELECT dst AS a, src AS b FROM hedges)
+  WHERE a <> b),
+l0 AS MATERIALIZED (
+  SELECT id, (CASE WHEN ${num("id")} % 17 = 0 THEN ${num("id")} % $LpaClasses
+              ELSE CAST(-1 AS BIGINT) END) AS lbl,
+    (${num("id")} % 17 = 0) AS is_seed
+  FROM (SELECT DISTINCT a AS id FROM e2)),
+"""
+    for (k <- 1 to LpaRounds) {
+      val p = s"l${k - 1}"
+      sb ++= s"""l$k AS MATERIALIZED (
+  SELECT v.id,
+    (CASE WHEN v.is_seed THEN v.lbl ELSE coalesce(m.best, v.lbl) END) AS lbl,
+    v.is_seed
+  FROM $p v LEFT JOIN (
+    SELECT mid, lbl AS best FROM (
+      SELECT e2.a AS mid, p.lbl, count(*) AS c,
+        row_number() OVER (PARTITION BY e2.a ORDER BY count(*) DESC, p.lbl) AS rn
+      FROM e2 JOIN $p p ON e2.b = p.id WHERE p.lbl >= 0
+      GROUP BY e2.a, p.lbl) WHERE rn = 1) m ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""fin AS (SELECT id, lbl, is_seed FROM l$LpaRounds)
+SELECT id, lbl, is_seed FROM fin ORDER BY id"""
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- q79
+  /** Predicted links kept. */
+  val AaTopK = 50
+
+  /** Adamic–Adar link prediction over the undirected host graph
+    * ([[graft.graph.LinkPrediction]]): for non-adjacent host pairs
+    * sharing neighbors, common-neighbor count + Σ 1/ln(deg(w)), top
+    * [[AaTopK]] pairs. Wedge enumeration (never all-pairs), existing
+    * edges removed by one anti-join; the top-k is a TakeOrdered, not a
+    * global single-partition window. Scores round(,6)-gridded, terms
+    * decimal-summed (order-independent). */
+  def q79AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val top = graft.graph.LinkPrediction.adamicAdar(hedges)
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(AaTopK)
+    val w = Window.orderBy(col("aa_score").desc, col("a"), col("b"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("a"), col("b"), col("common"), col("aa_score"))
+      .orderBy(col("rank"))
+  }
+
+  val q79Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+e2 AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM hedges UNION SELECT dst AS a, src AS b FROM hedges)
+  WHERE a <> b),
+und AS MATERIALIZED (SELECT a AS u, b AS v FROM e2 WHERE a < b),
+deg AS MATERIALIZED (SELECT a AS w, count(*) AS deg FROM e2 GROUP BY a),
+wedges AS (
+  SELECT n1.a AS w, n1.b AS pa, n2.b AS pb
+  FROM e2 n1 JOIN e2 n2 ON n1.a = n2.a AND n1.b < n2.b),
+cand AS (
+  SELECT wd.pa, wd.pb, d.deg
+  FROM wedges wd JOIN deg d ON wd.w = d.w
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = wd.pa AND und.v = wd.pb)),
+scored AS (
+  SELECT pa AS a, pb AS b, count(*) AS common,
+    round(CAST(sum(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS aa_score
+  FROM cand GROUP BY pa, pb),
+ranked AS (
+  SELECT a, b, common, aa_score,
+    row_number() OVER (ORDER BY aa_score DESC, a, b) AS rank
+  FROM scored)
+SELECT rank, a, b, common, aa_score FROM ranked
+WHERE rank <= $AaTopK ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_label_prop" -> q78LabelProp,
+    "q79_adamic_adar" -> q79AdamicAdar,
     "q69_bfs_reach" -> q69BfsReach,
     "q70_hits" -> q70Hits,
     "q55_triangles" -> q55Triangles,
@@ -547,5 +661,7 @@ FROM an$HitsRounds a JOIN hnf hf ON a.id = hf.id ORDER BY a.id"""
     "q66_components" -> q66Sql,
     "q68_incremental_rank" -> q68Sql,
     "q69_bfs_reach" -> q69Sql,
-    "q70_hits" -> q70Sql)
+    "q70_hits" -> q70Sql,
+    "q78_label_prop" -> q78Sql,
+    "q79_adamic_adar" -> q79Sql)
 }

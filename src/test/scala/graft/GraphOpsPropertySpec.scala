@@ -45,6 +45,75 @@ class GraphOpsPropertySpec extends GraftSpec {
     }
   }
 
+  test("adamicAdar equals brute force on random multigraphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 3
+      val edges = Seq.fill(n * 3)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      val df = edges.toDF("src", "dst")
+      val got = Graft.adamicAdar(df, col("src"), col("dst")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(p => p._1 != p._2).toSet
+      val vs = und.flatMap(p => Seq(p._1, p._2))
+      val adj = vs.map(v => v -> und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet).toMap
+      val want = vs.toSeq.combinations(2).map(_.sorted).collect {
+        case Seq(a, b) if !und.contains((a, b)) && (adj(a) & adj(b)).nonEmpty =>
+          val cn = adj(a) & adj(b)
+          val aa = cn.toSeq.map(w => BigDecimal(1.0 / math.log(adj(w).size))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+          (a, b) -> (cn.size.toLong,
+            aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      assert(got.keySet === want.keySet, s"trial $trial pair set")
+      want.foreach { case (p, (c, s)) =>
+        assert(got(p)._1 === c, s"trial $trial pair $p common")
+        assert(math.abs(got(p)._2 - s) < 1e-6, s"trial $trial pair $p score")
+      }
+    }
+  }
+
+  test("labelPropagation equals a driver-side synchronous simulation") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 14 + trial * 4
+      val rounds = 4
+      val edges = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("src", "dst")
+      val seedPairs = (0L until n.toLong).filter(_ % 5 == 0).map(v => (v, v % 3))
+      val seeds = seedPairs.toDF("id", "lbl")
+      val got = Graft.labelPropagation(df, col("src"), col("dst"),
+          seeds, col("id"), col("lbl"), maxIters = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(p => p._1 != p._2).toSet
+      val vs = und.flatMap(p => Seq(p._1, p._2))
+      val adj = vs.map(v => v -> und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet).toMap
+      val seedMap = seedPairs.toMap
+      var lbl = vs.map(v => v -> seedMap.getOrElse(v, -1L)).toMap
+      for (_ <- 1 to rounds) {
+        lbl = lbl.map { case (v, cur) =>
+          if (seedMap.contains(v)) v -> cur
+          else {
+            val hist = adj(v).toSeq.map(lbl).filter(_ >= 0)
+              .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+            if (hist.isEmpty) v -> cur
+            else v -> hist.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+      }
+      assert(got === lbl, s"trial $trial")
+    }
+  }
+
   test("connectedComponents splits a handcrafted multi-component graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (7L, 7L), (6L, 5L))
       .toDF("src", "dst")
