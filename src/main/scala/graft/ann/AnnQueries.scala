@@ -18,11 +18,11 @@ import graft.oracle.Sql
   *    base table streams — no shuffle of the big side; top-k per query
   *    runs through rank()<=k which Spark rewrites to WindowGroupLimit
   *    (partial per-partition top-k before the shuffle).
-  *  - q31 LSH: 4 bands x 4 hyperplane-sign bits — candidates come from
+  *  - q31 LSH: 8 bands x 4 hyperplane-sign bits — candidates come from
   *    a band-equality join, never a cross join.
   *  - q32 IVF: KCents fixed coarse centroids (deterministic hash top-k
   *    of ids), vectors assigned to nearest centroid once; queries probe
-  *    their nprobe=2 nearest centroid buckets only.
+  *    their nprobe=4 nearest centroid buckets only.
   */
 object AnnQueries {
 
@@ -38,11 +38,19 @@ object AnnQueries {
     * assignment crossJoin was O(n·n/50). With k constant the broadcast
     * side is constant-size and assignment is O(n·k). */
   val KCents = 64
-  val NProbe = 2
+  /** r6: 2 → 4, chosen BY q65's recall metric (the tuning loop the
+    * recall row exists for): mean recall@5 0.37 → 0.48 at sf0.01 for
+    * 2× the probed buckets — still KCents/16 of the corpus scanned
+    * per query. */
+  val NProbe = 4
   val Dims = 64
-  val LshBits = 16 // 4 bands x 4 bits
+  /** r6: 16 → 32 planes (4 → 8 bands of 4 bits), chosen by q65's
+    * recall metric: mean recall@5 0.45 → 0.58 at sf0.01. Cost is
+    * linear in bands (2× band rows through the bucket join); the
+    * fused kernel still reads each vector once. */
+  val LshBits = 32
   val LshBandBits = 4
-  val LshBandCount = 4
+  val LshBandCount = 8
 
   /** (vec_id, v, nrm): the norm is precomputed ONCE per vector so every
     * pairwise score below is a single dot product, not three. */
@@ -86,11 +94,11 @@ SELECT qid, vec_id AS neighbor, rank, cosine FROM ranked
 WHERE rank <= $K ORDER BY qid, rank"""
 
   // ---------------------------------------------------------------- q31
-  /** LSH ANN: 16 hyperplane-sign bits split into 4 bands of 4; a
+  /** LSH ANN: 32 hyperplane-sign bits split into 8 bands of 4; a
     * candidate shares at least one band with the query. Top-k among
     * candidates only. The band keys come from ONE fused kernel call per
     * vector (planes [4b, 4b+4) per band — identical keys to shifting a
-    * single 16-bit code, which is what the oracle still does), and the
+    * single 32-bit code, which is what the oracle still does), and the
     * coded frame is cached so the two join sides don't each re-run the
     * scan + kernel. */
   def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
@@ -119,8 +127,9 @@ WHERE rank <= $K ORDER BY qid, rank"""
   }
 
   val q31Sql: String = {
-    val bandRows = (0 until 4)
-      .map(b => s"SELECT vec_id, v, nrm, $b AS band, (code >> ${4 * b}) & 15 AS key FROM coded")
+    val bandRows = (0 until LshBandCount)
+      .map(b => s"SELECT vec_id, v, nrm, $b AS band, " +
+        s"(code >> ${LshBandBits * b}) & ${(1 << LshBandBits) - 1} AS key FROM coded")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $vecsCte,
 coded AS MATERIALIZED (SELECT vec_id, v, nrm, ${Sql.lshCode("v", Dims, LshBits)} AS code FROM ed),
@@ -146,7 +155,7 @@ WHERE rank <= $K ORDER BY qid, rank"""
     * Spark executes orderBy+limit as TakeOrderedAndProject — a
     * distributed partial top-k, no global sort). Every vector joins its
     * nearest centroid's bucket (broadcast of a CONSTANT-size centroid
-    * set → O(n·k) assignment); queries probe their 2 nearest centroids
+    * set → O(n·k) assignment); queries probe their NProbe nearest centroids
     * and search only those buckets. */
   def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
