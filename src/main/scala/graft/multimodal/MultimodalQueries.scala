@@ -302,7 +302,92 @@ FROM chunks JOIN refs USING (h)
 GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Perceptual-duplicate detection over decoded assets — the image
+    * near-dup fingerprint (aHash family) a multimodal pipeline runs
+    * after decode: `graft_phash` ([[graft.plans.PhashMath]]) resizes
+    * the stub-decoded intensity stream to 64 pixel blocks and sets bit
+    * b iff block b's mean exceeds the global mean (exact cross-
+    * multiplied integer compares — no floats, fully oracle-
+    * replayable); assets sharing the full 64-bit hash are perceptual
+    * duplicates. Runs over the dedup corpus so true duplicates exist:
+    * exact dups share the hash by construction, and aHash is INVARIANT
+    * under uniform brightness shift (PhashSpec pins both properties +
+    * the kernel ≡ composed-builtins twin).
+    *
+    * Shape at 100 TB: the hash is one map-only compiled pass per
+    * asset; the duplicate-group count is a groupBy on the 64-bit key
+    * (exchanges carry (hash, count) pairs) joined back — the q20
+    * exact-dedup shape with a perceptual key. Hamming-near matching
+    * would add q22's banding over the same two halves; hash-equality
+    * grouping is the deterministic core. */
+  def q80Phash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = dupCorpus(spark, sfDir)
+      .filter(length(col("text")) >= graft.plans.PhashMath.Pixels)
+      .select(col("doc_id"), call_function("graft_phash", col("text")).as("ph"))
+      .select(col("doc_id"),
+        element_at(col("ph"), 1).as("ph_lo"), element_at(col("ph"), 2).as("ph_hi"))
+    val groups = sig.groupBy(col("ph_lo"), col("ph_hi"))
+      .agg(count(lit(1)).as("n_same"))
+    sig.join(groups, Seq("ph_lo", "ph_hi"))
+      .select(col("doc_id"), col("ph_lo"), col("ph_hi"), col("n_same"),
+        (col("n_same") > 1).as("is_perceptual_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composed-builtins twin of `graft_phash` (PhashSpec pins the kernel
+    * to it bitwise). `codes` must be a staged per-position code-point
+    * column (the [[cdcCodes]] pattern — interpreted HOFs get no CSE).
+    * Spec-only; the query path uses the kernel. */
+  private[graft] def phashComposed(codes: Column): Column = {
+    val L = size(codes)
+    val total = aggregate(codes, lit(0L), (a, x) => a + x.cast("long"))
+    def blockStart(b: Column): Column =
+      floor(b.cast("double") * L / graft.plans.PhashMath.Pixels).cast("int")
+    def half(off: Int): Column =
+      aggregate(sequence(lit(off), lit(off + 31)), lit(0L), (acc, b) => {
+        val s = blockStart(b)
+        val e = blockStart(b + 1)
+        val cnt = (e - s).cast("long")
+        val sum = aggregate(slice(codes, s + 1, e - s), lit(0L),
+          (a, x) => a + x.cast("long"))
+        acc + when(sum * L.cast("long") > total * cnt,
+          pow(lit(2.0), (b - off).cast("double")).cast("long")).otherwise(lit(0L))
+      })
+    array(half(0), half(32))
+  }
+
+  val q80Sql: String = {
+    val px = graft.plans.PhashMath.Pixels
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(range($off, ${off + 32}), b ->
+      CASE WHEN CAST(list_sum(list_transform(range((b*L)//$px + 1, ((b+1)*L)//$px + 1),
+                     i -> codes[i])) AS BIGINT) * L
+                > total * (((b+1)*L)//$px - (b*L)//$px)
+           THEN CAST(pow(2, b - $off) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+    s"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + ${graft.dedup.DedupQueries.NearDupOffset} AS doc_id, text || '${graft.dedup.DedupQueries.NearDupSuffix}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + ${graft.dedup.DedupQueries.ExactDupOffset} AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
+c AS MATERIALIZED (
+  SELECT doc_id, length(text) AS L,
+    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS codes
+  FROM corpus WHERE length(text) >= $px),
+t AS MATERIALIZED (
+  SELECT doc_id, L, codes, CAST(list_sum(codes) AS BIGINT) AS total FROM c),
+sig AS MATERIALIZED (
+  SELECT doc_id, ${half(0)} AS ph_lo, ${half(32)} AS ph_hi FROM t),
+groups AS (SELECT ph_lo, ph_hi, count(*) AS n_same FROM sig GROUP BY ph_lo, ph_hi)
+SELECT doc_id, ph_lo, ph_hi, n_same, (n_same > 1) AS is_perceptual_dup
+FROM sig JOIN groups USING (ph_lo, ph_hi)
+ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_phash" -> q80Phash,
     "q60_multimodal" -> q60Multimodal,
     "q61_frame_sample" -> q61FrameSample,
     "q62_chunk_dedup" -> q62ChunkDedup,
@@ -312,5 +397,6 @@ GROUP BY doc_id ORDER BY doc_id"""
     "q60_multimodal" -> q60Sql,
     "q61_frame_sample" -> q61Sql,
     "q62_chunk_dedup" -> q62Sql,
-    "q64_cdc_chunks" -> q64Sql)
+    "q64_cdc_chunks" -> q64Sql,
+    "q80_phash" -> q80Sql)
 }

@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CdcChunks(Cast(args.head, StringType),
         Cast(args(1), IntegerType))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_phash"),
+      new ExpressionInfo(classOf[PhashExpr].getName, "graft_phash"),
+      (args: Seq[Expression]) => PhashExpr(Cast(args.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashSig(Cast(args.head, StringType))))
