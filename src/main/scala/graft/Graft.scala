@@ -158,6 +158,54 @@ object Graft {
                      salts: Int = 16): DataFrame =
     operators.Salting.saltedSumCount(df, key, value, salts)
 
+  /** Okapi BM25 top-k documents per query term over any (id, text)
+    * frame: (term, doc_id, rank, score). One corpus tokenization (dl
+    * and df both derive from the tf frame); (N, Σdl) ride a broadcast
+    * 1-row aggregate; score round(6)-gridded before ranking. */
+  def bm25(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val tok = base.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val dlNorm = col("dl").cast("double") * col("n").cast("double") / col("sumdl").cast("double")
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    tf.filter(col("term").isin(terms: _*))
+      .join(df, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), round(idf * tfNorm, 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Deterministic weighted sampling without replacement (A-ES) over
+    * any (id, weight) frame: the top-`k` rows per `stratum` by key
+    * ln(u)/w with u a pure hash of the id — P(selected) follows the
+    * weight, reproducible across runs and engines. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     stratum: Column, k: Int): DataFrame = {
+    val u = (functions.MathFunctions.universalHash(id, 5) + lit(1))
+      .cast("double") / lit(2147483647.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__stratum")).orderBy(col("key").desc, col("__id"))
+    df.withColumn("__id", id).withColumn("__stratum", stratum)
+      .withColumn("key", round(log(u) / weight, 6) + lit(0.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__id", "__stratum")
+  }
+
+  /** 64-bit perceptual hash (aHash) of a text-backed payload as
+    * [lo, hi] 32-bit halves; empty array when under 64 code points
+    * (see plans.PhashMath). */
+  def phash(payload: Column): Column = call_function("graft_phash", payload)
+
   /** Deterministic hash sampling: keep rows whose stable-id bucket
     * (0-99) falls under `ratePct` — reproducible across runs/engines. */
   def hashSample(df: DataFrame, id: Column, ratePct: Column): DataFrame =

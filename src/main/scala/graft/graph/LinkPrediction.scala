@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object LinkPrediction {
 
-  /** Adamic–Adar + common-neighbor counts for non-adjacent pairs of
-    * `edges(src, dst)`, hub wedges dropped above `degreeCap` (≤ 0
-    * disables the cap). Scores round(,6)-gridded. Returns
-    * (a, b, common, aa_score) with a < b. */
+  /** Adamic–Adar + common-neighbor counts for every pair of
+    * `edges(src, dst)` sharing ≥1 neighbor, hub wedges dropped above
+    * `degreeCap` (≤ 0 disables the cap). Scores round(,6)-gridded.
+    * Returns (a, b, common, aa_score, is_new) with a < b: `is_new`
+    * pairs are non-adjacent (the link PREDICTIONS); adjacent pairs
+    * carry the same score as existing-tie strength (triadic-closure
+    * support) — on dense graphs where every wedge closes, predictions
+    * may be empty while tie strengths never are. */
   def adamicAdar(edges: DataFrame, degreeCap: Int = 0): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -42,18 +46,20 @@ object LinkPrediction {
       .filter(col("pa") < col("pb"))
       .join(capped, "w")
     val adj = und.filter(col("a") < col("b"))
-      .select(col("a").as("pa"), col("b").as("pb"))
+      .select(col("a").as("pa"), col("b").as("pb"), lit(true).as("adjacent"))
     // each term is round(,12)-gridded and summed in exact DECIMAL so
     // the total is independent of partial-sum association (the dsum
     // convention) — a plain double Σ could differ across engines
     val term = round(lit(1.0) / log(col("deg").cast("double")), 12)
       .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12))
     val scored = wedges
-      .join(adj, Seq("pa", "pb"), "left_anti")
+      .join(adj, Seq("pa", "pb"), "left")
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("common"),
-        round(sum(term).cast("double"), 6).as("aa_score"))
-      .select(col("pa").as("a"), col("pb").as("b"), col("common"), col("aa_score"))
+        round(sum(term).cast("double"), 6).as("aa_score"),
+        coalesce(first(col("adjacent")), lit(false)).as("adjacent"))
+      .select(col("pa").as("a"), col("pb").as("b"), col("common"),
+        col("aa_score"), (!col("adjacent")).as("is_new"))
     und.unpersist(blocking = false)
     scored
   }

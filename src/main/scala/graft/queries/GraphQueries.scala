@@ -582,12 +582,15 @@ SELECT id, lbl, is_seed FROM fin ORDER BY id"""
   val AaTopK = 50
 
   /** Adamic–Adar link prediction over the undirected host graph
-    * ([[graft.graph.LinkPrediction]]): for non-adjacent host pairs
-    * sharing neighbors, common-neighbor count + Σ 1/ln(deg(w)), top
-    * [[AaTopK]] pairs. Wedge enumeration (never all-pairs), existing
-    * edges removed by one anti-join; the top-k is a TakeOrdered, not a
-    * global single-partition window. Scores round(,6)-gridded, terms
-    * decimal-summed (order-independent). */
+    * ([[graft.graph.LinkPrediction]]): for host pairs sharing
+    * neighbors, common-neighbor count + Σ 1/ln(deg(w)), top
+    * [[AaTopK]] pairs by score; `is_new` marks non-adjacent pairs (the
+    * predictions — on a dense-enough graph every wedge may already be
+    * closed, so adjacent pairs score existing-tie strength instead of
+    * vanishing). Wedge enumeration (never all-pairs); adjacency comes
+    * from one join against the edge frame; the top-k is a TakeOrdered,
+    * not a global single-partition window. Scores round(,6)-gridded,
+    * terms decimal-summed (order-independent). */
   def q79AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
     val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
     val top = graft.graph.LinkPrediction.adamicAdar(hedges)
@@ -595,7 +598,8 @@ SELECT id, lbl, is_seed FROM fin ORDER BY id"""
       .limit(AaTopK)
     val w = Window.orderBy(col("aa_score").desc, col("a"), col("b"))
     top.withColumn("rank", row_number().over(w))
-      .select(col("rank"), col("a"), col("b"), col("common"), col("aa_score"))
+      .select(col("rank"), col("a"), col("b"), col("common"),
+        col("aa_score"), col("is_new"))
       .orderBy(col("rank"))
   }
 
@@ -615,18 +619,19 @@ wedges AS (
   SELECT n1.a AS w, n1.b AS pa, n2.b AS pb
   FROM e2 n1 JOIN e2 n2 ON n1.a = n2.a AND n1.b < n2.b),
 cand AS (
-  SELECT wd.pa, wd.pb, d.deg
-  FROM wedges wd JOIN deg d ON wd.w = d.w
-  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = wd.pa AND und.v = wd.pb)),
+  SELECT wd.pa, wd.pb, d.deg,
+    EXISTS (SELECT 1 FROM und WHERE und.u = wd.pa AND und.v = wd.pb) AS adjacent
+  FROM wedges wd JOIN deg d ON wd.w = d.w),
 scored AS (
   SELECT pa AS a, pb AS b, count(*) AS common,
-    round(CAST(sum(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS aa_score
+    round(CAST(sum(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS aa_score,
+    (NOT bool_or(adjacent)) AS is_new
   FROM cand GROUP BY pa, pb),
 ranked AS (
-  SELECT a, b, common, aa_score,
+  SELECT a, b, common, aa_score, is_new,
     row_number() OVER (ORDER BY aa_score DESC, a, b) AS rank
   FROM scored)
-SELECT rank, a, b, common, aa_score FROM ranked
+SELECT rank, a, b, common, aa_score, is_new FROM ranked
 WHERE rank <= $AaTopK ORDER BY rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

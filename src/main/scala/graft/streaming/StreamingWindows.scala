@@ -47,6 +47,20 @@ object StreamingWindows {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static enrichment — the dimension-join every streaming
+    * pipeline runs before its stateful stages: each micro-batch of the
+    * stream joins a broadcast SNAPSHOT of the static dim frame. No
+    * stream state, no watermark requirement (the static side never
+    * ages); left join keeps unmatched events flowing with null dim
+    * attributes. At 100 TB the dim must be broadcast-sized (else
+    * pre-bucket the dim and let the batch-side join plan pick a
+    * shuffle) — the streaming plan re-resolves the static side per
+    * micro-batch, so a slowly-refreshed dim table is picked up on
+    * rewrite of the underlying source. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join — the streaming shape of q17's as-of
     * enrichment: every error event joins the clicks of the same user
     * from the preceding `lookbackMin` minutes. True ASOF (only the

@@ -100,4 +100,29 @@ class GraftApiSpec extends GraftSpec {
     val again = Graft.hashSample(ids, col("id"), lit(20)).count()
     assert(kept === again) // deterministic
   }
+
+  test("bm25, weightedSample, phash on user frames") {
+    val docs = Seq(
+      (1L, "spark shuffles the big table and spark broadcasts the small one"),
+      (2L, "spark spark spark"),
+      (3L, "nothing relevant here at all")).toDF("id", "body")
+    val scored = Graft.bm25(docs, col("id"), col("body"), Seq("spark"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toList
+    // doc 2 is short and saturated with the term — BM25 must rank it first
+    assert(scored.map(_._1) === List(2L, 1L))
+
+    val pop = (0L until 400L).map(i => (i, if (i < 4) 10000L else 1L, "s"))
+      .toDF("id", "w", "g")
+    val picked = Graft.weightedSample(pop, col("id"), col("w"), col("g"), k = 4)
+      .collect().map(_.getLong(0)).toSet
+    // the four whale weights dominate the draw
+    assert(picked.count(_ < 4) >= 3, s"heavy ids should dominate, got $picked")
+    val again = Graft.weightedSample(pop, col("id"), col("w"), col("g"), k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked === again) // deterministic
+
+    val long = "x" * 100
+    val ph = docs.select(Graft.phash(lit(long))).first().getSeq[Long](0)
+    assert(ph.length === 2)
+  }
 }

@@ -52,7 +52,8 @@ class GraphOpsPropertySpec extends GraftSpec {
       val edges = Seq.fill(n * 3)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
       val df = edges.toDF("src", "dst")
       val got = Graft.adamicAdar(df, col("src"), col("dst")).collect()
-        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
         .toMap
       val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
         .filter(p => p._1 != p._2).toSet
@@ -62,17 +63,19 @@ class GraphOpsPropertySpec extends GraftSpec {
         case (a, b) if b == v => a
       }.toSet).toMap
       val want = vs.toSeq.combinations(2).map(_.sorted).collect {
-        case Seq(a, b) if !und.contains((a, b)) && (adj(a) & adj(b)).nonEmpty =>
+        case Seq(a, b) if (adj(a) & adj(b)).nonEmpty =>
           val cn = adj(a) & adj(b)
           val aa = cn.toSeq.map(w => BigDecimal(1.0 / math.log(adj(w).size))
             .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
-          (a, b) -> (cn.size.toLong,
-            aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (a, b) -> ((cn.size.toLong,
+            aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            !und.contains((a, b))))
       }.toMap
       assert(got.keySet === want.keySet, s"trial $trial pair set")
-      want.foreach { case (p, (c, s)) =>
+      want.foreach { case (p, (c, s, isNew)) =>
         assert(got(p)._1 === c, s"trial $trial pair $p common")
         assert(math.abs(got(p)._2 - s) < 1e-6, s"trial $trial pair $p score")
+        assert(got(p)._3 === isNew, s"trial $trial pair $p is_new")
       }
     }
   }

@@ -316,6 +316,43 @@ class StreamingSpec extends GraftSpec {
     assert(pages === Map("E1" -> Set("a", "b"), "E2" -> Set("c")))
   }
 
+  test("stream-static enrichment joins the dim snapshot, then aggregates") {
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "value")
+    val dim = Seq((0L, "free"), (1L, "pro"), (2L, "pro"))
+      .toDF("user_id", "segment") // user 3 is absent → left-join null
+    val enriched = StreamingWindows.enrichWithDim(events, dim, "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("segment"), col("n"), col("total"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_test").outputMode("complete").start()
+
+    val base = 1700000000000L
+    val rows = (0 until 400).map { i =>
+      (new Timestamp(base + i * 53000L), (i % 4).toLong, i * 0.25)
+    }
+    mem.addData(rows: _*)
+    query.processAllAvailable()
+    val got = sp.table("enrich_test")
+      .select(col("ws"), col("segment"), col("n"), round(col("total"), 6).as("t"))
+      .collect().map(_.toSeq).toSet
+    query.stop()
+
+    val want = rows.toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("segment"), col("n"),
+        round(col("total"), 6).as("t"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // the unmatched user flowed through as a null segment
+    assert(got.exists(_(1) == null))
+  }
+
   test("streaming exact dedup: duplicate fingerprints within the watermark are dropped") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
