@@ -895,7 +895,123 @@ ranked AS (
 SELECT lang, rank, doc_id, weight, key FROM ranked
 WHERE rank <= $WsTopK ORDER BY lang, rank"""
 
+  // ---------------------------------------------------------------- q81
+  /** Bigram language-model perplexity scoring — the quality signal a
+    * pretraining pipeline filters on (CCNet/Gopher style: documents
+    * whose token transitions are improbable under a reference model
+    * are boilerplate, gibberish, or wrong-language): an add-one-
+    * smoothed bigram model is fit on the corpus itself, and every
+    * document is scored by its average negative log-likelihood
+    * avg_nll = (1/n)·Σ ln((c1(w1)+V)/(c2(w1,w2)+1)) and perplexity
+    * e^avg_nll. V is the context vocabulary (distinct bigram-first
+    * tokens — derived from the model frame, documented cutoff).
+    *
+    * Shape for 100 TB: ONE bigram explode feeds everything — the
+    * per-doc bigram counts ARE the partial aggregate, the model's
+    * transition counts c2 re-aggregate that frame, the context counts
+    * c1 re-aggregate c2, and V is a 1-row broadcast — no second pass
+    * over text, and every exchange carries (bigram, count) rows. The
+    * scoring join hits the model on (w1, w2) hash partitions. Each ln
+    * term is round(,12)-gridded and the per-doc sum runs in exact
+    * DECIMAL (the q79 convention) so the score is independent of
+    * partial-sum association. */
+  def q81Perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val pairs = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val term = round(log((col("c1") + col("v")).cast("double")
+      / (col("c2") + lit(1)).cast("double")), 12)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val scored = docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum((col("c").cast("double") * term).cast(dec)).as("s"))
+    val avg = col("s").cast("double") / col("n_bigrams")
+    scored.select(col("doc_id"), col("n_bigrams"),
+        round(avg, 6).as("avg_nll"), round(exp(avg), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS p
+  FROM ws WHERE len(w) >= 2),
+docbg AS MATERIALIZED (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM docbg GROUP BY w1, w2),
+c1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(*) AS v FROM c1),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+    sum(CAST(CAST(c AS DOUBLE)
+      * round(ln(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)), 12)
+      AS DECIMAL(38,12))) AS s
+  FROM docbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+  round(exp(CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+FROM scored ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q82
+  /** Dataset drift monitor — KL(P(lang|source) ‖ P(lang)): how far
+    * each ingest source's language mix diverges from the corpus-wide
+    * mix, the per-slice distribution check a pipeline alarms on when a
+    * source's composition shifts. All probabilities come from exact
+    * integer counts; each term p_ls·ln((c_sl·N)/(c_s·c_l)) keeps the
+    * ratio in exact integer cross-multiplication inside the ln,
+    * round(,12)-grids it, and decimal-sums per source (the q79
+    * convention). Two tiny aggregated frames + broadcast joins —
+    * nothing document-level rides an exchange. */
+  def q82Drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val sl = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
+    val s = sl.groupBy(col("source")).agg(sum(col("c_sl")).as("c_s"))
+    val l = sl.groupBy(col("lang")).agg(sum(col("c_sl")).as("c_l"))
+    val n = s.agg(sum(col("c_s")).as("n"))
+    val term = (col("c_sl").cast("double") / col("c_s")) *
+      round(log((col("c_sl") * col("n")).cast("double")
+        / (col("c_s") * col("c_l")).cast("double")), 12)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    sl.join(broadcast(s), "source").join(broadcast(l), "lang")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(max(col("c_s")).as("n_docs"), sum(term.cast(dec)).as("kl"))
+      .select(col("source"), col("n_docs"),
+        round(col("kl").cast("double"), 6).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
+  val q82Sql: String =
+    """WITH sl AS MATERIALIZED (
+  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY source, lang),
+s AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS c_s FROM sl GROUP BY source),
+l AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM sl GROUP BY lang),
+n AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM s)
+SELECT source, max(c_s) AS n_docs,
+  round(CAST(sum(CAST(
+    (CAST(c_sl AS DOUBLE) / c_s)
+    * round(ln(CAST(c_sl * n AS DOUBLE) / CAST(c_s * c_l AS DOUBLE)), 12)
+    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_divergence
+FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN n
+GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_perplexity" -> q81Perplexity,
+    "q82_drift" -> q82Drift,
     "q73_bm25" -> q73Bm25,
     "q74_weighted_sample" -> q74WeightedSample,
     "q56_countmin" -> q56Countmin,
@@ -926,6 +1042,8 @@ WHERE rank <= $WsTopK ORDER BY lang, rank"""
     "q48_tfidf" -> q48Sql,
     "q73_bm25" -> q73Sql,
     "q74_weighted_sample" -> q74Sql,
+    "q81_perplexity" -> q81Sql,
+    "q82_drift" -> q82Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q50_quantiles" -> q50Sql,
     "q67_hist_quantiles" -> q67Sql,
