@@ -301,6 +301,17 @@ object Graft {
       seeds.select(seedId.as("id")), maxIters)
   }
 
+  /** Multi-source weighted shortest paths (Bellman–Ford relaxation)
+    * over `(src, dst, weight)` edges following edge direction; weights
+    * must be non-negative. Returns (id, cost), cost NULL if unreached
+    * within `maxIters` relaxation rounds. See [[graph.Sssp]]. */
+  def shortestPaths(edges: DataFrame, src: Column, dst: Column, weight: Column,
+                    seeds: DataFrame, seedId: Column, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"), weight.as("w"))
+    graph.Sssp.run(e, graph.WebGraph.vertices(e),
+      seeds.select(seedId.as("id")), maxIters)
+  }
+
   /** Semi-supervised label propagation over any undirected (src, dst)
     * edge frame from a clamped (id, lbl ≥ 0) seed frame: (id, lbl,
     * is_seed), lbl = −1 where no labeled vertex reaches within

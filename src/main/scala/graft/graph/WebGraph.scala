@@ -93,6 +93,17 @@ object WebGraph {
       .filter(lower(col("dst")) =!= lower(col("src")))
       .distinct()
 
+  /** Weighted host projection: like [[hostEdges]] but keeping the
+    * page-link multiplicity per host pair as `cnt` — the edge-strength
+    * input for cost-based traversal (q87). Same cleanup rule; the
+    * groupBy replaces the distinct (distinct ≡ groupBy dropping cnt). */
+  def weightedHostEdges(pageEdges: DataFrame): DataFrame =
+    pageEdges.select(
+        graft.functions.UrlFunctions.urlHost(col("src")).as("src"),
+        graft.functions.UrlFunctions.urlHost(col("dst")).as("dst"))
+      .filter(lower(col("dst")) =!= lower(col("src")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+
   /** Vertex set of an edge list: distinct src ∪ dst. */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

@@ -634,7 +634,68 @@ ranked AS (
 SELECT rank, a, b, common, aa_score, is_new FROM ranked
 WHERE rank <= $AaTopK ORDER BY rank"""
 
+  // ---------------------------------------------------------------- q87
+  /** Relaxation round budget = path-edge-count bound (≡ the oracle's
+    * unrolled rounds via the q66 fixed-point argument). */
+  val SsspRounds = 8
+
+  /** Multi-source weighted shortest paths over the host graph
+    * ([[graft.graph.Sssp]], Bellman–Ford relaxation): q69's hop
+    * distance generalized to edge costs — each host pair's cost is
+    * inversely tied to its page-link multiplicity
+    * (cost = 6 − least(cnt, 5) ∈ [1,5]: heavily-linked hosts are cheap
+    * to traverse), seeds are the trusted hosts (part%17), and every
+    * host reports its least total traversal cost from the seed set.
+    * All-integer costs ⇒ every relaxation is exact int64 arithmetic —
+    * no doubles anywhere, association-free by construction. Unreached
+    * hosts emit −1 (q69's sentinel rule). */
+  def q87Sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val wedges = WebGraph.weightedHostEdges(WebGraph.cachedEdges(spark, sfDir))
+      .select(col("src"), col("dst"),
+        (lit(6L) - least(col("cnt"), lit(5L))).as("w"))
+    val verts = WebGraph.vertices(wedges)
+    val seeds = verts.filter(pmod(hostNum(col("id")), lit(17)) === 0)
+    graft.graph.Sssp.run(wedges, verts, seeds, maxIters = SsspRounds)
+      .select(col("id"), coalesce(col("cost"), lit(-1L)).as("cost"),
+        col("cost").isNotNull.as("reached"))
+      .orderBy(col("id"))
+  }
+
+  val q87Sql: String = {
+    val pred = (c: String) =>
+      s"(CAST(regexp_extract($c, 'part([0-9]+)', 1) AS BIGINT) % 17 = 0)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+wedges AS MATERIALIZED (
+  SELECT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst,
+    6 - least(count(*), 5) AS w
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})
+  GROUP BY 1, 2),
+hverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
+c0 AS MATERIALIZED (
+  SELECT id, CASE WHEN ${pred("id")} THEN CAST(0 AS BIGINT) ELSE NULL END AS cost FROM hverts),
+"""
+    for (k <- 1 to SsspRounds) {
+      val p = s"c${k - 1}"
+      sb ++= s"""c$k AS MATERIALIZED (
+  SELECT v.id, (CASE WHEN v.cost IS NULL THEN m.mc WHEN m.mc IS NULL THEN v.cost
+                ELSE least(v.cost, m.mc) END) AS cost
+  FROM $p v LEFT JOIN (
+    SELECT e.dst AS mid, min(p.cost + e.w) AS mc
+    FROM wedges e JOIN $p p ON e.src = p.id WHERE p.cost IS NOT NULL
+    GROUP BY e.dst) m ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""fin AS (SELECT id, cost FROM c$SsspRounds)
+SELECT id, coalesce(cost, -1) AS cost, (cost IS NOT NULL) AS reached
+FROM fin ORDER BY id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_sssp" -> q87Sssp,
     "q78_label_prop" -> q78LabelProp,
     "q79_adamic_adar" -> q79AdamicAdar,
     "q69_bfs_reach" -> q69BfsReach,
@@ -653,6 +714,7 @@ WHERE rank <= $AaTopK ORDER BY rank"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q87_sssp" -> q87Sql,
     "q01_linkrank" -> q01Sql,
     "q02_trustrank" -> q02Sql,
     "q03_hostrank" -> q03Sql,

@@ -833,7 +833,162 @@ object RelationalQueries {
       |FROM j GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Spike rule: an hour whose count exceeds 4× the smoothed history,
+    * evaluated from hour 3 on (the smoother needs a short warm-up). */
+  val EwmaSpikeFactor = 4L
+  val EwmaWarmupHours = 3
+
+  /** Exponentially-weighted moving average over hourly event volume,
+    * α = 1/2 — the trend smoother between q63's global z-score and
+    * q77's per-user jumps: s_t = (x_t + s_{t−1})/2, s_0 = x_0, per
+    * (event_type, day), plus a spike flag when an hour's raw count
+    * exceeds [[EwmaSpikeFactor]]× the smoothed history. The dyadic α
+    * makes the whole recursion EXACT INTEGER arithmetic via the closed
+    * form s_t = (x_0 + Σ_{i=1..t} 2^{i−1}·x_i) / 2^t: one cumulative
+    * window sum of scaled counts, one final division — no libm, no
+    * association sensitivity, and the spike test cross-multiplies to
+    * stay integral (u_t > 4·(S_t − u_t) ⟺ x_t > 4·s_{t−1}·…). Missing
+    * hours enter as true zeros via a (type,day)×24 grid (tiny dim
+    * frames; the only full-data pass is the hourly count partial-agg).
+    * Hour index is pure integer division on the nanosecond ts — no
+    * calendar functions, no timezone surface. */
+  def q85Ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hr"))
+    val x = grid.join(hourly, Seq("event_type", "day", "hr"), "left")
+      .select(col("event_type"), col("day"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+    val u = when(col("hr") === 0, col("cnt"))
+      .otherwise(col("cnt") * expr("shiftleft(1L, cast(hr - 1 as int))"))
+    val byDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.withColumn("u", u)
+      .withColumn("s", sum(col("u")).over(byDay))
+      .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+        round(col("s").cast("double") / expr("shiftleft(1L, cast(hr as int))"), 6)
+          .as("ewma"),
+        (col("hr") >= EwmaWarmupHours &&
+          col("u") > lit(EwmaSpikeFactor) * (col("s") - col("u"))).as("spike"))
+      .orderBy(col("event_type"), col("day"), col("hr"))
+  }
+
+  val q85Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT event_type, day, CAST(h AS BIGINT) AS hr
+      |  FROM (SELECT DISTINCT event_type, day FROM hourly)
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h)),
+      |x AS (
+      |  SELECT g.event_type, g.day, g.hr, coalesce(h.c, 0) AS cnt
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.event_type = h.event_type AND g.day = h.day AND g.hr = h.hr),
+      |scaled AS (
+      |  SELECT event_type, day, hr, cnt,
+      |    (CASE WHEN hr = 0 THEN cnt ELSE cnt * (1::BIGINT << CAST(hr - 1 AS INT)) END) AS u
+      |  FROM x),
+      |summed AS (
+      |  SELECT event_type, day, hr, cnt, u,
+      |    sum(u) OVER (PARTITION BY event_type, day ORDER BY hr
+      |                 ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM scaled)
+      |SELECT event_type, day, hr, cnt,
+      |  round(CAST(s AS DOUBLE) / (1::BIGINT << CAST(hr AS INT)), 6) AS ewma,
+      |  (hr >= $EwmaWarmupHours AND u > $EwmaSpikeFactor * (s - u)) AS spike
+      |FROM summed ORDER BY event_type, day, hr""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Z-value bit budget: each dimension range-normalized to 8 bits,
+    * top 8 of the 16-bit interleave as the bucket id — so a bucket is
+    * a 16-cell × 16-cell rectangle of the normalized grid at ANY scale
+    * factor (absolute-value interleaving would let whichever dimension
+    * has fewer active bits degenerate to full-range stripes). */
+  val ZDimBits = 8
+  val ZBucketShift = 8
+
+  /** Z-order (Morton) multi-dimensional clustering over orders — the
+    * data-layout operator behind OPTIMIZE ZORDER-style file skipping
+    * at 100 TB: range-bucket each dimension (customer, order-day) to
+    * [[ZDimBits]] bits off its global min/max, interleave the bits,
+    * and the z-value prefix buckets are tight RECTANGLES in both
+    * dimensions — min/max footer stats then prune scans filtered on
+    * EITHER column, where a single-column sort only ever prunes one.
+    * The emitted per-bucket stats ARE the skipping audit: every
+    * bucket's customer span and day span stay bounded instead of one
+    * dimension degenerating to the full range (AnalyticsOpsSpec holds
+    * the mean span under the range). Interleave = 3 shift-or-mask
+    * steps per dimension (the classic magic-number spread), all exact
+    * int64 bit ops on both engines; the min/max normalizers are one
+    * O(1)-row broadcast scalar, then map-only until the per-bucket
+    * partial agg. All-integer pipeline ⇒ exact cross-engine hash. */
+  def q86Zorder(spark: SparkSession, sfDir: String): DataFrame = {
+    def spread(v: Column): Column = { // 8-bit input → even bit positions
+      val s1 = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0FL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333L))
+      (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555L))
+    }
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("long").as("day"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("c_lo"), max(col("o_custkey")).as("c_hi"),
+      min(col("day")).as("d_lo"), max(col("day")).as("d_hi"))
+    val xb = expr(s"((o_custkey - c_lo) * ${1L << ZDimBits}) div (c_hi - c_lo + 1)")
+    val yb = expr(s"((day - d_lo) * ${1L << ZDimBits}) div (d_hi - d_lo + 1)")
+    val z = spread(col("xb")).bitwiseOR(shiftleft(spread(col("yb")), 1))
+    o.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("day"), xb.as("xb"), yb.as("yb"))
+      .select(col("o_custkey"), col("day"),
+        shiftrightunsigned(z, ZBucketShift).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        (max(col("day")) - min(col("day"))).as("day_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val q86Sql: String = {
+    def spread(v: String): String = {
+      val s1 = s"(($v | ($v << 4)) & 3855)"
+      val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+      s"(($s2 | ($s2 << 1)) & 21845)"
+    }
+    val cells = 1L << ZDimBits
+    s"""WITH o AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |bounds AS (
+      |  SELECT min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+      |    min(day) AS d_lo, max(day) AS d_hi FROM o),
+      |nb AS (
+      |  SELECT o_custkey, day,
+      |    ((o_custkey - c_lo) * $cells) // (c_hi - c_lo + 1) AS xb,
+      |    ((day - d_lo) * $cells) // (d_hi - d_lo + 1) AS yb
+      |  FROM o CROSS JOIN bounds),
+      |zed AS (
+      |  SELECT o_custkey, day,
+      |    (${spread("xb")} | (${spread("yb")} << 1)) >> $ZBucketShift AS bucket
+      |  FROM nb)
+      |SELECT bucket, count(*) AS n_orders,
+      |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+      |  max(day) - min(day) AS day_span
+      |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_ewma" -> q85Ewma,
+    "q86_zorder" -> q86Zorder,
     "q75_skew_join" -> q75SkewJoin,
     "q76_cube" -> q76Cube,
     "q77_changepoints" -> q77Changepoints,
@@ -856,6 +1011,8 @@ object RelationalQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q85_ewma" -> q85Sql,
+    "q86_zorder" -> q86Sql,
     "q11_pricing_summary" -> q11Sql,
     "q12_top_customers" -> q12Sql,
     "q13_market_share" -> q13Sql,

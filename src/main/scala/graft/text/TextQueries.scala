@@ -1009,7 +1009,186 @@ SELECT source, max(c_s) AS n_docs,
 FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN n
 GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------- q83
+  /** HLL precision: p = 9 ⇒ m = 512 registers, 23 rank bits. */
+  val HllM = 512
+  val HllRankBits = 23
+
+  /** HyperLogLog distinct-token cardinality per language — the
+    * fixed-size mergeable counterpart of q49's KMV sketch and the
+    * sketch a 100 TB pipeline actually ships for COUNT(DISTINCT):
+    * register state is m·6 bits per group no matter the cardinality,
+    * registers merge by max, and the partial agg does the merging
+    * map-side. Flajolet et al. (AofA'07) estimator with the standard
+    * small-range linear-counting correction. Every piece is
+    * deterministic and oracle-replayable: bucket = top 9 bits of the
+    * portable [[MF.hash32]], rank ρ = position of the first 1-bit in
+    * the remaining 23 (= 24 − len(bin(w)), identical in both engines),
+    * and Σ2^−ρ is EXACT — each term is a multiple of 2^−24 and ≤512 of
+    * them sum below 2^33·2^−24, inside double precision, so the sum is
+    * association-free. ln appears only on the linear-counting branch,
+    * round(,12)-gridded (the q79 convention). The exact distinct count
+    * is computed beside it purely to emit the realized |error| — the
+    * sketch path never touches it. */
+  def q83Hll(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val h = MF.hash32(col("tok"))
+    val rb = tok.select(col("lang"),
+      shiftrightunsigned(h, HllRankBits).as("bucket"),
+      h.bitwiseAND(lit((1L << HllRankBits) - 1)).as("w"))
+    val rho = when(col("w") === 0, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits + 1) - length(bin(col("w"))))
+    val regs = rb.groupBy(col("lang"), col("bucket")).agg(max(rho).as("r"))
+    val agg = regs.groupBy(col("lang")).agg(
+      count(lit(1)).as("present"),
+      sum(lit(1.0) / expr("shiftleft(1L, cast(r as int))")).as("zp"))
+    val exact = tok.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    val m = lit(HllM.toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val vZero = lit(HllM.toLong) - col("present")
+    val z = col("zp") + vZero.cast("double")
+    val eRaw = alpha * m * m / z
+    val est = when(eRaw <= lit(2.5) * m && vZero > 0,
+      m * round(log(m / vZero.cast("double")), 12)).otherwise(eRaw)
+    agg.join(exact, "lang")
+      .select(col("lang"), vZero.as("v_zero"), col("n_exact"),
+        round(est, 6).as("hll_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  val q83Sql: String =
+    s"""WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+rb AS (
+  SELECT lang, h >> $HllRankBits AS bucket, h & ${(1L << HllRankBits) - 1} AS w
+  FROM (SELECT lang, ${Sql.hash32("tok")} AS h FROM tok)),
+regs AS MATERIALIZED (
+  SELECT lang, bucket,
+    max(CASE WHEN w = 0 THEN ${HllRankBits + 1}
+        ELSE ${HllRankBits + 1} - length(bin(w)) END) AS r
+  FROM rb GROUP BY lang, bucket),
+agg AS (
+  SELECT lang, count(*) AS present, sum(1.0 / (1::BIGINT << r)) AS zp
+  FROM regs GROUP BY lang),
+exact AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM tok GROUP BY lang),
+est AS (
+  SELECT lang, $HllM - present AS v_zero, zp + ($HllM - present) AS z
+  FROM agg)
+SELECT e.lang, e.v_zero, x.n_exact,
+  round(CASE WHEN (0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0 * $HllM.0 / e.z <= 2.5 * $HllM.0
+              AND e.v_zero > 0
+         THEN $HllM.0 * round(ln($HllM.0 / e.v_zero), 12)
+         ELSE (0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0 * $HllM.0 / e.z END, 6) AS hll_est,
+  round(abs((CASE WHEN (0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0 * $HllM.0 / e.z <= 2.5 * $HllM.0
+              AND e.v_zero > 0
+         THEN $HllM.0 * round(ln($HllM.0 / e.v_zero), 12)
+         ELSE (0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0 * $HllM.0 / e.z END) - x.n_exact)
+        / x.n_exact, 6) AS rel_err
+FROM est e JOIN exact x USING (lang) ORDER BY e.lang"""
+
+  // ---------------------------------------------------------------- q84
+  /** Split fractions: bucket < 90 → train, < 95 → valid, else test. */
+  val SplitTrainPct = 90
+  val SplitValidPct = 95
+
+  /** Deterministic train/valid/test split — the dataset-management op
+    * every training pipeline runs last: each document's split is a
+    * pure hash of its stable id (bucket = hash32('split:'‖doc_id) mod
+    * 100), so membership is reproducible on any cluster, stable under
+    * re-runs and re-partitioning, and needs no RNG state or shuffle —
+    * the assignment is MAP-ONLY and the output is the per-(split,lang)
+    * composition audit: counts, char volume, and each split's share of
+    * its language (which should sit near 90/5/5 per language if the
+    * hash is unbiased — the emitted lang_frac IS that check). */
+  def q84Split(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(MF.hash32(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    val split = when(bucket < SplitTrainPct, lit("train"))
+      .when(bucket < SplitValidPct, lit("valid")).otherwise(lit("test"))
+    val perLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, sfDir)
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("lang_frac",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(perLang), 6))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q84Sql: String =
+    s"""WITH assigned AS (
+  SELECT (CASE WHEN b < $SplitTrainPct THEN 'train'
+          WHEN b < $SplitValidPct THEN 'valid' ELSE 'test' END) AS split,
+    lang, n_chars
+  FROM (SELECT lang, n_chars,
+          ${Sql.hash32("('split:' || CAST(doc_id AS VARCHAR))")} % 100 AS b
+        FROM documents)),
+g AS (
+  SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM assigned GROUP BY split, lang)
+SELECT split, lang, n_docs, n_chars,
+  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS lang_frac
+FROM g ORDER BY split, lang"""
+
+  // ---------------------------------------------------------------- q88
+  /** Epoch cap: no source is up-sampled beyond 5× its natural rate. */
+  val MixtureMaxWeight = 5.0
+
+  /** Source-mixture reweighting — the domain-mix step between curation
+    * and training: given a uniform target share per ingest source,
+    * compute each source's sampling weight = min(target/natural, 5)
+    * (the epoch cap keeps small sources from repeating forever), its
+    * reweighted effective token count, and its realized share of the
+    * final mixture. One token-count aggregation over the corpus (the
+    * only full-data pass, partial-agged); everything after runs on the
+    * per-source frame — 20 rows — via broadcast scalars. All
+    * divisions of exact integer counts ⇒ cross-engine deterministic;
+    * round(,6) grid on every emitted ratio. */
+  def q88Mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("n_src"))
+    val natural = col("n_tokens").cast("double") / col("t")
+    val target = lit(1.0) / col("n_src")
+    val weight = least(target / natural, lit(MixtureMaxWeight))
+    val eff = col("n_tokens") * weight
+    val withW = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(natural, 6).as("nat_share"), round(weight, 6).as("weight"),
+        round(eff, 6).as("eff_tokens"))
+    val effTot = Window.partitionBy()
+    withW
+      .withColumn("mix_share",
+        round(col("eff_tokens") / sum(col("eff_tokens")).over(effTot), 6))
+      .orderBy(col("source"))
+  }
+
+  val q88Sql: String =
+    s"""WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS n_src FROM per_src),
+w AS (
+  SELECT source, n_docs, n_tokens,
+    round(CAST(n_tokens AS DOUBLE) / t, 6) AS nat_share,
+    round(least((1.0 / n_src) / (CAST(n_tokens AS DOUBLE) / t), $MixtureMaxWeight), 6) AS weight,
+    round(n_tokens * least((1.0 / n_src) / (CAST(n_tokens AS DOUBLE) / t), $MixtureMaxWeight), 6) AS eff_tokens
+  FROM per_src CROSS JOIN tot)
+SELECT source, n_docs, n_tokens, nat_share, weight,
+  eff_tokens, round(eff_tokens / sum(eff_tokens) OVER (), 6) AS mix_share
+FROM w ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_hll" -> q83Hll,
+    "q84_split" -> q84Split,
+    "q88_mixture" -> q88Mixture,
     "q81_perplexity" -> q81Perplexity,
     "q82_drift" -> q82Drift,
     "q73_bm25" -> q73Bm25,
@@ -1031,6 +1210,9 @@ GROUP BY source ORDER BY source"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q83_hll" -> q83Sql,
+    "q84_split" -> q84Sql,
+    "q88_mixture" -> q88Sql,
     "q40_langid" -> q40Sql,
     "q41_quality" -> q41Sql,
     "q42_tokens" -> q42Sql,

@@ -279,4 +279,40 @@ class AnalyticsOpsSpec extends GraftSpec {
       assert(r.getLong(6) === TextQueries.PivotLangs.indices.map(i => r.getLong(i + 1)).sum)
     }
   }
+
+  test("q85 ewma equals the literal α=1/2 recursion, spikes agree") {
+    val rows = RelationalQueries.q85Ewma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, series) =>
+      val sorted = series.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (0L to 23L), s"$key full 24h grid")
+      var s = 0.0
+      sorted.zipWithIndex.foreach { case (r, t) =>
+        val x = r.getLong(3).toDouble
+        s = if (t == 0) x else (x + s) / 2.0 // the recursion, literally
+        assert(math.abs(r.getAs[Double]("ewma") - s) < 1e-6, s"$key h$t")
+        val expectSpike = t >= RelationalQueries.EwmaWarmupHours &&
+          x > RelationalQueries.EwmaSpikeFactor * (if (t == 0) 0.0 else 2 * s - x)
+        assert(r.getAs[Boolean]("spike") === expectSpike, s"$key h$t spike")
+      }
+    }
+  }
+
+  test("q86 z-order buckets are tight rectangles, not full-range stripes") {
+    val rows = RelationalQueries.q86Zorder(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === orders.count(), "buckets partition")
+    assert(rows.length >= 2, "fixture spans multiple z-buckets")
+    val custRange = orders.agg(max(col("o_custkey")) - min(col("o_custkey")))
+      .head.getLong(0).toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cust") <= r.getAs[Long]("max_cust"))
+      assert(r.getAs[Long]("day_span") >= 0)
+    }
+    // locality: the MEAN per-bucket customer span is well under the
+    // full range (a date-sorted layout would leave it at ~the range)
+    val meanSpan = rows.map(r =>
+      (r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")).toDouble).sum / rows.length
+    assert(meanSpan < 0.8 * custRange, s"mean cust span $meanSpan vs range $custRange")
+  }
 }

@@ -232,4 +232,57 @@ class GraphOpsPropertySpec extends GraftSpec {
         assert(got(i + 1) === reached(i), s"trial $trial stage ${i + 1}"))
     }
   }
+
+  test("q87 sssp is sandwiched by hop distance: dist <= cost <= 5*dist") {
+    // identical topology and seeds as q69's BFS, so reachability must
+    // match exactly, and with per-edge costs in [1,5] the least path
+    // cost is bounded by the hop distance on both sides
+    val sssp = graft.queries.GraphQueries.q87Sssp(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bfs = graft.queries.GraphQueries.q69BfsReach(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(sssp.keySet === bfs.keySet, "same vertex set")
+    assert(sssp.nonEmpty)
+    sssp.foreach { case (id, (cost, reached)) =>
+      val (dist, bfsReached) = bfs(id)
+      assert(reached === bfsReached, s"$id reach parity")
+      if (reached) {
+        assert(cost >= dist, s"$id cost $cost < hops $dist")
+        assert(cost <= 5 * dist || dist == 0, s"$id cost $cost > 5*$dist")
+      } else assert(cost === -1L, s"$id sentinel")
+    }
+  }
+
+  test("shortestPaths equals brute-force Dijkstra on random weighted digraphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 5
+      val edges = Seq.fill(n * 2)(
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}", 1L + rnd.nextInt(9)))
+      val seeds = (0 until 2).map(_ => s"v${rnd.nextInt(n)}").distinct
+      // round budget n: any shortest path has < n edges
+      val got = Graft.shortestPaths(edges.toDF("src", "dst", "w"),
+          col("src"), col("dst"), col("w"), seeds.toDF("id"), col("id"), maxIters = n)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      Graft.drain(spark)
+
+      // brute force: textbook Dijkstra from the seed set
+      val vs = edges.flatMap(p => Seq(p._1, p._2)).toSet
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+      var dist = seeds.filter(vs).map(_ -> 0L).toMap
+      var done = Set.empty[String]
+      while ((dist.keySet -- done).nonEmpty) {
+        val u = (dist.keySet -- done).minBy(dist)
+        done += u
+        adj.getOrElse(u, Seq.empty).foreach { case (v, w) =>
+          if (dist(u) + w < dist.getOrElse(v, Long.MaxValue)) dist += v -> (dist(u) + w)
+        }
+      }
+      assert(got.keySet === vs, s"trial $trial vertex set")
+      vs.foreach { v =>
+        assert(got(v) === dist.get(v), s"trial $trial vertex $v")
+      }
+    }
+  }
 }

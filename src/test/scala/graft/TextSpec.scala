@@ -121,4 +121,51 @@ class TextSpec extends GraftSpec {
       assert(r.getAs[Double]("est_p90") <= r.getAs[Double]("est_p99"))
     }
   }
+
+  test("q83 HLL estimate lands within the sketch's error envelope") {
+    val rows = TextQueries.q83Hll(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_est")
+      val exact = r.getAs[Long]("n_exact")
+      assert(est > 0.0)
+      // p=9 ⇒ σ ≈ 1.04/√512 ≈ 4.6%; 0.2 is > 4σ, and the linear-
+      // counting branch (small corpora) is tighter still
+      assert(r.getAs[Double]("rel_err") <= 0.2, s"est $est vs exact $exact")
+      assert(r.getAs[Long]("v_zero") >= 0 && r.getAs[Long]("v_zero") <= TextQueries.HllM)
+    }
+  }
+
+  test("q84 split partitions the corpus near the 90/5/5 contract") {
+    val rows = TextQueries.q84Split(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total, "splits partition")
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(Set("train") ++ bySplit.keySet subsetOf Set("train", "valid", "test"))
+    // corpus-level train share: binomial(total, .9) stays inside
+    // [0.75, 0.99] far beyond any plausible fixture size
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.75 && trainFrac < 0.99, s"train frac $trainFrac")
+    rows.foreach { r =>
+      val f = r.getAs[Double]("lang_frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q88 mixture weights respect the epoch cap and shares sum to 1") {
+    val rows = TextQueries.q88Mixture(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mixSum = rows.map(_.getAs[Double]("mix_share")).sum
+    assert(math.abs(mixSum - 1.0) < 1e-4, s"mix shares sum to $mixSum")
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val nat = r.getAs[Double]("nat_share")
+      assert(w > 0.0 && w <= TextQueries.MixtureMaxWeight)
+      // an under-represented source is up-weighted, never down
+      if (nat < 1.0 / rows.length) assert(w >= 1.0, s"${r.getString(0)}: $w")
+      assert(math.abs(r.getAs[Double]("eff_tokens") -
+        r.getAs[Long]("n_tokens") * w) <= 0.5 + 1e-6 * r.getAs[Long]("n_tokens"))
+    }
+  }
 }
