@@ -301,6 +301,18 @@ object Graft {
       seeds.select(seedId.as("id")), maxIters)
   }
 
+  /** k-core decomposition by iterative peeling — edges are treated as
+    * undirected; returns (id, in_core, core_deg) for every vertex.
+    * See [[graph.KCore]]. */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            maxIters: Int = 20): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    graph.KCore.run(und, k, maxIters)
+  }
+
   /** Multi-source weighted shortest paths (Bellman–Ford relaxation)
     * over `(src, dst, weight)` edges following edge direction; weights
     * must be non-negative. Returns (id, cost), cost NULL if unreached

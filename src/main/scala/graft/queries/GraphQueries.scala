@@ -694,7 +694,66 @@ FROM fin ORDER BY id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Core threshold and round budget. The undirected page graph is
+    * near-regular (mean degree ~45 at every sf ≥ 0.01 — edges and
+    * vertices both scale with the fact table), so peeling has a sharp
+    * threshold: measured at sf0.01, k=25 peels 0.5%, k=31 peels 5% in
+    * 5 rounds, k=33 collapses the whole graph. 31 sits in the
+    * interesting regime at sf0.01 (5%) and sf0.1 (5.5%, 7 rounds),
+    * and at sf0.001 (a sparser 200-page graph) cascades to a
+    * correctly-EMPTY core in 10 rounds — all inside the budget.
+    * Budget-R ≡ the oracle's R unrolled rounds UNCONDITIONALLY: early
+    * exit fires only at the fixed point (identity rounds), and an
+    * unconverged engine runs all R rounds exactly like the oracle. */
+  val KcoreK = 31
+  val KcoreRounds = 12
+
+  /** k-core decomposition of the undirected page graph
+    * ([[graft.graph.KCore]], iterative peeling): every vertex keeps
+    * `in_core` (survives k=[[KcoreK]] peeling) and its degree within
+    * the core — the dense-backbone/periphery split a link-spam or
+    * crawl-frontier pipeline runs after ranking. Integer degrees
+    * end-to-end ⇒ exact hash. */
+  def q89Kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val pe = WebGraph.cachedEdges(spark, sfDir)
+    val und = pe.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(pe.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    graft.graph.KCore.run(und, KcoreK, KcoreRounds)
+      .orderBy(col("id"))
+  }
+
+  val q89Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+e2 AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges UNION SELECT dst AS a, src AS b FROM edges)
+  WHERE a <> b),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM e2),
+"""
+    for (k <- 1 to KcoreRounds) {
+      val p = s"a${k - 1}"
+      sb ++= s"""a$k AS MATERIALIZED (
+  SELECT e2.a AS id FROM e2
+  JOIN $p x ON e2.a = x.id JOIN $p y ON e2.b = y.id
+  GROUP BY e2.a HAVING count(*) >= $KcoreK),
+"""
+    }
+    sb ++= s"""cd AS (
+  SELECT e2.a AS id, count(*) AS core_deg FROM e2
+  JOIN a$KcoreRounds x ON e2.a = x.id JOIN a$KcoreRounds y ON e2.b = y.id
+  GROUP BY e2.a)
+SELECT v.id, (s.id IS NOT NULL) AS in_core,
+  coalesce(cd.core_deg, 0) AS core_deg
+FROM a0 v LEFT JOIN a$KcoreRounds s ON v.id = s.id
+LEFT JOIN cd ON v.id = cd.id ORDER BY v.id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_kcore" -> q89Kcore,
     "q87_sssp" -> q87Sssp,
     "q78_label_prop" -> q78LabelProp,
     "q79_adamic_adar" -> q79AdamicAdar,
@@ -714,6 +773,7 @@ FROM fin ORDER BY id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q89_kcore" -> q89Sql,
     "q87_sssp" -> q87Sql,
     "q01_linkrank" -> q01Sql,
     "q02_trustrank" -> q02Sql,

@@ -285,4 +285,33 @@ class GraphOpsPropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("q89 k-core equals driver-side peeling and sits at a fixed point") {
+    val rows = graft.queries.GraphQueries.q89Kcore(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    Graft.drain(spark)
+    assert(rows.nonEmpty)
+    // fixed point: every surviving vertex keeps >= k neighbors IN core
+    rows.foreach { case (id, (inCore, coreDeg)) =>
+      if (inCore) assert(coreDeg >= graft.queries.GraphQueries.KcoreK, s"$id deg $coreDeg")
+      else assert(coreDeg === 0L, s"peeled $id nonzero core_deg")
+    }
+    // exact recompute: textbook peeling on the collected graph
+    val pe = graft.graph.WebGraph.cachedEdges(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val und = (pe ++ pe.map(_.swap)).filter(p => p._1 != p._2).distinct
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(p => alive(p._1) && alive(p._2))
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= graft.queries.GraphQueries.KcoreK)
+      changed = next != alive
+      alive = next
+    }
+    assert(rows.keySet === und.map(_._1).toSet, "vertex domain")
+    rows.foreach { case (id, (inCore, _)) =>
+      assert(inCore === alive(id), s"$id core membership")
+    }
+  }
 }
