@@ -93,6 +93,14 @@ object WebGraph {
       .filter(lower(col("dst")) =!= lower(col("src")))
       .distinct()
 
+  /** [[hostEdges]] of the cleaned page graph, memoized per
+    * session+dir like [[cachedEdges]]: seven queries (q03, q35, q55,
+    * q66, q69, q78, q79) consume the same projection+distinct — one
+    * derivation per session instead of one per query run. */
+  def cachedHostEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"hostedges:$sfDir")(
+      hostEdges(cachedEdges(spark, sfDir)))
+
   /** Weighted host projection: like [[hostEdges]] but keeping the
     * page-link multiplicity per host pair as `cnt` — the edge-strength
     * input for cost-based traversal (q87). Same cleanup rule; the

@@ -75,7 +75,7 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
     * then the LinkRank core on the host graph (Nutch2HostInputFormat /
     * HostRankHBaseTest semantics). */
   def q03HostRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges),
         cacheKey = Some(s"host:$sfDir"))
       .select(col("id"), round(col("score"), 6).as("score"))
@@ -213,7 +213,7 @@ FROM lines ORDER BY id"""
     regexp_extract(id, "part([0-9]+)", 1).cast("long")
 
   def q35HostTrustRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val init = WebGraph.vertices(hedges).withColumn("score",
       when(pmod(hostNum(col("id")), lit(17)) === 0, lit(1.0)).otherwise(lit(0.1)))
     LinkRank.run(spark, hedges, init, trustedMode = true,
@@ -261,7 +261,7 @@ ORDER BY score DESC, id LIMIT 20"""
     * map-side; the default is the any-size shuffle plan). */
   def q55Triangles(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Triangles
-      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)),
+      .run(WebGraph.cachedHostEdges(spark, sfDir),
         broadcastEdges = true)
       .orderBy(col("id"))
 
@@ -309,7 +309,7 @@ ORDER BY deg.id"""
     * end-to-end ⇒ exact cross-engine hash, no float grid needed. */
   def q66Components(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.ConnectedComponents
-      .run(WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir)),
+      .run(WebGraph.cachedHostEdges(spark, sfDir),
         maxIters = CcRounds)
       .select(col("id"), col("component"),
         (col("id") === col("component")).as("is_root"))
@@ -429,7 +429,7 @@ SELECT id, round(score, 6) AS score FROM b_ranked ORDER BY id"""
     * Unreached hosts emit dist = −1 (sentinel, not NULL, so the
     * cross-engine hash is null-convention-free like q38). */
   def q69BfsReach(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val verts = WebGraph.vertices(hedges)
     val seeds = verts.filter(pmod(hostNum(col("id")), lit(17)) === 0)
     graft.graph.Bfs.run(hedges, verts, seeds, maxIters = BfsRounds)
@@ -532,7 +532,7 @@ FROM an$HitsRounds a JOIN hnf hf ON a.id = hf.id ORDER BY a.id"""
     * [[LpaRounds]] synchronous rounds. Integer labels end-to-end ⇒
     * exact hash; unreached hosts stay −1 (q69's sentinel rule). */
   def q78LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val seeds = WebGraph.vertices(hedges)
       .filter(pmod(hostNum(col("id")), lit(17)) === 0)
       .select(col("id"), pmod(hostNum(col("id")), lit(LpaClasses)).as("lbl"))
@@ -592,7 +592,7 @@ SELECT id, lbl, is_seed FROM fin ORDER BY id"""
     * not a global single-partition window. Scores round(,6)-gridded,
     * terms decimal-summed (order-independent). */
   def q79AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.hostEdges(WebGraph.cachedEdges(spark, sfDir))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val top = graft.graph.LinkPrediction.adamicAdar(hedges)
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(AaTopK)

@@ -1185,7 +1185,84 @@ SELECT source, n_docs, n_tokens, nat_share, weight,
   eff_tokens, round(eff_tokens / sum(eff_tokens) OVER (), 6) AS mix_share
 FROM w ORDER BY source"""
 
+  // ---------------------------------------------------------------- q90
+  /** Vocabulary cap, minimum pair support, pairs kept. */
+  val PmiVocab = 40
+  val PmiMinSupport = 5
+  val PmiTopK = 50
+
+  /** Token co-occurrence association mining (pointwise mutual
+    * information) — the collocation/market-basket op over documents:
+    * which token pairs appear together far more often than chance?
+    * pmi(a,b) = ln(df_ab·N / (df_a·df_b)) over per-document DISTINCT
+    * tokens, vocabulary pinned to the [[PmiVocab]] most frequent
+    * tokens (deterministic count-desc/token tie-break), pairs below
+    * [[PmiMinSupport]] docs dropped, top [[PmiTopK]] by
+    * round(6)-gridded pmi (the q48 rank-after-grid convention).
+    *
+    * Shape for 100 TB: the vocab is a TakeOrdered scalar (never a
+    * global window), broadcast back to gate the token stream — so the
+    * pair self-join runs on ≤V tokens per doc, the only corpus-wide
+    * exchanges carry (doc, vocab-token) and aggregated pair rows, and
+    * the PMI math happens on a ≤V² frame with integer
+    * cross-multiplication inside the ln (the q82 convention). */
+  def q90Pmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(PmiVocab)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dt = tok.join(broadcast(vocab.select(col("tok"))), "tok")
+      .select(col("doc_id"), col("tok"))
+    val pairs = dt.as("x").join(dt.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+      .select(col("x.tok").as("a"), col("y.tok").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinSupport)
+    val dfa = vocab.select(col("tok").as("a"), col("df").as("df_a"))
+    val dfb = vocab.select(col("tok").as("b"), col("df").as("df_b"))
+    val pmi = round(log((col("c_ab") * col("n")).cast("double")
+      / (col("df_a") * col("df_b")).cast("double")), 6)
+    val top = pairs.join(broadcast(dfa), "a").join(broadcast(dfb), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), col("df_a"), col("df_b"),
+        pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(PmiTopK)
+    val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  val q90Sql: String =
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+vocab AS MATERIALIZED (
+  SELECT tok, count(*) AS df FROM tok GROUP BY tok
+  ORDER BY df DESC, tok LIMIT $PmiVocab),
+n AS (SELECT count(*) AS n FROM documents),
+dt AS MATERIALIZED (
+  SELECT doc_id, tok FROM tok WHERE tok IN (SELECT tok FROM vocab)),
+pairs AS (
+  SELECT x.tok AS a, y.tok AS b, count(*) AS c_ab
+  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2 HAVING count(*) >= $PmiMinSupport),
+scored AS (
+  SELECT a, b, c_ab,
+    round(ln(CAST(c_ab * n AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE)), 6) AS pmi
+  FROM pairs JOIN vocab va ON pairs.a = va.tok
+  JOIN vocab vb ON pairs.b = vb.tok CROSS JOIN n),
+ranked AS (
+  SELECT a, b, c_ab, pmi,
+    row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+  FROM scored)
+SELECT rank, a, b, c_ab, pmi FROM ranked
+WHERE rank <= $PmiTopK ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pmi" -> q90Pmi,
     "q83_hll" -> q83Hll,
     "q84_split" -> q84Split,
     "q88_mixture" -> q88Mixture,
@@ -1210,6 +1287,7 @@ FROM w ORDER BY source"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q90_pmi" -> q90Sql,
     "q83_hll" -> q83Sql,
     "q84_split" -> q84Sql,
     "q88_mixture" -> q88Sql,

@@ -153,6 +153,32 @@ class TextSpec extends GraftSpec {
     }
   }
 
+  test("q90 PMI equals a driver-side recompute over the pinned vocab") {
+    val rows = TextQueries.q90Pmi(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet).toMap
+    val df = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(TextQueries.PmiVocab).toMap
+    val n = docs.size
+    val pairCounts = docs.values.toSeq.flatMap { ts =>
+      val vs = ts.filter(vocab.contains).toSeq.sorted
+      for (i <- vs.indices; j <- (i + 1) until vs.length) yield (vs(i), vs(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= TextQueries.PmiMinSupport).toMap
+    val scored = pairCounts.toSeq.map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log(c.toDouble * n / (vocab(a).toDouble * vocab(b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(TextQueries.PmiTopK)
+    assert(rows.length === scored.length)
+    rows.zip(scored).foreach { case (r, (a, b, c, pmi)) =>
+      assert((r.getString(1), r.getString(2), r.getLong(3)) === ((a, b, c.toLong)),
+        s"rank ${r.getInt(0)}")
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-9, s"$a/$b pmi")
+    }
+  }
+
   test("q88 mixture weights respect the epoch cap and shares sum to 1") {
     val rows = TextQueries.q88Mixture(spark, sfDir).collect()
     assert(rows.nonEmpty)
