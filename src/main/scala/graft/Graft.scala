@@ -352,6 +352,17 @@ object Graft {
            iters: Int = 5): DataFrame =
     graph.Hits.run(spark, edges.select(src.as("src"), dst.as("dst")), iters)
 
+  /** Personalized PageRank (random walk with restart) over any
+    * directed (src, dst) edge frame from a one-column seed frame:
+    * (id, score) with Σscore = 1 — seed-conditional visit
+    * probabilities after `iters` damped restart rounds (see
+    * graph.Ppr; dangling mass restarts by the seed vector). */
+  def ppr(spark: SparkSession, edges: DataFrame, src: Column, dst: Column,
+          seeds: DataFrame, seedId: Column, iters: Int = 6,
+          damping: Double = 0.85): DataFrame =
+    graph.Ppr.run(spark, edges.select(src.as("src"), dst.as("dst")),
+      seeds.select(seedId.as("id")), iters, damping)
+
   /** Ordered funnel counts over any event frame: (stage, step,
     * n_users, conversion), step k reached only strictly after step
     * k−1 (see operators.Funnel). */

@@ -98,15 +98,7 @@ object LinkRank {
 
     // (svid, dvid, od): the loop-invariant edge side, long keys,
     // partitioned once.
-    def buildEod: DataFrame = edges.join(outdeg, "src")
-      .join(vmap.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
-      .join(vmap.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
-      .select(col("svid"), col("dvid"), col("od"))
-      .repartition(col("svid"))
-    val eod = cacheKey match {
-      case Some(k) => graft.SessionCache.cached(spark, s"rank-eod:$k")(buildEod)
-      case None => buildEod.persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    val eod = eodFor(spark, edges, vmap, cacheKey)
 
     // Vertex frame with loop-invariant flags, keyed by vid.
     val base = init.join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
@@ -201,6 +193,27 @@ object LinkRank {
       graft.Checkpoints.free(vmap) // logs is materialized; the id map can go
     }
     (out, rounds)
+  }
+
+  /** The loop-invariant edge side (svid, dvid, od): edges joined with
+    * out-degrees, both endpoints mapped to 8-byte surrogate ids,
+    * hash-partitioned on svid ONCE so every iteration's contribution
+    * join reuses the partitioning. Shared across every rank-family loop
+    * on the same graph (LinkRank / TrustRank / PPR) via SessionCache
+    * when `cacheKey` is set. */
+  private[graph] def eodFor(spark: SparkSession, edges: DataFrame,
+                            vmap: DataFrame,
+                            cacheKey: Option[String]): DataFrame = {
+    def build: DataFrame = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .join(vmap.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
+      .join(vmap.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
+      .select(col("svid"), col("dvid"), col("od"))
+      .repartition(col("svid"))
+    cacheKey match {
+      case Some(k) => graft.SessionCache.cached(spark, s"rank-eod:$k")(build)
+      case None => build.persist(StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   /** Dense long surrogate ids for a vertex set `ids(id)` → (id, vid).

@@ -752,7 +752,68 @@ LEFT JOIN cd ON v.id = cd.id ORDER BY v.id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Restart-walk rounds — fixed like the reference's rank schedule,
+    * unrolled exactly by the oracle (q66 argument does not even apply:
+    * there is no early exit, both sides run exactly [[PprRounds]]). */
+  val PprRounds = 6
+
+  /** Personalized PageRank from the trusted seed pages over the page
+    * graph ([[graft.graph.Ppr]]): the seed-centric rank the family was
+    * missing — LinkRank answers "globally important", TrustRank biases
+    * the dangling flow, PPR answers "close to THIS seed set" (the
+    * walk restarts at the seeds, so scores are seed-conditional visit
+    * probabilities, Σ = 1). Shares the session-cached (vmap, eod)
+    * edge side with q01/q02/q68 — one partitioned edge build serves
+    * four rank loops. Scores ×1000 before the round(,6) grid so the
+    * 1/N-scale probabilities keep ~6 significant digits. */
+  def q91Ppr(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    val verts = WebGraph.vertices(edges)
+    val seeds = verts.filter(pmod(pkOf(col("id")), lit(17)) === 0)
+    graft.graph.Ppr.run(spark, edges, seeds, iters = PprRounds,
+        cacheKey = Some(s"page:$sfDir"))
+      .join(seeds.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), round(col("score") * 1000, 6).as("ppr_x1000"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .orderBy(col("id"))
+  }
+
+  val q91Sql: String = {
+    val pred = (c: String) => s"(${pkOfSql(c)} % 17 = 0)"
+    val d = "0.85"
+    val oneMinusD = (1.0 - 0.85).toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+vertices AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+ns AS (SELECT count(*) AS c FROM vertices WHERE ${pred("id")}),
+p0 AS MATERIALIZED (
+  SELECT id, (CASE WHEN ${pred("id")} THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END) AS r,
+         (CASE WHEN ${pred("id")} THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END) AS score
+  FROM vertices),
+"""
+    for (k <- 1 to PprRounds) {
+      val p = s"p${k - 1}"
+      sb ++= s"""pd$k AS (SELECT coalesce(sum(p.score), 0) AS ds FROM $p p WHERE p.id NOT IN (SELECT src FROM outdeg)),
+p$k AS MATERIALIZED (
+  SELECT v.id, v.r,
+    ($oneMinusD * v.r + $d * (coalesce(c.contrib, 0) + (SELECT ds FROM pd$k) * v.r)) AS score
+  FROM $p v LEFT JOIN (
+    SELECT e.dst AS did, sum(p.score / od.od) AS contrib
+    FROM edges e JOIN $p p ON e.src = p.id JOIN outdeg od ON od.src = e.src
+    GROUP BY e.dst) c ON v.id = c.did),
+"""
+    }
+    sb ++= s"""fin AS (SELECT id, score FROM p$PprRounds)
+SELECT id, round(score * 1000, 6) AS ppr_x1000, ${pred("id")} AS is_seed
+FROM fin ORDER BY id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_ppr" -> q91Ppr,
     "q89_kcore" -> q89Kcore,
     "q87_sssp" -> q87Sssp,
     "q78_label_prop" -> q78LabelProp,
@@ -773,6 +834,7 @@ LEFT JOIN cd ON v.id = cd.id ORDER BY v.id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q91_ppr" -> q91Sql,
     "q89_kcore" -> q89Sql,
     "q87_sssp" -> q87Sql,
     "q01_linkrank" -> q01Sql,

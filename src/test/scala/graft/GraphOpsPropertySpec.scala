@@ -207,6 +207,42 @@ class GraphOpsPropertySpec extends GraftSpec {
     assert(got("b")._2 > got("a")._2)
   }
 
+  test("Ppr equals a driver-side dense restart walk on random digraphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 4
+      val edges = Seq.fill(n * 2)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter(p => p._1 != p._2).distinct
+      val vs = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val seeds = vs.take(2)
+      val iters = 6
+      val got = Graft.ppr(spark, edges.toDF("src", "dst"), col("src"), col("dst"),
+          seeds.toDF("id"), col("id"), iters = iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Graft.drain(spark)
+
+      // dense driver-side recurrence, same update rule
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+      val r = vs.map(v => v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+      var score = r
+      for (_ <- 1 to iters) {
+        val dang = vs.filterNot(outdeg.contains).map(score).sum
+        score = vs.map { v =>
+          val contrib = edges.filter(_._2 == v)
+            .map(e => score(e._1) / outdeg(e._1)).sum
+          v -> (0.15 * r(v) + 0.85 * (contrib + dang * r(v)))
+        }.toMap
+      }
+      assert(got.keySet === vs.toSet, s"trial $trial vertex set")
+      vs.foreach(v => assert(math.abs(got(v) - score(v)) < 1e-9, s"trial $trial $v"))
+      // probability mass is conserved: dangling walkers restart by r
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+      // restart bias: the seed set always keeps at least the (1−d)
+      // restart share of the mass, whatever the topology
+      assert(seeds.map(got).sum >= 0.15 - 1e-12, s"trial $trial bias")
+    }
+  }
+
   test("Funnel equals a brute-force walk on random event logs") {
     val rnd = new scala.util.Random(11)
     val steps = Seq("a", "b", "c")
