@@ -986,7 +986,123 @@ object RelationalQueries {
       |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Nanoseconds per day — cohort/offset days are pure integer
+    * division on the nanosecond ts (q85's no-calendar convention). */
+  private val DayNs = 86400L * 1000000000L
+
+  /** Daily cohort retention matrix — the product-analytics staple
+    * beside q53's funnel: users are cohorted by first-activity day,
+    * and cell (cohort, offset) counts how many of them were active
+    * `offset` days later, with retention = the share of the cohort.
+    * Offset 0 is the cohort size itself (retention 1.0 by definition —
+    * kept, it's the matrix diagonal readers expect). Daily grain keeps
+    * the fixture non-trivial (at ~2 events/user/day a user skips a
+    * given day ~10% of the time, so off-diagonal cells are genuinely
+    * < 1.0; weekly grain saturates to all-1.0 on this log).
+    *
+    * Shape for 100 TB: the event stream collapses to DISTINCT
+    * (user, day) pairs in one partial-agged pass (the exchange
+    * carries user-day rows, never events); first-day is a min-agg
+    * re-aggregation of that frame on the same user_id partitioning;
+    * the matrix is days² cells — O(1)-sized output however large the
+    * log. All-integer counts; one float share per cell. */
+  def q93Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset_days"), col("cohort_users"),
+        col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy(col("cohort"), col("offset_days"))
+  }
+
+  val q93Sql: String =
+    s"""WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // $DayNs AS day FROM events),
+first AS (
+  SELECT user_id, min(day) AS cohort FROM uw GROUP BY user_id),
+sizes AS (
+  SELECT cohort, count(*) AS cohort_users FROM first GROUP BY cohort),
+cells AS (
+  SELECT f.cohort, uw.day - f.cohort AS offset_days, count(*) AS active_users
+  FROM uw JOIN first f ON uw.user_id = f.user_id
+  GROUP BY f.cohort, uw.day - f.cohort)
+SELECT c.cohort, c.offset_days, s.cohort_users, c.active_users,
+  round(CAST(c.active_users AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort = s.cohort
+ORDER BY c.cohort, c.offset_days"""
+
+  // ---------------------------------------------------------------- q96
+  /** In-session event-type transition matrix (first-order Markov
+    * chain) — the path-analysis operator over q15's sessions: within
+    * each session (same >30-min gap rule), consecutive events form
+    * (from_type → to_type) transitions; the matrix gives each source
+    * type's empirical next-step distribution (Σ p per from_type = 1),
+    * the model behind next-action prediction and anomalous-flow
+    * detection.
+    *
+    * Shape for 100 TB: ONE hash shuffle on user_id; the session flags,
+    * cumulative session ids, and the lead() pairing all run inside the
+    * same sorted partition (q15's plan — no second exchange for the
+    * pairing); transitions partial-agg to a types² frame before the
+    * final tiny aggregation. */
+  def q96Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    trans
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(totals), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q96Sql: String =
+    """WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_type,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+sess AS (
+  SELECT user_id, ts_us, event_type,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+  FROM flagged),
+trans AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us) AS to_type
+  FROM sess),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n FROM trans
+  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM cnt ORDER BY from_type, to_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_retention" -> q93Retention,
+    "q96_transitions" -> q96Transitions,
     "q85_ewma" -> q85Ewma,
     "q86_zorder" -> q86Zorder,
     "q75_skew_join" -> q75SkewJoin,
@@ -1011,6 +1127,8 @@ object RelationalQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q93_retention" -> q93Sql,
+    "q96_transitions" -> q96Sql,
     "q85_ewma" -> q85Sql,
     "q86_zorder" -> q86Sql,
     "q11_pricing_summary" -> q11Sql,

@@ -1261,7 +1261,130 @@ ranked AS (
 SELECT rank, a, b, c_ab, pmi FROM ranked
 WHERE rank <= $PmiTopK ORDER BY rank"""
 
+  // ---------------------------------------------------------------- q92
+  /** Posting-list length cap — the per-term impact-ordered head a
+    * retrieval index actually serves hot. */
+  val PostTopK = 20
+
+  /** Inverted-index build (impact-ordered postings) — the retrieval
+    * artifact q73's BM25 scores against, materialized: one row per
+    * vocabulary term with df (documents containing it), total tf, and
+    * the head of its posting list as `doc_id:tf` entries ordered by
+    * impact (tf desc, doc_id tiebreak), capped at [[PostTopK]].
+    *
+    * Shape for 100 TB: the corpus is tokenized ONCE into the
+    * (doc,term,tf) frame (partial-agged — the exchange carries
+    * per-doc-term rows, never raw tokens); df/total_tf re-aggregate
+    * that frame; the posting head is a rank window Spark rewrites to
+    * WindowGroupLimit (per-partition top-k before the exchange), so
+    * the per-term state is ≤k entries however large the corpus — the
+    * output is vocabulary-sized, and a full (uncapped) index is the
+    * same plan minus the rank filter, written partitioned by term.
+    * All-integer (counts, ids) ⇒ exact cross-engine hash; the joined
+    * posting string is deterministic by construction. */
+  def q92Postings(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val head = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PostTopK)
+      .select(col("term"), col("rank"),
+        concat(col("doc_id").cast("string"), lit(":"), col("tf").cast("string"))
+          .as("entry"))
+      // sort_array on struct(rank, entry) orders by rank; the lambda
+      // runs over ≤k in-row elements (bounded, not data-scaled)
+      .groupBy(col("term"))
+      .agg(expr(s"array_join(transform(sort_array(collect_list(struct(rank, entry)))," +
+        " x -> x.entry), ',')").as("postings_head"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .join(head, "term")
+      .select(col("term"), col("df"), col("total_tf"), col("postings_head"))
+      .orderBy(col("term"))
+  }
+
+  val q92Sql: String =
+    s"""WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest(split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term, doc_id),
+ranked AS (
+  SELECT term, doc_id, tf,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf),
+heads AS (
+  SELECT term, string_agg(doc_id || ':' || tf, ',' ORDER BY rank) AS postings_head
+  FROM ranked WHERE rank <= $PostTopK GROUP BY term)
+SELECT tf.term, count(*) AS df, CAST(sum(tf.tf) AS BIGINT) AS total_tf, any_value(h.postings_head) AS postings_head
+FROM tf JOIN heads h ON tf.term = h.term
+GROUP BY tf.term ORDER BY tf.term"""
+
+  // ---------------------------------------------------------------- q94
+  /** Robust z cutoff: |x − median| > MadZ · 1.4826 · MAD (1.4826 =
+    * 1/Φ⁻¹(3/4), the consistency constant that makes MAD estimate σ
+    * under normality). */
+  val MadZ = 3.0
+
+  /** Robust outlier detection via median absolute deviation — the
+    * length-anomaly screen a curation pipeline runs where mean/stdev
+    * (q63's z-score) would be poisoned by the very outliers it hunts
+    * (a few 10×-length documents inflate σ until nothing is anomalous;
+    * the median and MAD have 50% breakdown). Per language: median doc
+    * length, MAD, and how many documents fall outside the robust
+    * [[MadZ]]σ̂ band.
+    *
+    * Shape for 100 TB: two exact `percentile(0.5)` aggregations (the
+    * q50 path — swap to `approx_percentile` for unbounded groups, same
+    * call shape) with the medians riding back as a broadcast join of
+    * one row per language; the outlier count is a conditional agg over
+    * the same hash partitioning — three passes over a (lang, n_chars)
+    * projection, nothing document-level on an exchange twice. */
+  def q94Mad(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("lang"), col("n_chars"))
+    val med = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val dev = docs.join(broadcast(med), "lang")
+      .select(col("lang"), col("n_chars"), col("med"),
+        abs(col("n_chars") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("lang"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("adev") > lit(MadZ) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .join(med, "lang").join(mad, "lang")
+      .select(col("lang"), col("n_docs"), round(col("med"), 6).as("median_chars"),
+        round(col("mad"), 6).as("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n_docs"), 6).as("outlier_pct"))
+      .orderBy(col("lang"))
+  }
+
+  val q94Sql: String =
+    s"""WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.lang, d.n_chars, m.med, abs(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON d.lang = m.lang),
+mad AS (
+  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang),
+cnt AS (
+  SELECT dev.lang, count(*) AS n_docs,
+    CAST(sum(CASE WHEN dev.adev > $MadZ * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev JOIN mad ON dev.lang = mad.lang GROUP BY dev.lang)
+SELECT cnt.lang, n_docs, round(med.med, 6) AS median_chars,
+  round(mad.mad, 6) AS mad, n_outliers,
+  round(CAST(n_outliers AS DOUBLE) / n_docs, 6) AS outlier_pct
+FROM cnt JOIN med ON cnt.lang = med.lang JOIN mad ON cnt.lang = mad.lang
+ORDER BY cnt.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_mad" -> q94Mad,
+    "q92_postings" -> q92Postings,
     "q90_pmi" -> q90Pmi,
     "q83_hll" -> q83Hll,
     "q84_split" -> q84Split,
@@ -1287,6 +1410,8 @@ WHERE rank <= $PmiTopK ORDER BY rank"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q94_mad" -> q94Sql,
+    "q92_postings" -> q92Sql,
     "q90_pmi" -> q90Sql,
     "q83_hll" -> q83Sql,
     "q84_split" -> q84Sql,

@@ -298,6 +298,57 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("q93 retention matrix equals a driver-side cohort walk") {
+    val rows = RelationalQueries.q93Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = uw.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size }
+    val cells = uw.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .map { case (k, xs) => k -> xs.map(_._1).distinct.size }
+    assert(rows.length === cells.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === sizes(key._1).toLong, s"$key cohort size")
+      assert(r.getLong(3) === cells(key).toLong, s"$key active")
+      assert(r.getLong(3) <= r.getLong(2), s"$key active <= cohort")
+      if (key._2 == 0L)
+        assert(r.getDouble(4) === 1.0, s"$key diagonal retention")
+    }
+  }
+
+  test("q96 transition matrix rows are distributions and counts match a walk") {
+    val rows = RelationalQueries.q96Transitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // each from_type's p column is a probability distribution
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"$ft sums to $total")
+    }
+    // driver-side walk: same session rule, same pairing
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(_._2)
+      val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, (_, ts, et)) =>
+          acc match {
+            case (h @ ((pts, _) :: _)) :: t if ts - pts <= 30L * 60 * 1000000 =>
+              ((ts, et) :: h) :: t
+            case _ => List((ts, et)) :: acc
+          }
+      }
+      sessions.flatMap(s => s.reverse.map(_._2).sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      })
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("q86 z-order buckets are tight rectangles, not full-range stripes") {
     val rows = RelationalQueries.q86Zorder(spark, sfDir).collect()
     val orders = Tables.orders(spark, sfDir)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.TextQueries
+import org.apache.spark.sql.functions.col
 
 /** Text-suite behavior at sf0.001: shapes, ranges, and internal
   * consistency (the value-level gate is the driver's DuckDB oracle).
@@ -177,6 +178,72 @@ class TextSpec extends GraftSpec {
         s"rank ${r.getInt(0)}")
       assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-9, s"$a/$b pmi")
     }
+  }
+
+  test("q92 postings equal a driver-side inverted-index build") {
+    val rows = text.TextQueries.q92Postings(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (term, xs) => (term, id, xs.length.toLong) }
+    }
+    val byTerm = tf.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byTerm.keySet)
+    rows.foreach { r =>
+      val (term, df, total, head) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val posts = byTerm(term)
+      assert(df === posts.length.toLong, s"$term df")
+      assert(total === posts.map(_._3).sum, s"$term total_tf")
+      val wantHead = posts.sortBy(p => (-p._3, p._2))
+        .take(text.TextQueries.PostTopK)
+        .map(p => s"${p._2}:${p._3}").mkString(",")
+      assert(head === wantHead, s"$term postings head")
+    }
+  }
+
+  test("q94 MAD outlier screen survives contamination that poisons the z-score") {
+    val rows = text.TextQueries.q94Mad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    def quantileCont(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * q
+      val lo = idx.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val xs = byLang(lang).map(_._2.toDouble).toSeq
+      val med = quantileCont(xs, 0.5)
+      val mad = quantileCont(xs.map(x => math.abs(x - med)), 0.5)
+      assert(math.abs(r.getDouble(2) - med) < 1e-6, s"$lang median")
+      assert(math.abs(r.getDouble(3) - mad) < 1e-6, s"$lang mad")
+      val n = xs.count(x => math.abs(x - med) > text.TextQueries.MadZ * 1.4826 * mad)
+      assert(r.getLong(4) === n.toLong, s"$lang outliers")
+    }
+    // robustness: contaminate one language's lengths with 10x whales in
+    // the driver — the median/MAD cutoff still isolates them, while the
+    // mean/stdev z-score cutoff (q63's shape) lets them drag sigma up
+    val base = byLang(rows.head.getString(0)).map(_._2.toDouble).toSeq
+    val contaminated = base ++ Seq.fill(math.max(2, base.size / 20))(
+      base.max * 10.0)
+    val med = quantileCont(contaminated, 0.5)
+    val mad = quantileCont(contaminated.map(x => math.abs(x - med)), 0.5)
+    val robustCaught = contaminated.count(x =>
+      math.abs(x - med) > text.TextQueries.MadZ * 1.4826 * mad)
+    val mean = contaminated.sum / contaminated.size
+    val sd = math.sqrt(contaminated.map(x => (x - mean) * (x - mean)).sum /
+      contaminated.size)
+    val zCaught = contaminated.count(x => math.abs(x - mean) > 3 * sd)
+    assert(robustCaught >= contaminated.size / 20, "MAD catches the whales")
+    assert(robustCaught >= zCaught, "robust screen >= z screen under contamination")
   }
 
   test("q88 mixture weights respect the epoch cap and shares sum to 1") {
