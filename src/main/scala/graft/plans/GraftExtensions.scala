@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CdcChunks(Cast(args.head, StringType),
         Cast(args(1), IntegerType))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
+      (args: Seq[Expression]) => CharEntropy(Cast(args.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PhashExpr].getName, "graft_phash"),
       (args: Seq[Expression]) => PhashExpr(Cast(args.head, StringType))))

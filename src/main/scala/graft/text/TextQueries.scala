@@ -1382,7 +1382,55 @@ SELECT cnt.lang, n_docs, round(med.med, 6) AS median_chars,
 FROM cnt JOIN med ON cnt.lang = med.lang JOIN mad ON cnt.lang = mad.lang
 ORDER BY cnt.lang"""
 
+  // ---------------------------------------------------------------- q95
+  /** Low-entropy cutoff in nats, applied on the exact 10¹²-scaled
+    * integer. 2.75 sits in the fixture's lower tail (normal docs in
+    * its 27+-symbol alphabet score ~2.85, ~8% fall below) — the
+    * review-or-drop band; repeated-character boilerplate scores far
+    * lower still. */
+  val EntropyLowE12 = 2_750_000_000_000L
+
+  /** Character-entropy quality scoring — the model-free gibberish /
+    * boilerplate screen next to q41's ratio heuristics and q81's
+    * bigram-LM perplexity: Shannon entropy of each document's
+    * code-point distribution in nats, plus a low-entropy flag (the
+    * CCNet-style "too repetitive to be prose" cut). Uses the
+    * `graft_entropy` kernel ([[graft.plans.EntropyMath]]): histogram +
+    * entropy fold in ONE compiled pass per row — map-only, where the
+    * composed form would explode every CHARACTER of the corpus through
+    * an exchange (a |text|× row inflation; the q43/q46 kernel argument
+    * one level finer). Entropy terms are round(,12)-gridded and
+    * long-summed in the kernel (q79 convention), so the DuckDB oracle
+    * replays the identical rational with its unnest + GROUP BY
+    * formulation, and the flag compares exact integers on both sides. */
+  def q95Entropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("graft_entropy", col("text")).as("e"))
+      .select(col("doc_id"), col("e.n").as("n_cp"), col("e.k").as("distinct_cp"),
+        round(col("e.ent_e12").cast("double") / lit(1e12), 6).as("entropy_nats"),
+        (col("e.ent_e12") < lit(EntropyLowE12)).as("low_entropy"))
+      .orderBy(col("doc_id"))
+
+  val q95Sql: String =
+    s"""WITH cs AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM cs WHERE ch <> '' GROUP BY doc_id, ch),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM cnt GROUP BY doc_id),
+terms AS (
+  SELECT cnt.doc_id,
+    CAST(round(-((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n)), 12)
+         AS DECIMAL(38,12)) AS t
+  FROM cnt JOIN n ON cnt.doc_id = n.doc_id),
+ent AS (SELECT doc_id, sum(t) AS e FROM terms GROUP BY doc_id)
+SELECT n.doc_id, n.n AS n_cp, n.k AS distinct_cp,
+  round(CAST(ent.e AS DOUBLE), 6) AS entropy_nats,
+  (ent.e < 2.75) AS low_entropy
+FROM n JOIN ent ON n.doc_id = ent.doc_id
+ORDER BY n.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_entropy" -> q95Entropy,
     "q94_mad" -> q94Mad,
     "q92_postings" -> q92Postings,
     "q90_pmi" -> q90Pmi,
@@ -1410,6 +1458,7 @@ ORDER BY cnt.lang"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q95_entropy" -> q95Sql,
     "q94_mad" -> q94Sql,
     "q92_postings" -> q92Sql,
     "q90_pmi" -> q90Sql,
