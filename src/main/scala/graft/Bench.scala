@@ -134,7 +134,20 @@ object Bench {
       shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}"""
+    // Durability: the harness keeps only the tail of the log, and Spark's
+    // shutdown WARN spew after the JSON line pushed r6's warm section out
+    // of the captured window ("parsed": null). Quiet the shutdown AND
+    // persist the full line to a file so the artifact never depends on
+    // log-truncation luck.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file write is best-effort; stdout is the contract
+    spark.sparkContext.setLogLevel("ERROR")
+    println(line)
     spark.stop()
   }
 }

@@ -41,8 +41,12 @@ object LabelPropagation {
       .filter(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = und.select(col("a").as("id")).distinct()
+    // Conflicting duplicate seed rows are resolved to min(lbl) BEFORE the
+    // join: a duplicated (id, lbl) pair would otherwise duplicate the
+    // vertex row and double-count its vote in every neighbor histogram.
     val init = verts
-      .join(seeds.select(col("id"), col("lbl").as("seed_lbl")), Seq("id"), "left")
+      .join(seeds.groupBy(col("id")).agg(min(col("lbl")).as("seed_lbl")),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("seed_lbl"), lit(-1L)).as("lbl"),
         col("seed_lbl").isNotNull.as("is_seed"))
 

@@ -23,6 +23,16 @@ import org.apache.spark.storage.StorageLevel
   * SessionCache-shared with LinkRank/TrustRank loops on the same
   * graph; dangling mass is a 1-row broadcast aggregate inside the
   * iteration's job; checkpoint rotation holds one live snapshot.
+  *
+  * Float-grid caveat (the LinkRank convention, accepted here too): the
+  * per-round contribution sum runs in IEEE double with
+  * partition-dependent association, so the oracle equality of the
+  * round(,6)-gridded output relies on no score landing exactly on a
+  * grid boundary — true for the benchmarked fixtures, same posture as
+  * the q01/q02 loops this code shares its edge side with. The
+  * scaled-int64 alternative (grid each edge contribution at 12 places,
+  * decimal-sum — LinkPrediction's trick) is available if a fixture ever
+  * hits the boundary.
   */
 object Ppr {
 

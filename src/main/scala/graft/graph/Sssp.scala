@@ -34,8 +34,11 @@ object Sssp {
           maxIters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Seeds are deduped defensively: duplicate ids would multiply rows
+    // through this left join and ride every relaxation round after it.
     val init = vertices.select(col("id"))
-      .join(seeds.select(col("id"), lit(0L).as("cost")), Seq("id"), "left")
+      .join(seeds.select(col("id")).distinct().withColumn("cost", lit(0L)),
+        Seq("id"), "left")
     var dist = init.localCheckpoint()
     var rounds = 0
     var converged = false

@@ -39,6 +39,14 @@ object PhashMath {
 
   val Pixels = 64
 
+  /** a·b > c·d exactly, for non-negative operands, via 128-bit products
+    * (high word from Math.multiplyHigh, low word compared unsigned). */
+  private[graft] def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = java.lang.Math.multiplyHigh(c, d); val lo2 = c * d
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+  }
+
   /** [lo, hi] halves of the aHash, or an empty array when L < 64. */
   def phash(text: UTF8String): ArrayData = {
     val cps = text.toString.codePoints().toArray
@@ -56,8 +64,11 @@ object PhashMath {
       var sum = 0L
       var j = s
       while (j < e) { sum += cps(j); j += 1 }
-      // exact integer compare: mean_b > mean  ⇔  sum·L > total·(e−s)
-      if (sum * L > total * (e - s)) {
+      // exact integer compare: mean_b > mean  ⇔  sum·L > total·(e−s).
+      // Compared in 128 bits: the cross products exceed int64 once the
+      // payload passes ~2e7 code points (total ~ L·1.1e6, times L/64),
+      // and a silent wrap would flip the bit.
+      if (gt128(sum, L.toLong, total, (e - s).toLong)) {
         if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
       }
       b += 1

@@ -943,7 +943,11 @@ object RelationalQueries {
     val bounds = o.agg(
       min(col("o_custkey")).as("c_lo"), max(col("o_custkey")).as("c_hi"),
       min(col("day")).as("d_lo"), max(col("day")).as("d_hi"))
-    val xb = expr(s"((o_custkey - c_lo) * ${1L << ZDimBits}) div (c_hi - c_lo + 1)")
+    // custkey arithmetic forced to 64-bit: in the column's native 32-bit
+    // type (custkey > ~8.4M at large SF) Spark would silently wrap where
+    // DuckDB raises, breaking the cross-engine gate.
+    val xb = expr(s"((CAST(o_custkey AS BIGINT) - c_lo) * ${1L << ZDimBits})" +
+      s" div (CAST(c_hi AS BIGINT) - c_lo + 1)")
     val yb = expr(s"((day - d_lo) * ${1L << ZDimBits}) div (d_hi - d_lo + 1)")
     val z = spread(col("xb")).bitwiseOR(shiftleft(spread(col("yb")), 1))
     o.crossJoin(broadcast(bounds))
@@ -973,7 +977,8 @@ object RelationalQueries {
       |    min(day) AS d_lo, max(day) AS d_hi FROM o),
       |nb AS (
       |  SELECT o_custkey, day,
-      |    ((o_custkey - c_lo) * $cells) // (c_hi - c_lo + 1) AS xb,
+      |    ((CAST(o_custkey AS BIGINT) - c_lo) * $cells)
+      |      // (CAST(c_hi AS BIGINT) - c_lo + 1) AS xb,
       |    ((day - d_lo) * $cells) // (d_hi - d_lo + 1) AS yb
       |  FROM o CROSS JOIN bounds),
       |zed AS (

@@ -1402,7 +1402,14 @@ ORDER BY cnt.lang"""
     * one level finer). Entropy terms are round(,12)-gridded and
     * long-summed in the kernel (q79 convention), so the DuckDB oracle
     * replays the identical rational with its unnest + GROUP BY
-    * formulation, and the flag compares exact integers on both sides. */
+    * formulation, and the flag compares exact integers on both sides.
+    *
+    * Unit contract (pinned in EntropySpec): both sides count Unicode
+    * CODE POINTS — the kernel iterates `codePointAt`, and DuckDB's
+    * `string_split(text, '')` splits UTF-8 into code-point units
+    * (verified empirically: astral chars are ONE unit, combining marks
+    * are SEPARATE units — not UTF-16 code units, not graphemes). The
+    * gate therefore holds for any Unicode fixture, not just BMP/ASCII. */
   def q95Entropy(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

@@ -56,6 +56,18 @@ class PhashSpec extends GraftSpec {
     assert(PhashMath.phash(UTF8String.fromString("tiny")).numElements() === 0)
   }
 
+  test("mean compare is exact beyond int64 (128-bit cross products)") {
+    // Payloads past ~2e7 code points overflow sum·L in int64; the
+    // compare must not wrap. Operands chosen so the 64-bit products
+    // collide while the true 128-bit products differ.
+    assert(PhashMath.gt128(1L << 62, 5L, 1L << 62, 4L))       // hi word decides
+    assert(!PhashMath.gt128(1L << 62, 4L, 1L << 62, 5L))
+    assert(PhashMath.gt128(3L, 3L, 2L, 4L))                   // small exact
+    assert(!PhashMath.gt128(2L, 4L, 2L, 4L))                  // equality is not >
+    // 64-bit wrap case: a·b = 2^64 ≡ 0 (mod 2^64) but truly > c·d = 1
+    assert(PhashMath.gt128(1L << 32, 1L << 32, 1L, 1L))
+  }
+
   test("q80 marks every synthetic exact duplicate as perceptual dup") {
     val rows = graft.multimodal.MultimodalQueries.q80Phash(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
