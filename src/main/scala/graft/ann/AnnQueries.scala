@@ -101,21 +101,32 @@ WHERE rank <= $K ORDER BY qid, rank"""
     * single 32-bit code, which is what the oracle still does), and the
     * coded frame is cached so the two join sides don't each re-run the
     * scan + kernel. */
-  def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** LSH candidate pairs for any (bandBits, bandCount) config:
+    * (qid, qv, qn, vec_id, v, nrm), distinct. Planes [b·bits, (b+1)·bits)
+    * per band, so q31's fixed config is the (LshBandBits, LshBandCount)
+    * instance of this. `queryPred` defaults to q31's mod filter. */
+  private def lshCand(spark: SparkSession, sfDir: String,
+                      bandBits: Int, bandCount: Int,
+                      capQueries: Boolean = false): DataFrame = {
     val coded = graft.Checkpoints.deferUnpersist(vecs(spark, sfDir)
-      .withColumn("bands", VF.lshBands(col("v"), Dims, LshBandBits, LshBandCount))
+      .withColumn("bands", VF.lshBands(col("v"), Dims, bandBits, bandCount))
       .cache())
     val bandsOf = (idCol: String, vCol: String, nCol: String) =>
       coded.select(col("vec_id").as(idCol), col("v").as(vCol), col("nrm").as(nCol),
         posexplode(col("bands")))
         .select(col(idCol), col(vCol), col(nCol),
           col("pos").as("band"), col("col").as("key"))
-    val qb = bandsOf("qid", "qv", "qn").filter(pmod(col("qid"), lit(QueryMod)) === 0)
+    val qb0 = bandsOf("qid", "qv", "qn").filter(pmod(col("qid"), lit(QueryMod)) === 0)
+    val qb = if (capQueries) qb0.filter(col("qid") < QueryCap) else qb0
     val eb = bandsOf("vec_id", "v", "nrm")
-    val cand = qb.join(eb, Seq("band", "key"))
+    qb.join(eb, Seq("band", "key"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
       .distinct()
+  }
+
+  /** Exact cosine top-[[K]] within a candidate-pair frame. */
+  private def topKOf(cand: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
     cand.select(col("qid"), col("vec_id"),
@@ -125,6 +136,9 @@ WHERE rank <= $K ORDER BY qid, rank"""
       .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    topKOf(lshCand(spark, sfDir, LshBandBits, LshBandCount))
 
   val q31Sql: String = {
     val bandRows = (0 until LshBandCount)
@@ -157,7 +171,10 @@ WHERE rank <= $K ORDER BY qid, rank"""
     * nearest centroid's bucket (broadcast of a CONSTANT-size centroid
     * set → O(n·k) assignment); queries probe their NProbe nearest centroids
     * and search only those buckets. */
-  def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared IVF index build: (cents, assigned), both cached for the
+    * duration of the calling query's action — so a multi-config sweep
+    * (q99) pays the O(n·k) assignment ONCE across its nprobe configs. */
+  private def ivfParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = vecs(spark, sfDir)
     // 64 rows, but each broadcast consumer would re-run the full-scan
     // top-k behind it — cache so the scan happens once.
@@ -182,26 +199,34 @@ WHERE rank <= $K ORDER BY qid, rank"""
         .filter(col("arank") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
         .cache())
+    (cents, assigned)
+  }
+
+  /** IVF candidate pairs for any nprobe: queries probe their `nprobe`
+    * nearest of the [[KCents]] coarse centroids and pair with those
+    * buckets' members. Returns (qid, qv, qn, vec_id, v, nrm). */
+  private def ivfCand(cents: DataFrame, assigned: DataFrame,
+                      nprobe: Int,
+                      capQueries: Boolean = false): DataFrame = {
     // probes: nprobe nearest centroids per query
-    val probes = assigned.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+    val probes0 = assigned.filter(pmod(col("vec_id"), lit(QueryMod)) === 0)
+    val probes = (if (capQueries) probes0.filter(col("vec_id") < QueryCap) else probes0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("qn"), col("cid"),
         round(VF.cosineByNorm(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("ccos"))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("prank") <= NProbe)
+      .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     probes.join(assigned.select(col("vec_id"), col("v"), col("nrm"), col("cid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
+  }
+
+  def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, assigned) = ivfParts(spark, sfDir)
+    topKOf(ivfCand(cents, assigned, NProbe))
   }
 
   val q32Sql: String =
@@ -428,7 +453,139 @@ SELECT qid, n_exact, lsh_hits, ivf_hits,
   round(CAST(ivf_hits AS DOUBLE) / n_exact, 6) AS ivf_recall
 FROM allrows ORDER BY qid"""
 
+  // ---------------------------------------------------------------- q99
+  /** The swept LSH configs (bandBits, bandCount) and IVF probe counts —
+    * one frontier row each. Chosen to span the cost/recall curve from
+    * q31/q32's production points to a ≥0.8-recall operating point. */
+  val FrontierLsh: Seq[(Int, Int)] = Seq((4, 8), (4, 16), (4, 24), (6, 16), (8, 24))
+  val FrontierProbes: Seq[Int] = Seq(4, 8, 16, 24, 32)
+
+  /** ANN cost/recall frontier — q65 generalized from "measure the two
+    * production configs" to the full tuning sweep: every LSH
+    * (bandBits × bands) config and IVF nprobe setting gets one row with
+    * its measured recall@[[K]] against q30's exact ground truth AND its
+    * candidate-set cost (avg candidates scored per query — the thing a
+    * config actually costs at 100 TB, where recall is bought with
+    * candidate volume). The sweep shares one coded/assigned build where
+    * possible (ivfParts runs once across the three nprobe rows), every
+    * per-config stat is a 1-row broadcast aggregate, and the output is
+    * a ~|configs|-row frame — the frontier itself costs candidate
+    * generation, not extra passes.
+    *
+    * Scale shape: identical to q65 — the audit runs over a sampled
+    * query panel (capped like q30), so the frontier is re-measurable at
+    * any corpus size for the same bounded cost; the chosen operating
+    * point is then a measured trade, not a guess. */
+  def q99AnnFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = graft.Checkpoints.deferUnpersist(
+      q30KnnBrute(spark, sfDir).select(col("qid"), col("neighbor")).cache())
+    val (cents, assigned) = ivfParts(spark, sfDir)
+    def statsFor(cfg: String, cand0: DataFrame): DataFrame = {
+      val cand = graft.Checkpoints.deferUnpersist(cand0.cache())
+      val tot = exact.agg(count(lit(1)).as("total_exact"))
+      val hits = exact
+        .join(topKOf(cand).select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
+        .agg(count(lit(1)).as("hits"))
+      val cost = cand.agg(count(lit(1)).as("total_cand"))
+      tot.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
+        .select(lit(cfg).as("cfg"), col("total_exact"), col("hits"), col("total_cand"))
+    }
+    val frames =
+      FrontierLsh.map { case (bits, bands) =>
+        statsFor(s"lsh_${bits}x$bands",
+          lshCand(spark, sfDir, bits, bands, capQueries = true))
+      } ++
+        FrontierProbes.map(np =>
+          statsFor(f"ivf_np$np%02d", ivfCand(cents, assigned, np, capQueries = true)))
+    frames.reduce(_ unionAll _)
+      .select(col("cfg"), expr(s"total_exact div $K").as("n_queries"),
+        round(col("hits").cast("double") / col("total_exact"), 6).as("recall_at_5"),
+        round(col("total_cand").cast("double") * K / col("total_exact"), 6).as("avg_cand"),
+        col("hits"), col("total_exact"), col("total_cand"))
+      .orderBy(col("cfg"))
+  }
+
+  /** q99's own copy of the vector CTE under names that cannot collide
+    * with the `ed0`/`ed` that q30Sql re-declares inside the embedded
+    * `exact0` CTE (DuckDB rejects the duplicate alias). */
+  private val fedCte =
+    "fed0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+      s"fed AS MATERIALIZED (SELECT vec_id, v, ${Sql.listNorm("v")} AS nrm FROM fed0)"
+
+  private def lshFrontierCtes(pfx: String, bits: Int, bands: Int): String = {
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${Sql.lshCode("v", Dims, bits, b * bits)} AS key FROM fed")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${pfx}b AS MATERIALIZED (
+  $bandRows),
+${pfx}c AS MATERIALIZED (
+  SELECT DISTINCT q.vec_id AS qid, e.vec_id
+  FROM ${pfx}b q JOIN ${pfx}b e ON q.band = e.band AND q.key = e.key
+  WHERE q.vec_id % $QueryMod = 0 AND q.vec_id < $QueryCap AND q.vec_id <> e.vec_id)"""
+  }
+
+  private def ivfFrontierCtes(pfx: String, np: Int): String =
+    s"""${pfx}p AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(${Sql.listCosineByNorm("q.v", "c.cv", "q.nrm", "c.cn")}, 6) DESC, c.cid) AS prank
+    FROM fed q CROSS JOIN cents c WHERE q.vec_id % $QueryMod = 0 AND q.vec_id < $QueryCap)
+  WHERE prank <= $np),
+${pfx}c AS MATERIALIZED (
+  SELECT p.qid, a.vec_id FROM ${pfx}p p JOIN assigned a ON a.cid = p.cid AND p.qid <> a.vec_id)"""
+
+  private def frontierStatSql(pfx: String, cfg: String): String =
+    s"""${pfx}t AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+      row_number() OVER (PARTITION BY c.qid
+        ORDER BY round(${Sql.listCosineByNorm("q.v", "e.v", "q.nrm", "e.nrm")}, 6) DESC, c.vec_id) AS rank
+    FROM ${pfx}c c JOIN fed q ON q.vec_id = c.qid JOIN fed e ON e.vec_id = c.vec_id)
+  WHERE rank <= $K),
+${pfx}s AS (
+  SELECT '$cfg' AS cfg,
+    (SELECT count(*) FROM exact) AS total_exact,
+    (SELECT count(*) FROM exact x JOIN ${pfx}t t ON x.qid = t.qid AND x.neighbor = t.vec_id) AS hits,
+    (SELECT count(*) FROM ${pfx}c) AS total_cand)"""
+
+  val q99Sql: String = {
+    val lshParts = FrontierLsh.zipWithIndex.map { case ((bits, bands), i) =>
+      val pfx = s"l$i"
+      (lshFrontierCtes(pfx, bits, bands) + ",\n" +
+        frontierStatSql(pfx, s"lsh_${bits}x$bands"), s"${pfx}s")
+    }
+    val ivfParts0 = FrontierProbes.zipWithIndex.map { case (np, i) =>
+      val pfx = s"v$i"
+      (ivfFrontierCtes(pfx, np) + ",\n" +
+        frontierStatSql(pfx, f"ivf_np$np%02d"), s"${pfx}s")
+    }
+    val all = lshParts ++ ivfParts0
+    s"""WITH $fedCte,
+exact0 AS MATERIALIZED ($q30Sql),
+exact AS (SELECT qid, neighbor FROM exact0),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM fed
+  ORDER BY ${Sql.universalHash("vec_id", 1)}, vec_id LIMIT $KCents),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(${Sql.listCosineByNorm("e.v", "c.cv", "e.nrm", "c.cn")}, 6) DESC, c.cid) AS arank
+    FROM fed e CROSS JOIN cents c)
+  WHERE arank = 1),
+${all.map(_._1).mkString(",\n")},
+stats AS (
+  ${all.map(s => s"SELECT * FROM ${s._2}").mkString("\n  UNION ALL\n  ")})
+SELECT cfg, total_exact // $K AS n_queries,
+  round(CAST(hits AS DOUBLE) / total_exact, 6) AS recall_at_5,
+  round(CAST(total_cand AS DOUBLE) * $K / total_exact, 6) AS avg_cand,
+  hits, total_exact, total_cand
+FROM stats ORDER BY cfg"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_ann_frontier" -> q99AnnFrontier,
     "q30_knn_brute" -> q30KnnBrute,
     "q31_knn_lsh" -> q31KnnLsh,
     "q32_ivf_knn" -> q32IvfKnn,
@@ -437,6 +594,7 @@ FROM allrows ORDER BY qid"""
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q99_ann_frontier" -> q99Sql,
     "q30_knn_brute" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_ivf_knn" -> q32Sql,

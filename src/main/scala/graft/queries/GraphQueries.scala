@@ -812,7 +812,53 @@ FROM fin ORDER BY id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Tolerance-halted rank: budget rounds, [[RankTolEps]] convergence halt. */
+  val RankTolDamping = 0.1
+  val RankTolBudget = 22
+  val RankTolEps = 1e-15
+
+  /** Convergence-halted LinkRank over the host graph — the `tol` path
+    * of [[graft.graph.LinkRank.runCounted]] as a driver row. At 100 TB
+    * a fixed superstep count is a guess (the reference's master compute
+    * schedules exactly 10 — LinkRankVertexMasterCompute.java:40-54);
+    * the scale-correct form is "round budget + convergence tolerance",
+    * halting as soon as max|v′−v| < tol. Gate argument (the q66/q89
+    * budget-≡-unrolled shape, adapted to floats): damping 0.1 contracts
+    * the delta by ~10× per round, so the iterate reaches its
+    * double-precision fixed point near round 17 — past that point
+    * further updates change nothing beyond ~1 ulp, the engine halts
+    * with tol = 1e-15 strictly inside the 22-round budget
+    * (RankTolSpec asserts it), and the oracle's full 22-round unrolled
+    * chain lands on the same fixed point. Cross-engine agreement is
+    * then the usual summation-order float-luck every rank oracle here
+    * accepts, NOT a truncation gap. Raw (un-normalized) iterate,
+    * ×1000 before the round(,6) grid (q91 convention: host-scale
+    * probabilities keep ~6 significant digits). Shares the
+    * session-cached host (vmap, eod) side with q03/q35. */
+  def q97RankTol(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val (out, _) = LinkRank.runCounted(spark, hedges,
+      LinkRank.uniformInit(hedges),
+      iters = RankTolBudget, damping = RankTolDamping,
+      cacheKey = Some(s"host:$sfDir"),
+      tol = Some(RankTolEps), normalize = false)
+    out.select(col("id"), round(col("score") * 1000, 6).as("score_x1000"))
+      .orderBy(col("id"))
+  }
+
+  val q97Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+${RankSql.chain("hedges", "1.0", iters = RankTolBudget,
+        damping = RankTolDamping, normalize = false)}
+SELECT id, round(score * 1000, 6) AS score_x1000 FROM ranked ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_rank_tol" -> q97RankTol,
     "q91_ppr" -> q91Ppr,
     "q89_kcore" -> q89Kcore,
     "q87_sssp" -> q87Sssp,
@@ -834,6 +880,7 @@ FROM fin ORDER BY id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q97_rank_tol" -> q97Sql,
     "q91_ppr" -> q91Sql,
     "q89_kcore" -> q89Sql,
     "q87_sssp" -> q87Sql,

@@ -221,6 +221,82 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Watermark delay of the streaming twin (and the oracle's emission
+    * cutoff): windows whose end is at most max(event time) − this many
+    * ms are finalized and emitted by the availableNow run. */
+  val StreamDelayMs = 7200000L
+
+  /** Streaming batch-equivalence — q16's tumbling aggregation run
+    * through the REAL Structured Streaming engine (file source →
+    * event-time watermark → windowed agg → file sink, availableNow
+    * trigger), read back as the result frame. This puts the streaming
+    * path under the same DuckDB oracle regime as every batch operator
+    * instead of ScalaTest-only equality.
+    *
+    * Determinism: with no per-trigger file limits configured,
+    * availableNow drains the source in a single micro-batch (nothing
+    * is ever late), then the no-data finalize batch advances the
+    * watermark to max(event time) − 2 h and flushes every window whose
+    * end the watermark has passed. The emitted set is therefore exactly
+    * "windows with end ≤ max(ts) − 2 h" — a pure function of the data
+    * that the oracle computes with a HAVING clause (Spark tracks the
+    * watermark in whole milliseconds, hence the ms floor in both
+    * engines). Windows still inside the delay horizon are withheld by
+    * design — that is the streaming semantic being verified.
+    *
+    * Scale shape: identical to the production streaming pipeline —
+    * bounded state (closed windows evicted), partial aggregation per
+    * micro-batch, file-sink append with exactly-once manifest. The
+    * batch read-back + sort is on the aggregated (window, type) frame,
+    * never the events. */
+  def q98StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sch = Tables.events(spark, sfDir).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    // events.parquet is a single FILE; the file stream source requires a
+    // directory base path, so glob one character — the base becomes the
+    // sf directory while the pattern still matches only this file.
+    val agg = spark.readStream.schema(sch).parquet(s"$sfDir/[e]vents.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("tv"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), asD(col("tv")).as("total_value"))
+    agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    // Materialize eagerly so the temp sink files can be deleted before
+    // the caller consumes the frame.
+    val res = spark.read.parquet(outDir)
+      .orderBy(col("window_start_us"), col("event_type"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try { // best-effort temp cleanup; the result no longer reads it
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q98Sql: String =
+    s"""WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value FROM events),
+      |wm AS (SELECT (max(ts_us) // 1000 - $StreamDelayMs) * 1000 AS w FROM ev)
+      |SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+      |FROM ev
+      |GROUP BY 1, 2
+      |HAVING window_start_us + 3600000000 <= (SELECT w FROM wm)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q17
   /** As-of join — the temporal operator Spark has no native node for
     * (DuckDB does: the oracle IS an ASOF LEFT JOIN): attribute every
@@ -1119,6 +1195,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q14_window_rank" -> q14WindowRank,
     "q15_sessionize" -> q15Sessionize,
     "q16_tumbling_window" -> q16TumblingWindow,
+    "q98_stream_window" -> q98StreamWindow,
     "q17_asof_join" -> q17AsofJoin,
     "q18_bucketed_join" -> q18BucketedJoin,
     "q19_range_join" -> q19RangeJoin,
@@ -1142,6 +1219,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q14_window_rank" -> q14Sql,
     "q15_sessionize" -> q15Sql,
     "q16_tumbling_window" -> q16Sql,
+    "q98_stream_window" -> q98Sql,
     "q17_asof_join" -> q17Sql,
     "q18_bucketed_join" -> q18Sql,
     "q19_range_join" -> q19Sql,
