@@ -682,7 +682,145 @@ ORDER BY da, db"""
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------- q104 containment
+  /** Asymmetric shingle containment over the LSH candidate pairs —
+    * Jaccard's sibling for SUB-document duplication: a short doc fully
+    * quoted inside a long one scores containment ≈ 1 while its Jaccard
+    * stays low (the union is dominated by the long doc), so a
+    * Jaccard-only dedup pass ships near-verbatim quotes as "novel"
+    * text. cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|, containment =
+    * max — the trigger for quote/subset handling in a training-data
+    * pipeline. Same blocked shape as q23: compiled in-row shingle
+    * sets, merge-walk intersection, candidates only (never all-pairs). */
+  def q104Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = graft.Checkpoints.deferUnpersist(
+      corpus(spark, sfDir)
+        .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+        .select(col("doc_id"), col("s"), size(col("s")).as("n"))
+        .cache())
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val sa = sets.toDF("da", "sa", "na")
+    val sb = sets.toDF("db", "sb", "nb")
+    val inter = call_function("graft_intersect_count", col("sa"), col("sb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter", inter)
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6).as("cont_b"),
+        round(greatest(
+          col("inter").cast("double") / col("na").cast("double"),
+          col("inter").cast("double") / col("nb").cast("double")), 6).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q104Sql: String =
+    s"""WITH $corpusCte,
+shd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS sh
+  FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s),
+sh AS MATERIALIZED (SELECT doc_id, sh AS h FROM shd),
+$signaturesCte,
+$bandsCte,
+$candCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM cand c JOIN shd a ON a.doc_id = c.da JOIN shd b ON b.doc_id = c.db AND b.sh = a.sh
+  GROUP BY c.da, c.db)
+SELECT c.da, c.db,
+  round(CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS cont_a,
+  round(CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS cont_b,
+  round(greatest(CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(na.n AS DOUBLE),
+                 CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(nb.n AS DOUBLE)), 6) AS containment
+FROM cand c LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+JOIN cnt na ON na.doc_id = c.da JOIN cnt nb ON nb.doc_id = c.db
+ORDER BY c.da, c.db"""
+
+  // --------------------------------------------- q108 n-gram decontamination
+  /** 8-word grams; benchmark slice = doc_id ≡ 0 (mod 7). 7 ∤ 10⁹, so
+    * the synthetic dup offsets (+1e9/+2e9) shift residues — a bench
+    * doc's near/exact twin lands in TRAIN, which is exactly the leak
+    * this operator exists to catch. */
+  val NgramDecontN = 8
+  val NgramDecontMod = 7
+  val NgramDecontMax = 0.3
+
+  /** N-GRAM-level decontamination — the GPT-3/LLaMA-style method,
+    * complementing the whole-document matchers (q26/q27 minhash-set,
+    * q28 Bloom): a training doc is contaminated to the degree its
+    * word 8-grams appear ANYWHERE in the held-out benchmark slice,
+    * catching partial leaks (a quoted benchmark question inside an
+    * otherwise-novel page) that document-level similarity dilutes
+    * below threshold. Output per train doc: gram volume, benchmark-hit
+    * volume, contamination ratio, and the ≥[[NgramDecontMax]] flag.
+    *
+    * Shape for 100 TB: one tokenization per side; the train gram
+    * stream is aggregated to per-doc-distinct (doc, gram, occ) rows
+    * map-side before its only exchange; the benchmark union-gram set
+    * joins by SHUFFLE (q27's any-benchmark-size posture — broadcast is
+    * q26's separately-guarded variant), and the join carries gram
+    * rows, never text. */
+  def q108NgramDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    def grams(df: DataFrame): DataFrame = {
+      val toks = split(col("text"), " ")
+      df.select(col("doc_id"),
+          when(size(toks) >= NgramDecontN,
+            transform(sequence(lit(1), size(toks) - (NgramDecontN - 1)),
+              i => array_join(slice(toks, i, lit(NgramDecontN)), " ")))
+            .otherwise(array(col("text"))).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+    }
+    val bench = grams(c.filter(pmod(col("doc_id"), lit(NgramDecontMod)) === 0))
+      .select(col("g")).distinct()
+    val train = c.filter(pmod(col("doc_id"), lit(NgramDecontMod)) =!= 0)
+    val pg = grams(train).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
+    val hits = pg.join(bench, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("occ")).as("hit_grams"))
+    val tot = pg.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_grams"))
+    val ratio = coalesce(col("hit_grams"), lit(0L)).cast("double") / col("n_grams")
+    train.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        round(ratio, 6).as("contamination"),
+        (ratio >= NgramDecontMax).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q108Sql: String = {
+    val n = NgramDecontN
+    def gramsSql(src: String): String =
+      s"""SELECT doc_id,
+    unnest(CASE WHEN len(t) >= $n
+         THEN list_transform(range(1, len(t) - ${n - 1} + 1),
+                i -> array_to_string(t[i:i+${n - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)"""
+    s"""WITH $corpusCte,
+bench AS MATERIALIZED (
+  SELECT DISTINCT g FROM (${gramsSql(s"(SELECT * FROM corpus WHERE doc_id % $NgramDecontMod = 0)")})),
+train AS (SELECT * FROM corpus WHERE doc_id % $NgramDecontMod <> 0),
+pg AS MATERIALIZED (
+  SELECT doc_id, g, count(*) AS occ FROM (${gramsSql("train")}) GROUP BY doc_id, g),
+hits AS (
+  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS hit_grams FROM pg
+  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id)
+SELECT t.doc_id, tt.n_grams,
+  coalesce(h.hit_grams, 0) AS hit_grams,
+  round(CAST(coalesce(h.hit_grams, 0) AS DOUBLE) / tt.n_grams, 6) AS contamination,
+  (CAST(coalesce(h.hit_grams, 0) AS DOUBLE) / tt.n_grams) >= $NgramDecontMax AS contaminated
+FROM train t
+JOIN tot tt ON tt.doc_id = t.doc_id
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_ngram_decontaminate" -> q108NgramDecontaminate,
+    "q104_containment" -> q104Containment,
     "q54_edit_distance" -> q54EditDistance,
     "q28_decontaminate_bloom" -> q28DecontaminateBloom,
     "q20_dedup_exact" -> q20DedupExact,
@@ -695,6 +833,8 @@ ORDER BY da, db"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q108_ngram_decontaminate" -> q108Sql,
+    "q104_containment" -> q104Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_minhash_lsh" -> q21Sql,
     "q22_simhash" -> q22Sql,

@@ -857,7 +857,167 @@ ${RankSql.chain("hedges", "1.0", iters = RankTolBudget,
         damping = RankTolDamping, normalize = false)}
 SELECT id, round(score * 1000, 6) AS score_x1000 FROM ranked ORDER BY id"""
 
+  // ---------------------------------------------------------------- q107
+  /** Degree assortativity of the undirected host graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman's r): do
+    * well-connected hosts link to each other (assortative, r > 0) or
+    * to the periphery (disassortative, r < 0)? The one-number
+    * structure probe read next to q55's clustering and q07's degree
+    * table. Each undirected edge contributes BOTH ordered pairs, so
+    * the marginals are symmetric by construction.
+    *
+    * Exactness: all five sums (Σa, Σab, Σa², ...) are int64 over
+    * integer degrees — association-free partial aggregation — and the
+    * only float ops are one sqrt of a double product (the factors
+    * stay int64; their product is multiplied as doubles to dodge
+    * overflow) and one division, written identically in the oracle.
+    * Scale shape: canonical edge set + two broadcast-able degree
+    * joins + scalar aggregates; no window, no all-pairs. */
+  def q107Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val und = hedges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("id").as("u"), col("d").as("da"))
+    val dv = deg.select(col("id").as("v"), col("d").as("db"))
+    val ordered = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(col("da").as("a"), col("db").as("b"))
+      .unionAll(und.join(broadcast(du), "u").join(broadcast(dv), "v")
+        .select(col("db").as("a"), col("da").as("b")))
+    val s = ordered.agg(count(lit(1)).as("m"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(col("a") * col("b")).as("sab"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"))
+    val num = (col("m") * col("sab") - col("sa") * col("sb")).cast("double")
+    val f1 = (col("m") * col("saa") - col("sa") * col("sa")).cast("double")
+    val f2 = (col("m") * col("sbb") - col("sb") * col("sb")).cast("double")
+    s.select(col("m").as("m_ordered_pairs"),
+      when(col("m") === 0 || f1 * f2 <= 0.0, lit(0.0))
+        .otherwise(round(num / sqrt(f1 * f2), 6)).as("assortativity"))
+  }
+
+  val q107Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM hedges WHERE least(src, dst) <> greatest(src, dst)),
+deg AS MATERIALIZED (
+  SELECT id, count(*) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
+ordered AS (
+  SELECT x.d AS a, y.d AS b FROM und
+    JOIN deg x ON x.id = und.u JOIN deg y ON y.id = und.v
+  UNION ALL
+  SELECT y.d, x.d FROM und
+    JOIN deg x ON x.id = und.u JOIN deg y ON y.id = und.v),
+s AS (
+  SELECT count(*) AS m,
+    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+    CAST(sum(a * b) AS BIGINT) AS sab,
+    CAST(sum(a * a) AS BIGINT) AS saa,
+    CAST(sum(b * b) AS BIGINT) AS sbb
+  FROM ordered)
+SELECT m AS m_ordered_pairs,
+  CASE WHEN m = 0 OR CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE) <= 0.0
+       THEN 0.0
+       ELSE round(CAST(m * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE)), 6)
+  END AS assortativity
+FROM s"""
+
+  // ---------------------------------------------------------------- q109
+  /** Out-degree distribution of the page graph in log₂ buckets with a
+    * CCDF — the power-law diagnostic read before sizing any graph job
+    * (bucket growth rate decides skew handling: salting, degree caps,
+    * hub-first relabeling). Dangling pages land in bucket −1.
+    *
+    * The bucket is floor(log₂ d) computed EXACTLY as
+    * `length(bin(d)) − 1` — pure integer/string arithmetic on both
+    * engines, dodging the classic `Math.log(x)/Math.log(2)` off-by-ulp
+    * at exact powers of two that would flip a bucket boundary
+    * cross-engine. The CCDF runs on the ≤~32-row histogram frame
+    * (window over buckets), never the vertex set. */
+  def q109DegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    val outd = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val deg = WebGraph.vertices(edges)
+      .join(outd, Seq("id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("d"))
+    val hist = deg
+      .select(when(col("d") === 0, lit(-1L))
+        .otherwise(length(bin(col("d"))).cast("long") - 1).as("bucket"), col("d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vertices"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"))
+    val tot = hist.agg(sum(col("n_vertices")).as("n"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("at_least", sum(col("n_vertices")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vertices"), col("min_deg"), col("max_deg"),
+        round(col("at_least").cast("double") / col("n"), 6).as("ccdf"))
+      .orderBy(col("bucket"))
+  }
+
+  val q109Sql: String =
+    s"""WITH $pageGraphCtes,
+vertices AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+deg AS (SELECT coalesce(o.d, 0) AS d FROM vertices v LEFT JOIN outdeg o ON o.src = v.id),
+hist AS (
+  SELECT CASE WHEN d = 0 THEN -1 ELSE length(bin(d)) - 1 END AS bucket,
+    count(*) AS n_vertices, min(d) AS min_deg, max(d) AS max_deg
+  FROM deg GROUP BY 1),
+tot AS (SELECT CAST(sum(n_vertices) AS BIGINT) AS n FROM hist)
+SELECT bucket, n_vertices, CAST(min_deg AS BIGINT) AS min_deg,
+  CAST(max_deg AS BIGINT) AS max_deg,
+  round(CAST(sum(n_vertices) OVER (ORDER BY bucket DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / (SELECT n FROM tot), 6) AS ccdf
+FROM hist ORDER BY bucket"""
+
+  // ---------------------------------------------------------------- q110
+  /** Link reciprocity of the directed host graph: the fraction of
+    * edges whose reverse edge also exists — the mutual-linking signal
+    * separating organic interlinked communities from one-way link
+    * farms (read next to q107's assortativity). One self-equi-join on
+    * the reversed key pair + scalar counts; integers end to end. */
+  def q110Reciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = WebGraph.cachedHostEdges(spark, sfDir)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val tot = e.agg(count(lit(1)).as("n_edges"))
+    tot.crossJoin(broadcast(recip))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") / col("n_edges"), 6).as("reciprocity"))
+  }
+
+  val q110Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+recip AS (
+  SELECT count(*) AS n_reciprocal FROM hedges e
+  WHERE EXISTS (SELECT 1 FROM hedges r WHERE r.src = e.dst AND r.dst = e.src))
+SELECT (SELECT count(*) FROM hedges) AS n_edges, recip.n_reciprocal,
+  round(CAST(recip.n_reciprocal AS DOUBLE) / (SELECT count(*) FROM hedges), 6) AS reciprocity
+FROM recip"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_degree_dist" -> q109DegreeDist,
+    "q110_reciprocity" -> q110Reciprocity,
+    "q107_assortativity" -> q107Assortativity,
     "q97_rank_tol" -> q97RankTol,
     "q91_ppr" -> q91Ppr,
     "q89_kcore" -> q89Kcore,
@@ -880,6 +1040,9 @@ SELECT id, round(score * 1000, 6) AS score_x1000 FROM ranked ORDER BY id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q109_degree_dist" -> q109Sql,
+    "q110_reciprocity" -> q110Sql,
+    "q107_assortativity" -> q107Sql,
     "q97_rank_tol" -> q97Sql,
     "q91_ppr" -> q91Sql,
     "q89_kcore" -> q89Sql,

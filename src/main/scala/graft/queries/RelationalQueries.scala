@@ -1181,7 +1181,255 @@ SELECT from_type, to_type, n,
   round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
 FROM cnt ORDER BY from_type, to_type"""
 
+  // ---------------------------------------------------------------- q101
+  /** Buckets for the local-skyline prune phase. */
+  val SkyBuckets = 32
+
+  /** 2-D skyline (Pareto front) of orders on (totalprice ↑, orderdate ↑):
+    * the orders no other order beats on both price and recency — the
+    * dominance query (multi-criteria "best" set) OLAP engines ship as a
+    * first-class operator and Spark has no node for. Composed from
+    * windows (custom-operator ladder preference (a)):
+    *
+    * Phase 1 prunes LOCALLY: points are hash-bucketed, and each
+    * bucket's skyline is computed with a partitioned window (sort by
+    * price DESC, date DESC; a point survives iff its date beats the
+    * running max over strictly-preceding rows). Dominance is transitive
+    * and global skyline points can never be dominated, so the union of
+    * local skylines contains exactly the global skyline plus a small
+    * residue — the scale trick: the UNPARTITIONED phase-2 window runs
+    * on ~|skyline|·buckets survivors, never the corpus (a naive global
+    * window would funnel 100 TB through one partition).
+    *
+    * Points are first made DISTINCT (identical (price, date) pairs
+    * carry an n_orders count), which makes the running-max strictness
+    * test exactly the ≥/≥-with-one-strict dominance definition. */
+  def q101Skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice").as("price"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
+      .groupBy(col("price"), col("date_us")).agg(count(lit(1)).as("n_orders"))
+    def survivors(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("mp", max(col("date_us")).over(
+          w.orderBy(col("price").desc, col("date_us").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("mp").isNull || col("date_us") > col("mp"))
+        .drop("mp")
+    val local = survivors(
+      pts.withColumn("b", pmod(hash(col("price"), col("date_us")), lit(SkyBuckets))),
+      Window.partitionBy(col("b"))).drop("b")
+    survivors(local, Window.partitionBy())
+      .orderBy(col("price").desc, col("date_us"))
+  }
+
+  val q101Sql: String =
+    """WITH pts AS (
+      |  SELECT o_totalprice AS price, epoch_us(o_orderdate) AS date_us,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |sky AS (
+      |  SELECT price, date_us, n_orders,
+      |    max(date_us) OVER (ORDER BY price DESC, date_us DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |  FROM pts)
+      |SELECT price, date_us, n_orders FROM sky
+      |WHERE mp IS NULL OR date_us > mp
+      |ORDER BY price DESC, date_us""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  val BasketMinSupport = 5
+  val BasketTopK = 50
+
+  /** Market-basket association mining over order baskets: which part
+    * BRAND pairs co-occur in an order far beyond chance? Per-order
+    * distinct brands (lineitem joined to the broadcast part dim), pair
+    * counts c_ab, per-brand counts c_a, and
+    * lift = c_ab·N / (c_a·c_b) — the recommender/affinity primitive.
+    * Pairs under [[BasketMinSupport]] orders are dropped; top
+    * [[BasketTopK]] by round(6)-gridded lift (rank-after-grid, q48
+    * convention).
+    *
+    * Shape for 100 TB: the dim join is broadcast; the pair self-join
+    * runs WITHIN an order key (bounded basket size ⇒ bounded fan-out,
+    * never corpus×corpus); everything downstream of the per-order
+    * distinct is counts of (brand) and (brand, brand) rows — a
+    * vocabulary-sized frame. Lift's integer cross-multiplication stays
+    * in int64 inside the one double division. */
+  def q102Basket(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pt = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val ob = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val n = ob.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    val ca = ob.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+      .select(col("x.brand").as("a"), col("y.brand").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BasketMinSupport)
+    val lift = round((col("c_ab") * col("n")).cast("double")
+      / (col("c_a") * col("c_b")).cast("double"), 6)
+    val top = pairs
+      .join(broadcast(ca.select(col("brand").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(ca.select(col("brand").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(BasketTopK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("a"), col("b"))))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("lift"))
+      .orderBy(col("rank"))
+  }
+
+  val q102Sql: String =
+    s"""WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |nn AS (SELECT count(DISTINCT ok) AS n FROM ob),
+      |ca AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+      |pairs AS (
+      |  SELECT x.brand AS a, y.brand AS b, count(*) AS c_ab
+      |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+      |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+      |scored AS (
+      |  SELECT p.a, p.b, p.c_ab,
+      |    round(CAST(p.c_ab * nn.n AS DOUBLE) / CAST(x.c * y.c AS DOUBLE), 6) AS lift
+      |  FROM pairs p
+      |  JOIN ca x ON x.brand = p.a JOIN ca y ON y.brand = p.b
+      |  CROSS JOIN nn),
+      |ranked AS (
+      |  SELECT a, b, c_ab, lift,
+      |    row_number() OVER (ORDER BY lift DESC, a, b) AS rank
+      |  FROM scored)
+      |SELECT rank, a, b, c_ab, lift FROM ranked
+      |WHERE rank <= $BasketTopK ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  val AcfMaxLag = 7
+
+  /** Autocorrelation function of the daily event-count series at
+    * calendar-day lags 0..[[AcfMaxLag]] — the seasonality probe run
+    * before any forecasting/anomaly model (q63/q77/q85's sibling:
+    * "does this series repeat weekly?"). Sample ACF with the global
+    * mean: r_k = Σ_t (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)².
+    *
+    * Exactness: with S = Σx and n the day count, n·x_t − S is an
+    * integer, and r_k = Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² — the
+    * 1/n² factors cancel — so BOTH sums run in exact int64 (association-
+    * free like q79's gridded terms) and the single double division is
+    * the only float op, identical on both engines. Lag alignment is by
+    * CALENDAR day (a join on day+k), so a missing day shortens the
+    * overlap instead of silently misaligning rows.
+    *
+    * Shape for 100 TB: the corpus-wide work is one partial-agged
+    * groupBy(day); everything after runs on the |days|-row series with
+    * broadcast scalars. */
+  def q103Acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val cent = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("x") - col("s")).as("c"))
+    val joined = cent.as("a").join(cent.as("b"),
+        col("b.day") >= col("a.day") && col("b.day") <= col("a.day") + AcfMaxLag)
+      .select((col("b.day") - col("a.day")).as("lag"),
+        (col("a.c") * col("b.c")).as("p"))
+      .groupBy(col("lag")).agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("num"))
+    val den = joined.filter(col("lag") === 0).select(col("num").as("den"))
+    joined.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  val q103Sql: String =
+    s"""WITH daily AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT sum(x) AS s, count(*) AS n FROM daily),
+      |cent AS (SELECT day, (tot.n * x - tot.s) AS c FROM daily CROSS JOIN tot),
+      |lagp AS (
+      |  SELECT b.day - a.day AS lag, count(*) AS n_pairs, sum(a.c * b.c) AS num
+      |  FROM cent a JOIN cent b
+      |    ON b.day >= a.day AND b.day <= a.day + $AcfMaxLag
+      |  GROUP BY 1),
+      |den AS (SELECT num AS den FROM lagp WHERE lag = 0)
+      |SELECT lag, n_pairs,
+      |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+      |FROM lagp CROSS JOIN den
+      |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  val ConcSessionUs = 300000000L // each event opens a 5-minute session
+  val DayUs = 86400000000L
+
+  /** Peak concurrency per calendar day — the interval/sweep-line
+    * operator (capacity planning's "how many sessions were open at
+    * once?"): each event opens a [ts, ts+5 min) session; per day, the
+    * maximum number of simultaneously open sessions. Classic sweep
+    * line: ±1 boundary deltas, running sum, max.
+    *
+    * Scale shape: intervals are CLIPPED to day windows first (a 5-min
+    * session spans ≤2 days, so the clip emits ≤2 pieces per event),
+    * which lets the sweep window partition BY DAY — the corpus never
+    * funnels through a single global sort partition, and each day's
+    * sweep is an in-partition sort of that day's boundaries. End
+    * deltas sort before starts at the same instant ([start, end)
+    * semantics); tie groups are monotone runs, so the running max is
+    * permutation-invariant under equal keys — deterministic on both
+    * engines. */
+  def q105Concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("ts div 1000").as("s"))
+      .withColumn("e", col("s") + ConcSessionUs)
+      .select(col("s"), col("e"),
+        expr(s"s div $DayUs").as("d1"), expr(s"(e - 1) div $DayUs").as("d2"))
+    val arm1 = ev.select(col("d1").as("day"), col("s").as("t"), lit(1).as("delta"))
+    val arm2 = ev.select(col("d1").as("day"),
+      least(col("e"), (col("d1") + 1) * DayUs).as("t"), lit(-1).as("delta"))
+    val cross = ev.filter(col("d2") > col("d1"))
+    val arm3 = cross.select(col("d2").as("day"), (col("d2") * DayUs).as("t"), lit(1).as("delta"))
+    val arm4 = cross.select(col("d2").as("day"), col("e").as("t"), lit(-1).as("delta"))
+    val deltas = arm1.unionAll(arm2).unionAll(arm3).unionAll(arm4)
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("cur", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("cur")).as("max_concurrency"),
+        expr("count(1) div 2").as("n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  val q105Sql: String =
+    s"""WITH ev0 AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + $ConcSessionUs AS e
+      |  FROM events),
+      |ev AS (SELECT s, e, s // $DayUs AS d1, (e - 1) // $DayUs AS d2 FROM ev0),
+      |deltas AS (
+      |  SELECT d1 AS day, s AS t, 1 AS delta FROM ev
+      |  UNION ALL
+      |  SELECT d1, least(e, (d1 + 1) * $DayUs), -1 FROM ev
+      |  UNION ALL
+      |  SELECT d2, d2 * $DayUs, 1 FROM ev WHERE d2 > d1
+      |  UNION ALL
+      |  SELECT d2, e, -1 FROM ev WHERE d2 > d1),
+      |run AS (
+      |  SELECT day,
+      |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      |  FROM deltas)
+      |SELECT day, CAST(max(cur) AS BIGINT) AS max_concurrency,
+      |  count(*) // 2 AS n_sessions
+      |FROM run GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_concurrency" -> q105Concurrency,
+    "q101_skyline" -> q101Skyline,
+    "q102_basket" -> q102Basket,
+    "q103_acf" -> q103Acf,
     "q93_retention" -> q93Retention,
     "q96_transitions" -> q96Transitions,
     "q85_ewma" -> q85Ewma,
@@ -1209,6 +1457,10 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q105_concurrency" -> q105Sql,
+    "q101_skyline" -> q101Sql,
+    "q102_basket" -> q102Sql,
+    "q103_acf" -> q103Sql,
     "q93_retention" -> q93Sql,
     "q96_transitions" -> q96Sql,
     "q85_ewma" -> q85Sql,

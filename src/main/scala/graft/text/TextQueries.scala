@@ -1436,7 +1436,123 @@ SELECT n.doc_id, n.n AS n_cp, n.k AS distinct_cp,
 FROM n JOIN ent ON n.doc_id = ent.doc_id
 ORDER BY n.doc_id"""
 
+  // ---------------------------------------------------------------- q100
+  /** A 5-gram is boilerplate when it occurs in at least this many
+    * distinct documents. */
+  val BoilerGram = 5
+  val BoilerMinDocs = 3
+
+  /** Boilerplate phrase detection — the C4-style cleanup pass a
+    * training corpus runs before dedup: word 5-grams that recur across
+    * ≥ [[BoilerMinDocs]] distinct documents are "boilerplate"
+    * (headers, footers, templates, licensed snippets), and every doc
+    * is scored by the fraction of its 5-gram occurrences that are
+    * boilerplate — the signal for trimming or down-weighting
+    * template-heavy documents.
+    *
+    * Shape for 100 TB: ONE tokenization; the gram stream is aggregated
+    * to per-doc-distinct (doc, gram, occ) rows map-side before the only
+    * corpus-wide exchange (groupBy gram for document frequency — the
+    * exact shuffle C4's dedup runs, linear in corpus size, never
+    * quadratic); the boilerplate gram set joins back on the SAME
+    * (doc, gram) aggregate, so raw token positions never ride an
+    * exchange twice. In production the gram string would ride as a
+    * 64-bit hash; the oracle keeps strings so DuckDB replays exactly. */
+  def q100Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"),
+        when(size(toks) >= BoilerGram,
+          transform(sequence(lit(1), size(toks) - (BoilerGram - 1)),
+            i => array_join(slice(toks, i, lit(BoilerGram)), " ")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val pg = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
+    val boiler = pg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDocs)
+      .select(col("g"))
+    val per = pg.join(boiler, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("occ")).as("boiler_occ"))
+    val tot = pg.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_grams"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("boiler_occ"), lit(0L)).as("boiler_occ"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(coalesce(col("boiler_occ"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - ${BoilerGram - 1}, 0) + 1),
+      |      i -> array_to_string(t[i:i+${BoilerGram - 1}], ' '))) AS g
+      |  FROM toks),
+      |pg AS (SELECT doc_id, g, count(*) AS occ FROM grams GROUP BY doc_id, g),
+      |boiler AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= $BoilerMinDocs),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS boiler_occ FROM pg
+      |  WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(t.n_grams, 0) AS n_grams,
+      |  coalesce(p.boiler_occ, 0) AS boiler_occ,
+      |  CASE WHEN coalesce(t.n_grams, 0) > 0
+      |       THEN round(CAST(coalesce(p.boiler_occ, 0) AS DOUBLE) / t.n_grams, 6)
+      |       ELSE 0.0 END AS boiler_ratio
+      |FROM documents d
+      |LEFT JOIN tot t ON d.doc_id = t.doc_id
+      |LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  /** JSONL source/sink round-trip under the oracle gate: the documents
+    * table is written as JSON Lines (the interchange format every
+    * training-data pipeline ingests and emits), read back through the
+    * JSON source with an explicit schema, and aggregated per source —
+    * count, char volume, and a per-doc content checksum
+    * (Σ hash32(md5(text))). The oracle computes the SAME aggregates
+    * from the original parquet, so a hash match proves the JSON
+    * writer/reader round-trips every document bit-exactly (escaping,
+    * unicode, field order) — the sink/source fidelity claim as a
+    * failing gate instead of an assumption. Scale shape: JSONL write
+    * and read are embarrassingly parallel per file split; the
+    * aggregate is one partial-agged groupBy(source). */
+  def q106JsonlIo(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q106_")
+    val dir = tmp.resolve("docs_jsonl").toString
+    docs.write.mode("overwrite").json(dir)
+    val res = spark.read.schema(docs.schema).json(dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(MF.hash32(col("text"))).as("text_checksum"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q106Sql: String =
+    s"""SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(${Sql.hash32("text")}) AS BIGINT) AS text_checksum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_jsonl_io" -> q106JsonlIo,
+    "q100_boilerplate" -> q100Boilerplate,
     "q95_entropy" -> q95Entropy,
     "q94_mad" -> q94Mad,
     "q92_postings" -> q92Postings,
@@ -1465,6 +1581,8 @@ ORDER BY n.doc_id"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q106_jsonl_io" -> q106Sql,
+    "q100_boilerplate" -> q100Sql,
     "q95_entropy" -> q95Sql,
     "q94_mad" -> q94Sql,
     "q92_postings" -> q92Sql,
