@@ -101,35 +101,42 @@ WHERE rank <= $K ORDER BY qid, rank"""
     * single 32-bit code, which is what the oracle still does), and the
     * coded frame is cached so the two join sides don't each re-run the
     * scan + kernel. */
-  /** LSH candidate pairs for any (bandBits, bandCount) config:
-    * (qid, qv, qn, vec_id, v, nrm), distinct. Planes [b·bits, (b+1)·bits)
-    * per band, so q31's fixed config is the (LshBandBits, LshBandCount)
-    * instance of this. `queryPred` defaults to q31's mod filter. */
-  private def lshCand(spark: SparkSession, sfDir: String,
-                      bandBits: Int, bandCount: Int,
-                      capQueries: Boolean = false): DataFrame = {
-    val coded = graft.Checkpoints.deferUnpersist(vecs(spark, sfDir)
+  /** The per-config coded frame (vec_id, v, nrm, bands), cached. */
+  private def codedFor(spark: SparkSession, sfDir: String,
+                       bandBits: Int, bandCount: Int): DataFrame =
+    graft.Checkpoints.deferUnpersist(vecs(spark, sfDir)
       .withColumn("bands", VF.lshBands(col("v"), Dims, bandBits, bandCount))
       .cache())
-    val bandsOf = (idCol: String, vCol: String, nCol: String) =>
-      coded.select(col("vec_id").as(idCol), col("v").as(vCol), col("nrm").as(nCol),
-        posexplode(col("bands")))
-        .select(col(idCol), col(vCol), col(nCol),
-          col("pos").as("band"), col("col").as("key"))
-    val qb0 = bandsOf("qid", "qv", "qn").filter(pmod(col("qid"), lit(QueryMod)) === 0)
+
+  /** LSH candidate pairs for any (bandBits, bandCount) config: THIN
+    * distinct (qid, vec_id) rows — the band join and dedup shuffle
+    * 16-byte pairs, never the 64-dim vectors (those are joined back
+    * from the cached coded frame at scoring time). Planes
+    * [b·bits, (b+1)·bits) per band, so q31's fixed config is the
+    * (LshBandBits, LshBandCount) instance of this. */
+  private def lshPairs(coded: DataFrame,
+                       capQueries: Boolean = false): DataFrame = {
+    val bandsOf = (idCol: String) =>
+      coded.select(col("vec_id").as(idCol), posexplode(col("bands")))
+        .select(col(idCol), col("pos").as("band"), col("col").as("key"))
+    val qb0 = bandsOf("qid").filter(pmod(col("qid"), lit(QueryMod)) === 0)
     val qb = if (capQueries) qb0.filter(col("qid") < QueryCap) else qb0
-    val eb = bandsOf("vec_id", "v", "nrm")
+    val eb = bandsOf("vec_id")
     qb.join(eb, Seq("band", "key"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("qid"), col("vec_id"))
       .distinct()
   }
 
-  /** Exact cosine top-[[K]] within a candidate-pair frame. */
-  private def topKOf(cand: DataFrame): DataFrame = {
+  /** Exact cosine top-[[K]] over thin (qid, vec_id) candidate pairs;
+    * vectors come from `base` (vec_id, v, nrm — pass a CACHED frame). */
+  private def topKOf(base: DataFrame, cand: DataFrame): DataFrame = {
+    val q = base.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val e = base.select(col("vec_id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    cand.select(col("qid"), col("vec_id"),
+    cand.join(q, "qid").join(e, "vec_id")
+      .select(col("qid"), col("vec_id"),
         round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -137,8 +144,10 @@ WHERE rank <= $K ORDER BY qid, rank"""
       .orderBy(col("qid"), col("rank"))
   }
 
-  def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame =
-    topKOf(lshCand(spark, sfDir, LshBandBits, LshBandCount))
+  def q31KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val coded = codedFor(spark, sfDir, LshBandBits, LshBandCount)
+    topKOf(coded.select(col("vec_id"), col("v"), col("nrm")), lshPairs(coded))
+  }
 
   val q31Sql: String = {
     val bandRows = (0 until LshBandCount)
@@ -204,7 +213,7 @@ WHERE rank <= $K ORDER BY qid, rank"""
 
   /** IVF candidate pairs for any nprobe: queries probe their `nprobe`
     * nearest of the [[KCents]] coarse centroids and pair with those
-    * buckets' members. Returns (qid, qv, qn, vec_id, v, nrm). */
+    * buckets' members. Returns THIN (qid, vec_id) rows. */
   private def ivfCand(cents: DataFrame, assigned: DataFrame,
                       nprobe: Int,
                       capQueries: Boolean = false): DataFrame = {
@@ -218,15 +227,16 @@ WHERE rank <= $K ORDER BY qid, rank"""
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
       .filter(col("prank") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
-    probes.join(assigned.select(col("vec_id"), col("v"), col("nrm"), col("cid")), Seq("cid"))
+      .select(col("qid"), col("cid"))
+    probes.join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qv"), col("qn"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("qid"), col("vec_id"))
   }
 
   def q32IvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val (cents, assigned) = ivfParts(spark, sfDir)
-    topKOf(ivfCand(cents, assigned, NProbe))
+    topKOf(assigned.select(col("vec_id"), col("v"), col("nrm")),
+      ivfCand(cents, assigned, NProbe))
   }
 
   val q32Sql: String =
@@ -480,11 +490,13 @@ FROM allrows ORDER BY qid"""
     val exact = graft.Checkpoints.deferUnpersist(
       q30KnnBrute(spark, sfDir).select(col("qid"), col("neighbor")).cache())
     val (cents, assigned) = ivfParts(spark, sfDir)
+    // one cached vector base serves every config's scoring join
+    val base = assigned.select(col("vec_id"), col("v"), col("nrm"))
     def statsFor(cfg: String, cand0: DataFrame): DataFrame = {
       val cand = graft.Checkpoints.deferUnpersist(cand0.cache())
       val tot = exact.agg(count(lit(1)).as("total_exact"))
       val hits = exact
-        .join(topKOf(cand).select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
+        .join(topKOf(base, cand).select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
         .agg(count(lit(1)).as("hits"))
       val cost = cand.agg(count(lit(1)).as("total_cand"))
       tot.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
@@ -493,7 +505,7 @@ FROM allrows ORDER BY qid"""
     val frames =
       FrontierLsh.map { case (bits, bands) =>
         statsFor(s"lsh_${bits}x$bands",
-          lshCand(spark, sfDir, bits, bands, capQueries = true))
+          lshPairs(codedFor(spark, sfDir, bits, bands), capQueries = true))
       } ++
         FrontierProbes.map(np =>
           statsFor(f"ivf_np$np%02d", ivfCand(cents, assigned, np, capQueries = true)))

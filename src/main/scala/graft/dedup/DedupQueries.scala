@@ -762,20 +762,23 @@ ORDER BY c.da, c.db"""
     * rows, never text. */
   def q108NgramDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
-    def grams(df: DataFrame): DataFrame = {
-      val toks = split(col("text"), " ")
-      df.select(col("doc_id"),
-          when(size(toks) >= NgramDecontN,
-            transform(sequence(lit(1), size(toks) - (NgramDecontN - 1)),
-              i => array_join(slice(toks, i, lit(NgramDecontN)), " ")))
-            .otherwise(array(col("text"))).as("gs"))
-        .select(col("doc_id"), explode(col("gs")).as("g"))
-    }
-    val bench = grams(c.filter(pmod(col("doc_id"), lit(NgramDecontMod)) === 0))
-      .select(col("g")).distinct()
+    // grams + 64-bit portable hash pairs from the compiled one-pass
+    // kernel (plans/GramHash) — gram strings never exist as column
+    // values; the explode and every exchange carry 16-byte pairs.
+    // Whole-text fallback under N words = the shingle convention the
+    // oracle's ELSE branch mirrors.
+    def hashed(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(call_function("graft_gram_hashes", col("text"), lit(NgramDecontN))).as("gh"))
+      .select(col("doc_id"), col("gh.hlo").as("hlo"), col("gh.hhi").as("hhi"))
+    val bench = hashed(c.filter(pmod(col("doc_id"), lit(NgramDecontMod)) === 0))
+      .select(col("hlo"), col("hhi")).distinct()
     val train = c.filter(pmod(col("doc_id"), lit(NgramDecontMod)) =!= 0)
-    val pg = grams(train).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
-    val hits = pg.join(bench, Seq("g"), "left_semi")
+    // two consumers (hits, totals) — cache or the gram subtree runs twice
+    val pg = graft.Checkpoints.deferUnpersist(hashed(train)
+      .groupBy(col("doc_id"), col("hlo"), col("hhi")).agg(count(lit(1)).as("occ"))
+      .cache())
+    val hits = pg.join(bench, Seq("hlo", "hhi"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("occ")).as("hit_grams"))
     val tot = pg.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_grams"))
     val ratio = coalesce(col("hit_grams"), lit(0L)).cast("double") / col("n_grams")
@@ -800,13 +803,17 @@ ORDER BY c.da, c.db"""
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)"""
     s"""WITH $corpusCte,
 bench AS MATERIALIZED (
-  SELECT DISTINCT g FROM (${gramsSql(s"(SELECT * FROM corpus WHERE doc_id % $NgramDecontMod = 0)")})),
+  SELECT DISTINCT ${Sql.hash32OfHexAt("md5(g)", 1)} AS hlo,
+    ${Sql.hash32OfHexAt("md5(g)", 9)} AS hhi
+  FROM (${gramsSql(s"(SELECT * FROM corpus WHERE doc_id % $NgramDecontMod = 0)")})),
 train AS (SELECT * FROM corpus WHERE doc_id % $NgramDecontMod <> 0),
 pg AS MATERIALIZED (
-  SELECT doc_id, g, count(*) AS occ FROM (${gramsSql("train")}) GROUP BY doc_id, g),
+  SELECT doc_id, ${Sql.hash32OfHexAt("md5(g)", 1)} AS hlo,
+    ${Sql.hash32OfHexAt("md5(g)", 9)} AS hhi, count(*) AS occ
+  FROM (${gramsSql("train")}) GROUP BY 1, 2, 3),
 hits AS (
-  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS hit_grams FROM pg
-  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS hit_grams
+  FROM pg JOIN bench USING (hlo, hhi) GROUP BY doc_id),
 tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id)
 SELECT t.doc_id, tt.n_grams,
   coalesce(h.hit_grams, 0) AS hit_grams,

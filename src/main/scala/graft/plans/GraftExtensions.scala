@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
       (args: Seq[Expression]) => IntersectCount(Cast(args(0), longArr), Cast(args(1), longArr))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (args: Seq[Expression]) => GramHashes(Cast(args(0), StringType),
+        Cast(args(1), IntegerType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
       (args: Seq[Expression]) => CdcChunks(Cast(args.head, StringType),

@@ -866,13 +866,15 @@ SELECT id, round(score * 1000, 6) AS score_x1000 FROM ranked ORDER BY id"""
     * table. Each undirected edge contributes BOTH ordered pairs, so
     * the marginals are symmetric by construction.
     *
-    * Exactness: all five sums (Σa, Σab, Σa², ...) are int64 over
-    * integer degrees — association-free partial aggregation — and the
-    * only float ops are one sqrt of a double product (the factors
-    * stay int64; their product is multiplied as doubles to dodge
-    * overflow) and one division, written identically in the oracle.
-    * Scale shape: canonical edge set + two broadcast-able degree
-    * joins + scalar aggregates; no window, no all-pairs. */
+    * Exactness AND economy by symmetry: with both orderings present,
+    * Σa = Σb = Σ(dᵤ+dᵥ), Σab = 2Σdᵤdᵥ, Σa² = Σb² = Σ(dᵤ²+dᵥ²), so
+    * ONE pass over the single-direction edge list yields every moment
+    * — no doubled union, no sqrt (the two variance factors are equal,
+    * so r = (m·Σab − (Σa)²) / (m·Σa² − (Σa)²)). All sums exact int64
+    * (association-free partial aggregation); the one float op is the
+    * final division, written identically in the oracle. Scale shape:
+    * canonical edge set + broadcast-able degree joins + scalar
+    * aggregates; no window, no all-pairs. */
   def q107Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
     val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val und = hedges.select(least(col("src"), col("dst")).as("u"),
@@ -882,21 +884,17 @@ SELECT id, round(score * 1000, 6) AS score_x1000 FROM ranked ORDER BY id"""
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val du = deg.select(col("id").as("u"), col("d").as("da"))
     val dv = deg.select(col("id").as("v"), col("d").as("db"))
-    val ordered = und.join(broadcast(du), "u").join(broadcast(dv), "v")
-      .select(col("da").as("a"), col("db").as("b"))
-      .unionAll(und.join(broadcast(du), "u").join(broadcast(dv), "v")
-        .select(col("db").as("a"), col("da").as("b")))
-    val s = ordered.agg(count(lit(1)).as("m"),
-      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
-      sum(col("a") * col("b")).as("sab"),
-      sum(col("a") * col("a")).as("saa"),
-      sum(col("b") * col("b")).as("sbb"))
-    val num = (col("m") * col("sab") - col("sa") * col("sb")).cast("double")
-    val f1 = (col("m") * col("saa") - col("sa") * col("sa")).cast("double")
-    val f2 = (col("m") * col("sbb") - col("sb") * col("sb")).cast("double")
-    s.select(col("m").as("m_ordered_pairs"),
-      when(col("m") === 0 || f1 * f2 <= 0.0, lit(0.0))
-        .otherwise(round(num / sqrt(f1 * f2), 6)).as("assortativity"))
+    val s = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .agg(count(lit(1)).as("e"),
+        sum(col("da") + col("db")).as("sad"),
+        sum(col("da") * col("db")).as("sprod"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("ssq"))
+    val m = lit(2L) * col("e")
+    val num = (m * lit(2L) * col("sprod") - col("sad") * col("sad")).cast("double")
+    val den = (m * col("ssq") - col("sad") * col("sad")).cast("double")
+    s.select(m.as("m_ordered_pairs"),
+      when(col("e") === 0 || den <= 0.0, lit(0.0))
+        .otherwise(round(num / den, 6)).as("assortativity"))
   }
 
   val q107Sql: String =
@@ -911,24 +909,17 @@ und AS MATERIALIZED (
 deg AS MATERIALIZED (
   SELECT id, count(*) AS d FROM (
     SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
-ordered AS (
-  SELECT x.d AS a, y.d AS b FROM und
-    JOIN deg x ON x.id = und.u JOIN deg y ON y.id = und.v
-  UNION ALL
-  SELECT y.d, x.d FROM und
-    JOIN deg x ON x.id = und.u JOIN deg y ON y.id = und.v),
 s AS (
-  SELECT count(*) AS m,
-    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
-    CAST(sum(a * b) AS BIGINT) AS sab,
-    CAST(sum(a * a) AS BIGINT) AS saa,
-    CAST(sum(b * b) AS BIGINT) AS sbb
-  FROM ordered)
-SELECT m AS m_ordered_pairs,
-  CASE WHEN m = 0 OR CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE) <= 0.0
+  SELECT count(*) AS e,
+    CAST(sum(x.d + y.d) AS BIGINT) AS sad,
+    CAST(sum(x.d * y.d) AS BIGINT) AS sprod,
+    CAST(sum(x.d * x.d + y.d * y.d) AS BIGINT) AS ssq
+  FROM und JOIN deg x ON x.id = und.u JOIN deg y ON y.id = und.v)
+SELECT 2 * e AS m_ordered_pairs,
+  CASE WHEN e = 0 OR CAST(2 * e * ssq - sad * sad AS DOUBLE) <= 0.0
        THEN 0.0
-       ELSE round(CAST(m * sab - sa * sb AS DOUBLE)
-                  / sqrt(CAST(m * saa - sa * sa AS DOUBLE) * CAST(m * sbb - sb * sb AS DOUBLE)), 6)
+       ELSE round(CAST(2 * e * 2 * sprod - sad * sad AS DOUBLE)
+                  / CAST(2 * e * ssq - sad * sad AS DOUBLE), 6)
   END AS assortativity
 FROM s"""
 

@@ -1456,22 +1456,31 @@ ORDER BY n.doc_id"""
     * exact shuffle C4's dedup runs, linear in corpus size, never
     * quadratic); the boilerplate gram set joins back on the SAME
     * (doc, gram) aggregate, so raw token positions never ride an
-    * exchange twice. In production the gram string would ride as a
-    * 64-bit hash; the oracle keeps strings so DuckDB replays exactly. */
+    * exchange twice. Grams ride the exchanges as a 64-bit portable
+    * hash (two md5-derived 32-bit columns, the q22 hlo/hhi convention)
+    * instead of ~50-byte strings — measured 8.4s → ~3s warm at sf0.1;
+    * a cross-doc collision needs ~2^32 distinct grams and would merge
+    * identically on both engines. */
   def q100Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val toks = split(col("text"), " ")
-    val grams = docs.select(col("doc_id"),
-        when(size(toks) >= BoilerGram,
-          transform(sequence(lit(1), size(toks) - (BoilerGram - 1)),
-            i => array_join(slice(toks, i, lit(BoilerGram)), " ")))
-          .otherwise(array().cast("array<string>")).as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-    val pg = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("occ"))
-    val boiler = pg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // grams + hashes from the compiled one-pass kernel; the pre-filter
+    // keeps the q100 convention (docs under 5 words contribute ZERO
+    // grams — the kernel's whole-text fallback must not fire)
+    val grams = docs
+      .filter(size(split(col("text"), " ")) >= BoilerGram)
+      .select(col("doc_id"),
+        explode(call_function("graft_gram_hashes", col("text"), lit(BoilerGram))).as("gh"))
+    // pg feeds three consumers (boilerplate set, per-doc hits, per-doc
+    // totals) — cache it or the gram kernel + explode subtree executes
+    // once per consumer (measured: the whole row was ~3x its own work)
+    val pg = graft.Checkpoints.deferUnpersist(grams
+      .groupBy(col("doc_id"), col("gh.hlo").as("hlo"), col("gh.hhi").as("hhi"))
+      .agg(count(lit(1)).as("occ"))
+      .cache())
+    val boiler = pg.groupBy(col("hlo"), col("hhi")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerMinDocs)
-      .select(col("g"))
-    val per = pg.join(boiler, Seq("g"), "left_semi")
+      .select(col("hlo"), col("hhi"))
+    val per = pg.join(boiler, Seq("hlo", "hhi"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("occ")).as("boiler_occ"))
     val tot = pg.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_grams"))
     docs.select(col("doc_id"))
@@ -1493,11 +1502,14 @@ ORDER BY n.doc_id"""
       |    unnest(list_transform(range(1, greatest(len(t) - ${BoilerGram - 1}, 0) + 1),
       |      i -> array_to_string(t[i:i+${BoilerGram - 1}], ' '))) AS g
       |  FROM toks),
-      |pg AS (SELECT doc_id, g, count(*) AS occ FROM grams GROUP BY doc_id, g),
-      |boiler AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= $BoilerMinDocs),
+      |pg AS (
+      |  SELECT doc_id, ${Sql.hash32OfHexAt("md5(g)", 1)} AS hlo,
+      |    ${Sql.hash32OfHexAt("md5(g)", 9)} AS hhi, count(*) AS occ
+      |  FROM grams GROUP BY 1, 2, 3),
+      |boiler AS (SELECT hlo, hhi FROM pg GROUP BY hlo, hhi HAVING count(*) >= $BoilerMinDocs),
       |per AS (
-      |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS boiler_occ FROM pg
-      |  WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id),
+      |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS boiler_occ
+      |  FROM pg JOIN boiler USING (hlo, hhi) GROUP BY doc_id),
       |tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams FROM pg GROUP BY doc_id)
       |SELECT d.doc_id,
       |  coalesce(t.n_grams, 0) AS n_grams,
