@@ -135,19 +135,31 @@ object Bench {
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}"""
-    // Durability: the harness keeps only the tail of the log, and Spark's
-    // shutdown WARN spew after the JSON line pushed r6's warm section out
-    // of the captured window ("parsed": null). Quiet the shutdown AND
-    // persist the full line to a file so the artifact never depends on
-    // log-truncation luck.
+    // Durability: the harness keeps only the LAST ~2000 chars of the log.
+    // r6 lost the warm section to shutdown WARN spew; r7 quieted the
+    // shutdown but the full line itself (warm + cold maps × 107 queries at
+    // nanosecond precision, ~7 KB) no longer fits the window, so the head
+    // of the JSON was cut and the artifact still parsed as null. The
+    // contract line on stdout is therefore a COMPACT form sized to the
+    // window: keys shortened to their unique "qNN" prefix, timings at
+    // centisecond precision, cold pass reduced to its total. The
+    // full-fidelity line (full names, full precision, per-query cold map,
+    // shuffle metrics) goes to the file named in its "full" field.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file write is best-effort; stdout is the contract
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    val shortUnique = names.map(_.takeWhile(_ != '_')).distinct.size == names.size
+    def key(n: String): String = if (shortUnique) n.takeWhile(_ != '_') else n
+    val qsCompact = results.collect { case (n, Right(t)) => s""""${key(n)}":${r2(t)}""" }
+      .mkString("{", ",", "}")
+    val coldCompact = if (doCold) s""""total_cold":${r2(coldTotal)},""" else ""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$coldCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir","full":"$outPath"}"""
     spark.sparkContext.setLogLevel("ERROR")
-    println(line)
+    println(compact)
     spark.stop()
   }
 }

@@ -23,10 +23,10 @@ object GraftSession {
     // parquet pushdown is on by default; pin it so a cluster-side
     // override can't silently disable the scan-level filters
     .config("spark.sql.parquet.filterPushdown", "true")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader refuses; read it as a nanosecond bigint instead (queries
-    // convert with integer division, matching the DuckDB oracle's
-    // ns→µs truncation)
+    // older testdata vintages carry TIMESTAMP(NANOS) in events.parquet,
+    // which Spark's vectorized reader refuses; read those as a
+    // nanosecond bigint (harmless no-op on the current µs TIMESTAMP
+    // vintage — Tables.events normalizes both to a ns bigint)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // saveAsTable (bucketed tables, q18) must never litter the repo cwd
     // with a spark-warehouse/ dir — keep catalog storage in tmp
