@@ -825,7 +825,75 @@ LEFT JOIN hits h ON h.doc_id = t.doc_id
 ORDER BY t.doc_id"""
   }
 
+  // --------------------------------------------------------------- q117
+  /** Survivorship (golden-record selection) — the step a dedup
+    * pipeline runs AFTER q25's clustering: inside each near-dup
+    * cluster, keep the best representative instead of q25's min-id
+    * convention. Policy: longest text wins (most content survives),
+    * ties to the smallest doc_id — deterministic and engine-neutral.
+    * Emits the full decision table (doc, cluster, the survivor it
+    * defers to, whether it survives), i.e. the keep/drop list a
+    * training-data build consumes.
+    *
+    * Shape for 100 TB: q25's band-bucket candidate generation and
+    * min-label loop (never all-pairs), then ONE window over clusters —
+    * partition key is the cluster label, frame height is the cluster
+    * size (bounded by duplication multiplicity, not corpus size). */
+  def q117Survivor(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val und = cand.select(col("da").as("a"), col("db").as("b"))
+      .unionAll(cand.select(col("db").as("a"), col("da").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = corpus(spark, sfDir)
+      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    val (labels, _) = propagateLabels(und, init, CcIters)
+    und.unpersist()
+    graft.Checkpoints.deferFree(labels)
+    val len = corpus(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    val byCluster = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .join(len, "doc_id")
+      .withColumn("survivor_id", first(col("doc_id")).over(byCluster))
+      .select(col("doc_id"), col("cluster"), col("n_chars"),
+        col("survivor_id"), (col("doc_id") === col("survivor_id")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q117Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $corpusCte,
+$shingleHashCte,
+$signaturesCte,
+$bandsCte,
+$candCte,
+e2 AS MATERIALIZED (SELECT da AS a, db AS b FROM cand UNION ALL SELECT db AS a, da AS b FROM cand),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM corpus),
+"""
+    for (k <- 1 to CcIters) {
+      val p = s"l${k - 1}"
+      sb ++= s"""l$k AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, coalesce(m.ml, v.lbl)) AS lbl
+  FROM $p v LEFT JOIN (
+    SELECT e2.a AS mid, min(p.lbl) AS ml FROM e2 JOIN $p p ON e2.b = p.id GROUP BY e2.a) m
+  ON v.id = m.mid),
+"""
+    }
+    sb ++= s"""final AS (SELECT id, lbl FROM l$CcIters),
+len AS (SELECT doc_id, length(text) AS n_chars FROM corpus),
+j AS (
+  SELECT f.id AS doc_id, f.lbl AS cluster, len.n_chars
+  FROM final f JOIN len ON f.id = len.doc_id)
+SELECT doc_id, cluster, n_chars,
+  first_value(doc_id) OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS survivor_id,
+  (doc_id = first_value(doc_id) OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id)) AS is_survivor
+FROM j ORDER BY doc_id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_survivor" -> q117Survivor,
     "q108_ngram_decontaminate" -> q108NgramDecontaminate,
     "q104_containment" -> q104Containment,
     "q54_edit_distance" -> q54EditDistance,
@@ -840,6 +908,7 @@ ORDER BY t.doc_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q117_survivor" -> q117Sql,
     "q108_ngram_decontaminate" -> q108Sql,
     "q104_containment" -> q104Sql,
     "q20_dedup_exact" -> q20Sql,

@@ -1005,7 +1005,48 @@ SELECT (SELECT count(*) FROM hedges) AS n_edges, recip.n_reciprocal,
   round(CAST(recip.n_reciprocal AS DOUBLE) / (SELECT count(*) FROM hedges), 6) AS reciprocity
 FROM recip"""
 
+  // ---------------------------------------------------------------- q116
+  /** Outer-iteration budget for GraphX's SCC peeling loop — must cover
+    * the condensation depth of the host graph (tiny here; each round
+    * finalizes at least one pivot component). */
+  val SccIters = 20
+
+  /** Strongly connected components of the DIRECTED host graph — q66's
+    * directed sibling: mutual reachability instead of any-path
+    * connectivity, the condensation structure of link analysis (rank
+    * circulates inside an SCC; between SCCs it only flows forward).
+    * Engine: [[graft.graph.Scc]] (GraphX SCC over 8-byte surrogate
+    * ids, labels re-canonicalized to min host string — see its doc for
+    * why). Oracle: recursive-CTE transitive closure, SCC = classes of
+    * (reach ∧ co-reach) — formulationally independent of the Pregel
+    * peeling, so agreement is a real cross-check. */
+  def q116Scc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Scc.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
+        SccIters, cacheKey = Some(s"host:$sfDir"))
+      .withColumnRenamed("id", "host")
+      .orderBy(col("host"))
+
+  val q116Sql: String =
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+reach AS (
+  SELECT src AS a, dst AS b FROM hedges
+  UNION
+  SELECT r.a, h.dst FROM reach r JOIN hedges h ON r.b = h.src),
+verts AS (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+members AS (SELECT v, w FROM mutual UNION SELECT v, v AS w FROM verts),
+comp AS (SELECT v, min(w) AS scc FROM members GROUP BY v),
+sizes AS (SELECT scc, count(*) AS scc_size FROM comp GROUP BY scc)
+SELECT c.v AS host, c.scc, s.scc_size
+FROM comp c JOIN sizes s ON c.scc = s.scc ORDER BY host"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_scc" -> q116Scc,
     "q109_degree_dist" -> q109DegreeDist,
     "q110_reciprocity" -> q110Reciprocity,
     "q107_assortativity" -> q107Assortativity,
@@ -1031,6 +1072,7 @@ FROM recip"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q116_scc" -> q116Sql,
     "q109_degree_dist" -> q109Sql,
     "q110_reciprocity" -> q110Sql,
     "q107_assortativity" -> q107Sql,

@@ -252,15 +252,23 @@ object RelationalQueries {
     * never the events. */
   def q98StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val sch = Tables.events(spark, sfDir).schema
+    // The stream source must declare the FILE's schema (Tables.events
+    // normalizes ts to a ns bigint, which no longer matches the
+    // on-disk type since the r8 regeneration switched ts to µs
+    // TIMESTAMP); event time is derived per-vintage below.
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val tsEventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
     val tmp = java.nio.file.Files.createTempDirectory("graft_q98_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     // events.parquet is a single FILE; the file stream source requires a
     // directory base path, so glob one character — the base becomes the
     // sf directory while the pattern still matches only this file.
-    val agg = spark.readStream.schema(sch).parquet(s"$sfDir/[e]vents.parquet")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+    val agg = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(tsEventTime.as("ts"),
         col("event_type"), col("value"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1425,7 +1433,331 @@ FROM cnt ORDER BY from_type, to_type"""
       |  count(*) // 2 AS n_sessions
       |FROM run GROUP BY day ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** Session gap for the streaming session-window (µs twin below). */
+  val SessGap = "30 minutes"
+  val SessGapUs = 30L * 60 * 1000000
+
+  /** Stateful-streaming batch equivalence — q15's sessionization run
+    * through the REAL streaming engine's `session_window` (gap-merged
+    * event-time sessions, the stateful operator `window()` can't
+    * express), availableNow trigger, file sink, read back as the
+    * result. q98 put the stateless windowed path under the oracle
+    * regime; this row does the same for the session-STATE path: merge
+    * of adjacent gap-windows, watermark-driven finalization, append
+    * emission of only closed sessions.
+    *
+    * Determinism (q98's argument, session form): one micro-batch
+    * drains the source, then the finalize batch advances the watermark
+    * to max(event time) − 2 h (ms floor) and emits exactly the
+    * sessions whose window end — LAST event + 30-min gap — the
+    * watermark has passed. The oracle replays q15's gap-rule sessions
+    * and keeps the same closed set with a HAVING.
+    *
+    * Scale shape: the production streaming plan — state keyed by
+    * (user, session), bounded by the watermark horizon (closed
+    * sessions are evicted on emission), partial agg per micro-batch.
+    * Nothing downstream touches the event grain except the one
+    * stateful shuffle on user_id. */
+  def q111StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val tsEventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    val agg = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(tsEventTime.as("ts"), col("user_id"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), SessGap))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("tv"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("last_ts")).as("session_end_us"),
+        col("n_events"), asD(col("tv")).as("session_value"))
+    agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val res = spark.read.parquet(outDir)
+      .orderBy(col("user_id"), col("session_start_us"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q111Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |wm AS (SELECT (max(ts_us) // 1000 - $StreamDelayMs) * 1000 AS w FROM ev)
+      |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |HAVING max(ts_us) + $SessGapUs <= (SELECT w FROM wm)
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // --------------------------------------------------------------- q112
+  /** Compaction bin capacity (bytes of text per planned output file). */
+  val CompactTargetBytes = 65536L
+
+  /** Small-file compaction planner — the table-maintenance operator a
+    * 100 TB lakehouse runs continuously: given per-file sizes (each
+    * document plays a file, n_chars its bytes), plan per-source output
+    * bins of ~[[CompactTargetBytes]] by next-fit over a
+    * largest-first ordering: files sort by (size DESC, id), and a
+    * file's bin is its running-total START offset divided by the
+    * capacity. Emits the plan summary per (source, bin): file count,
+    * bytes, largest member, fill ratio — what a compaction executor
+    * would consume as its work list.
+    *
+    * Shape for 100 TB: the frame is file METADATA (one row per file,
+    * never file contents), one hash shuffle on source; the prefix sum
+    * runs inside each source's sorted partition; output is
+    * O(total bytes / capacity) rows. A source whose listing alone
+    * exceeds a partition gets range-split by the same rule applied per
+    * directory shard. */
+  def q112Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+        max(col("n_chars")).as("largest_file"),
+        round(sum(col("n_chars")).cast("double") / CompactTargetBytes, 6)
+          .as("fill_ratio"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val q112Sql: String =
+    s"""WITH f AS (
+      |  SELECT source, doc_id, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT source, CAST((cum - n_chars) // $CompactTargetBytes AS BIGINT) AS bin,
+      |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  max(n_chars) AS largest_file,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / $CompactTargetBytes, 6) AS fill_ratio
+      |FROM f GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
+  // --------------------------------------------------------------- q114
+  /** Winsorized (clipped) robust statistics per part brand — the
+    * outlier-tolerant aggregation feature pipelines use where a raw
+    * mean is skew-dominated: exact nearest-rank P05/P95 bounds per
+    * brand via integer rank arithmetic (lo = ⌈n/20⌉, hi = ⌈19n/20⌉ —
+    * no float percentile, so both engines pick the identical element),
+    * then every price clips into [p05, p95] before the mean.
+    *
+    * Shape for 100 TB: ONE hash shuffle on brand; rank, bounds (a
+    * conditional window agg — the bound value rides the same sorted
+    * partition, no second pass), clip, and the final partial-agged
+    * mean all stay in that partition. Decimal sums keep the means
+    * order-independent. */
+  def q114Winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byBrand = Window.partitionBy(col("p_brand"))
+    val ordered = byBrand.orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byBrand))
+      .withColumn("p05", max(when(col("rn") === expr("(n + 19) div 20"),
+        col("p_retailprice"))).over(byBrand))
+      .withColumn("p95", max(when(col("rn") === expr("(19 * n + 19) div 20"),
+        col("p_retailprice"))).over(byBrand))
+      .withColumn("clipped",
+        least(greatest(col("p_retailprice"), col("p05")), col("p95")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        round(dsum(col("p_retailprice")).cast("double") / count(lit(1)), 6)
+          .as("mean_raw"),
+        round(dsum(col("clipped")).cast("double") / count(lit(1)), 6)
+          .as("mean_winsor"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q114Sql: String =
+    """WITH r AS (
+      |  SELECT p_brand, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn,
+      |    count(*) OVER (PARTITION BY p_brand) AS n
+      |  FROM part),
+      |b AS (
+      |  SELECT p_brand, p_retailprice, n,
+      |    max(CASE WHEN rn = (n + 19) // 20 THEN p_retailprice END)
+      |      OVER (PARTITION BY p_brand) AS p05,
+      |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN p_retailprice END)
+      |      OVER (PARTITION BY p_brand) AS p95
+      |  FROM r)
+      |SELECT p_brand, count(*) AS n_parts, max(p05) AS p05, max(p95) AS p95,
+      |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_raw,
+      |  round(CAST(sum(CAST(least(greatest(p_retailprice, p05), p95) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_winsor
+      |FROM b GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------------------- q115
+  val PathPrefixLen = 5
+  val PathTopK = 20
+
+  /** Top session paths — the navigation-mining companion to q96's
+    * transition matrix: each session's first [[PathPrefixLen]]
+    * event types joined into a `a>b>c` path string, counted across
+    * sessions, top [[PathTopK]] by (count DESC, path) with the rank
+    * emitted. Transitions give the one-step model; paths surface the
+    * actual dominant journeys.
+    *
+    * Shape for 100 TB: q15's single user_id shuffle builds sessions;
+    * the prefix rows partial-agg into one path string per session
+    * (collect_list is bounded at [[PathPrefixLen]] elements by the rn
+    * filter — never an unbounded per-group array); the path frame is
+    * ≤ |event types|^len rows, so the final unpartitioned top-k
+    * window is O(vocabulary), the q101-phase-2 argument. */
+  def q115SessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"))
+    val prefix = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= PathPrefixLen)
+    val paths = prefix.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("n_steps"))
+    val agg = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("n_steps")).cast("double") / count(lit(1)), 6).as("avg_len"))
+    agg.withColumn("rank",
+        row_number().over(Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rank") <= PathTopK)
+      .select(col("rank"), col("path"), col("n_sessions"), col("avg_len"))
+      .orderBy(col("rank"))
+  }
+
+  val q115Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sess AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |pref AS (
+      |  SELECT user_id, session_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts_us) AS rn
+      |  FROM sess QUALIFY rn <= $PathPrefixLen),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path, count(*) AS n_steps
+      |  FROM pref GROUP BY user_id, session_id),
+      |agg AS (
+      |  SELECT path, count(*) AS n_sessions,
+      |    round(CAST(sum(n_steps) AS DOUBLE) / count(*), 6) AS avg_len
+      |  FROM paths GROUP BY path)
+      |SELECT row_number() OVER (ORDER BY n_sessions DESC, path) AS rank,
+      |  path, n_sessions, avg_len
+      |FROM agg QUALIFY rank <= $PathTopK
+      |ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- q118
+  /** Price width of the phase-1 range buckets for the global rank. */
+  val RankBucketWidth = 1000.0
+
+  /** Equal-frequency decile binning of orders by total price — the
+    * discretization primitive behind feature bucketing and monotone
+    * calibration — computed with an EXACT global rank that never
+    * funnels the corpus through one partition: phase 1 buckets prices
+    * into fixed [[RankBucketWidth]] ranges and counts each bucket;
+    * phase 2 turns the tiny bucket-count frame into cumulative start
+    * offsets (window over O(price range / width) rows); phase 3
+    * broadcast-joins the offsets back and ranks WITHIN each bucket
+    * (row_number partitioned by bucket), so global_rank = bucket
+    * offset + local rank — a total order with no global window. The
+    * decile is then pure rank arithmetic, identical in the oracle's
+    * single-window formulation.
+    *
+    * This is the scale-out answer to `ntile()`: same exactness, but
+    * the only unpartitioned state is the bucket histogram. */
+  def q118RankBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val priced = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr(s"cast(floor(o_totalprice / $RankBucketWidth) as bigint)").as("bucket"))
+    val counts = priced.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    val ranked = priced.join(broadcast(offsets.select(col("bucket"), col("off"), col("total"))), "bucket")
+      .withColumn("rnk", col("off") + row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("decile", expr("1 + ((rnk - 1) * 10) div total"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        asD(dsum(col("o_totalprice"))).as("sum_price"),
+        round(dsum(col("o_totalprice")).cast("double") / count(lit(1)), 6)
+          .as("avg_price"))
+      .orderBy(col("decile"))
+  }
+
+  val q118Sql: String =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+      |    count(*) OVER () AS total
+      |  FROM orders)
+      |SELECT 1 + ((rnk - 1) * 10) // total AS decile,
+      |  count(*) AS n_orders, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM r GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_stream_sessions" -> q111StreamSessions,
+    "q112_compaction" -> q112Compaction,
+    "q114_winsorize" -> q114Winsorize,
+    "q115_session_paths" -> q115SessionPaths,
+    "q118_rank_bins" -> q118RankBins,
     "q105_concurrency" -> q105Concurrency,
     "q101_skyline" -> q101Skyline,
     "q102_basket" -> q102Basket,
@@ -1457,6 +1789,11 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q111_stream_sessions" -> q111Sql,
+    "q112_compaction" -> q112Sql,
+    "q114_winsorize" -> q114Sql,
+    "q115_session_paths" -> q115Sql,
+    "q118_rank_bins" -> q118Sql,
     "q105_concurrency" -> q105Sql,
     "q101_skyline" -> q101Sql,
     "q102_basket" -> q102Sql,

@@ -1562,7 +1562,64 @@ ORDER BY n.doc_id"""
       |  CAST(sum(${Sql.hash32("text")}) AS BIGINT) AS text_checksum
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Flesch reading-ease scoring per document — the classic
+    * readability feature in data-quality filters (drop the unreadable
+    * tail, stratify training mixes by difficulty). Counts come from a
+    * marker-replacement idiom both engines evaluate identically:
+    * collapse each token class to ONE marker character
+    * (`[a-z]+`→`W` for words, `[aeiouy]+`→`V` for syllable groups —
+    * the standard vowel-run approximation — `[.!?]+`→`.` for sentence
+    * ends) and count markers as `length(s) − length(replace(s, m))`.
+    * The difference form makes the count independent of either
+    * engine's length semantics on non-ASCII text: every non-marker
+    * character contributes equally to both terms and cancels, so only
+    * the ASCII markers remain (the q95 astral-unit concern can't
+    * arise). ASCII `[a-z]` tokenization is the documented contract for
+    * non-Latin scripts (q52 convention).
+    *
+    * Shape: map-only scan + the deterministic output sort — zero
+    * pre-sort shuffle at any scale. */
+  def q113Readability(spark: SparkSession, sfDir: String): DataFrame = {
+    def marks(c: Column, re: String, m: String): Column =
+      regexp_replace(c, re, m)
+    def cnt(c: Column, m: String): Column =
+      (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(m), "")))
+        .cast("long")
+    val lowered = lower(col("text"))
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        cnt(marks(lowered, "[a-z]+", "W"), "W").as("n_words"),
+        greatest(cnt(marks(col("text"), "[.!?]+", "."), "."), lit(1L)).as("n_sentences"),
+        cnt(marks(lowered, "[aeiouy]+", "V"), "V").as("n_syllables"))
+    d.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+          - lit(84.6) * col("n_syllables").cast("double")
+              / greatest(col("n_words"), lit(1L)), 6).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(text), '[a-z]+', 'W', 'g') AS wm,
+      |    regexp_replace(text, '[.!?]+', '.', 'g') AS sm,
+      |    regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS vm
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(length(wm) - length(replace(wm, 'W', '')) AS BIGINT) AS n_words,
+      |    greatest(CAST(length(sm) - length(replace(sm, '.', '')) AS BIGINT), 1) AS n_sentences,
+      |    CAST(length(vm) - length(replace(vm, 'V', '')) AS BIGINT) AS n_syllables
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+      |    - 84.6 * CAST(n_syllables AS DOUBLE) / greatest(n_words, 1), 6) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_readability" -> q113Readability,
     "q106_jsonl_io" -> q106JsonlIo,
     "q100_boilerplate" -> q100Boilerplate,
     "q95_entropy" -> q95Entropy,
