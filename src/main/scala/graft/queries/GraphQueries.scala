@@ -1045,7 +1045,68 @@ sizes AS (SELECT scc, count(*) AS scc_size FROM comp GROUP BY scc)
 SELECT c.v AS host, c.scc, s.scc_size
 FROM comp c JOIN sizes s ON c.scc = s.scc ORDER BY host"""
 
+  // ---------------------------------------------------------------- q119
+  /** Round budget for the eccentricity sweeps — far beyond the host
+    * graph's hop radius; BFS early-exits at the fixed point, and the
+    * oracle's recursion depth guard matches. */
+  val EccMaxRounds = 32
+
+  /** Graph diameter lower bound by the classic double BFS sweep: BFS
+    * from the canonical (min-id) host, re-seed at the farthest reached
+    * host (ties → min id), BFS again — the second sweep's eccentricity
+    * is the standard tight diameter lower bound at two-BFS cost, the
+    * sizing diagnostic run before choosing iteration budgets for the
+    * propagation loops (q66/q69/q87). Emits the peripheral distance
+    * field plus the chosen seed and the bound as audit columns.
+    *
+    * Shape for 100 TB: two convergence-stopped BFS loops (q69's plan —
+    * frontier joins on the cached edge side); the re-seed is a 1-row
+    * TakeOrdered, the bound a 1-row aggregate, both broadcast back.
+    * The oracle recomputes both sweeps as recursive-CTE min-distance
+    * closures — a formulation-independent check of the BFS engine. */
+  def q119Ecc(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val verts = WebGraph.vertices(hedges)
+    val seed1 = verts.agg(min(col("id")).as("id"))
+    val d1 = graft.graph.Bfs.run(hedges, verts, seed1, maxIters = EccMaxRounds)
+    val seed2 = d1.filter(col("dist").isNotNull)
+      .orderBy(col("dist").desc, col("id")).limit(1).select(col("id"))
+    val d2 = graft.graph.Bfs.run(hedges, verts, seed2, maxIters = EccMaxRounds)
+    val diam = d2.agg(max(col("dist")).as("diameter_lb"))
+    d2.select(col("id").as("host"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .crossJoin(broadcast(seed2.select(col("id").as("ecc_seed"))))
+      .crossJoin(broadcast(diam))
+      .orderBy(col("host"))
+  }
+
+  val q119Sql: String =
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+s1 AS (SELECT min(v) AS id FROM verts),
+r1 AS (
+  SELECT id, 0 AS d FROM s1
+  UNION
+  SELECT h.dst, r1.d + 1 FROM r1 JOIN hedges h ON h.src = r1.id WHERE r1.d < $EccMaxRounds),
+d1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
+s2 AS (SELECT id FROM d1 ORDER BY d DESC, id LIMIT 1),
+r2 AS (
+  SELECT id, 0 AS d FROM s2
+  UNION
+  SELECT h.dst, r2.d + 1 FROM r2 JOIN hedges h ON h.src = r2.id WHERE r2.d < $EccMaxRounds),
+d2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id)
+SELECT v.v AS host, coalesce(CAST(d2.d AS BIGINT), -1) AS dist,
+  (SELECT id FROM s2) AS ecc_seed,
+  (SELECT CAST(max(d) AS BIGINT) FROM d2) AS diameter_lb
+FROM verts v LEFT JOIN d2 ON d2.id = v.v
+ORDER BY host"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_ecc" -> q119Ecc,
     "q116_scc" -> q116Scc,
     "q109_degree_dist" -> q109DegreeDist,
     "q110_reciprocity" -> q110Reciprocity,
@@ -1072,6 +1133,7 @@ FROM comp c JOIN sizes s ON c.scc = s.scc ORDER BY host"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q119_ecc" -> q119Sql,
     "q116_scc" -> q116Sql,
     "q109_degree_dist" -> q109Sql,
     "q110_reciprocity" -> q110Sql,

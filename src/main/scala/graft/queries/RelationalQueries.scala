@@ -1752,7 +1752,142 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM r GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Hour-of-day seasonality strength per event type — ANOVA η² (the
+    * between-hour share of total variance of hourly counts): the
+    * signal that decides whether a pipeline's load model, anomaly
+    * baseline (q63), or trend smoother (q85) needs an hour-of-day
+    * term. Cells are hourly counts on the PRESENT (type, day)×24 grid
+    * (q85's zero-fill convention), so quiet hours count as real zeros.
+    *
+    * Exactness: with a constant D days per type, both sums of squares
+    * reduce to INTEGER forms — n·SS_hour = 24·Σ_h S_h² − S² and
+    * n·SS_tot = n·Q − S² (n = 24D, S_h per-hour sums, Q = Σc²) — so
+    * η² is a ratio of int64s with ONE double division at the end: no
+    * float summation order anywhere, the q103 centering trick in ANOVA
+    * form. Peak hour is an integer argmax (max S_h, ties → min h).
+    *
+    * Shape for 100 TB: one partial-agged groupBy to hourly cells
+    * (the only corpus-scale exchange), then per-type frames of 24·D
+    * rows; output is |types| rows. */
+  def q121Seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hr"))
+    val cells = grid.join(hourly, Seq("event_type", "day", "hr"), "left")
+      .select(col("event_type"), col("day"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val byHour = cells.groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("c")).as("sh"), count(lit(1)).as("d"),
+        sum(col("c") * col("c")).as("qh"))
+    byHour.groupBy(col("event_type"))
+      .agg(max(col("d")).as("n_days"), // constant across hours by grid construction
+        sum(col("sh")).as("s"), sum(col("qh")).as("q"),
+        sum(col("sh") * col("sh")).as("ssh"),
+        max(struct(col("sh"), (-col("hr")).as("nh"))).as("peak"))
+      .select(col("event_type"), col("n_days"),
+        round(when(lit(24L) * col("n_days") * col("q") - col("s") * col("s") === 0, lit(0.0))
+          .otherwise((lit(24L) * col("ssh") - col("s") * col("s")).cast("double")
+            / (lit(24L) * col("n_days") * col("q") - col("s") * col("s")).cast("double")), 6)
+          .as("eta2"),
+        (-col("peak.nh")).as("peak_hour"),
+        round(col("peak.sh").cast("double") / col("s"), 6).as("peak_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val q121Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT d.event_type, d.day, h.hr
+      |  FROM (SELECT DISTINCT event_type, day FROM hourly) d
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h),
+      |cells AS (
+      |  SELECT g.event_type, g.day, g.hr, coalesce(hourly.c, 0) AS c
+      |  FROM grid g LEFT JOIN hourly
+      |    ON hourly.event_type = g.event_type AND hourly.day = g.day AND hourly.hr = g.hr),
+      |byhour AS (
+      |  SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS sh,
+      |    count(*) AS d, CAST(sum(c * c) AS BIGINT) AS qh
+      |  FROM cells GROUP BY event_type, hr),
+      |agg AS (
+      |  SELECT event_type, max(d) AS n_days,
+      |    CAST(sum(sh) AS BIGINT) AS s, CAST(sum(qh) AS BIGINT) AS q,
+      |    CAST(sum(sh * sh) AS BIGINT) AS ssh
+      |  FROM byhour GROUP BY event_type),
+      |peak AS (
+      |  SELECT event_type, sh AS peak_sh, hr AS peak_hour FROM (
+      |    SELECT event_type, sh, hr,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY sh DESC, hr) AS rn
+      |    FROM byhour) WHERE rn = 1)
+      |SELECT a.event_type, a.n_days,
+      |  round(CASE WHEN 24 * a.n_days * a.q - a.s * a.s = 0 THEN 0.0
+      |    ELSE CAST(24 * a.ssh - a.s * a.s AS DOUBLE) / CAST(24 * a.n_days * a.q - a.s * a.s AS DOUBLE) END, 6) AS eta2,
+      |  p.peak_hour, round(CAST(p.peak_sh AS DOUBLE) / a.s, 6) AS peak_share
+      |FROM agg a JOIN peak p ON p.event_type = a.event_type
+      |ORDER BY a.event_type""".stripMargin
+
+  // --------------------------------------------------------------- q122
+  /** CSV source/sink round-trip under the oracle gate — q106's
+    * fidelity contract for the OTHER interchange format pipelines
+    * still ingest: the normalized event log (bigint ts, JSON-bearing
+    * `props` full of commas, quotes, and braces — a real quoting
+    * stress) is written as quoted/escaped CSV, read back through the
+    * CSV source with an explicit schema, and aggregated per type with
+    * a content checksum (Σ hash32(props)) beside exact decimal value
+    * sums. A hash match proves the writer/reader round-trips every
+    * row bit-exactly (quoting, escaping, null-vs-empty, double
+    * formatting); the oracle computes the same aggregates from the
+    * original parquet. Scale shape: write and read are parallel per
+    * split; the aggregate is one partial-agged groupBy. */
+  def q122CsvIo(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q122_")
+    val dir = tmp.resolve("events_csv").toString
+    // \N null sentinel: CSV can't otherwise distinguish null from ""
+    ev.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(dir)
+    val res = spark.read.schema(ev.schema)
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // Σ(ts mod p): int64-safe per-row timestamp fingerprint (a raw
+        // Σts over ~1e18 ns values would overflow the bigint)
+        sum(expr("ts % 1000000007")).as("ts_mod_sum"),
+        asD(dsum(col("value"))).as("total_value"),
+        sum(MF.hash32(col("props"))).as("props_checksum"))
+      .orderBy(col("event_type"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q122Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(epoch_ns(ts) % 1000000007) AS BIGINT) AS ts_mod_sum,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+      |  CAST(sum(${graft.oracle.Sql.hash32OfHex("md5(props)")}) AS BIGINT) AS props_checksum
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_seasonality" -> q121Seasonality,
+    "q122_csv_io" -> q122CsvIo,
     "q111_stream_sessions" -> q111StreamSessions,
     "q112_compaction" -> q112Compaction,
     "q114_winsorize" -> q114Winsorize,
@@ -1789,6 +1924,8 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q121_seasonality" -> q121Sql,
+    "q122_csv_io" -> q122Sql,
     "q111_stream_sessions" -> q111Sql,
     "q112_compaction" -> q112Sql,
     "q114_winsorize" -> q114Sql,

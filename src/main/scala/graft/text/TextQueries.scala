@@ -1618,7 +1618,126 @@ ORDER BY n.doc_id"""
       |    - 84.6 * CAST(n_syllables AS DOUBLE) / greatest(n_words, 1), 6) AS flesch
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** KMV sketch SET ALGEBRA across sources — the q49 sketch promoted
+    * from a counter to an algebra: per-source K-minimum-values
+    * sketches over the token-hash sets, pairwise MERGED (k smallest of
+    * the union of two sketches) to estimate union cardinality, and the
+    * classic ρ = |both ∈ merged-k| / k overlap share turning the merge
+    * into a Jaccard estimator — how a 100 TB pipeline answers "how
+    * much do two crawls overlap?" from kilobyte sketches instead of a
+    * corpus-scale distinct-intersection. The EXACT intersection runs
+    * beside it (the q49/q65 realized-error convention), so the gate
+    * pins both the sketch arithmetic and its honesty.
+    *
+    * Scale shape: sketches are K rows per source (rank window over the
+    * deduped hash set — the one corpus-scale pass, partial-agged
+    * distinct); everything pairwise operates on K-row frames joined
+    * through a broadcast pair list. The exact twin is a vocabulary-
+    * sized self-equi-join on the hash — droppable at true 100 TB, kept
+    * here as the calibration column. */
+  def q120KmvSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), MF.hash32(col("tok")).as("h"))
+      .distinct()
+    val sk = hs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK).select(col("source"), col("h"))
+    val srcs = hs.select(col("source")).distinct()
+    val pairs = broadcast(srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb")))
+    val la = pairs.join(sk.withColumnRenamed("source", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val lb = pairs.join(sk.withColumnRenamed("source", "sb"), "sb")
+      .select(col("sa"), col("sb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    val merged = la.unionByName(lb)
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    val scale = lit(f"${(KmvK - 1).toLong * 4294967296L}%d.0".toDouble)
+    val est = merged.groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_merged"), max(col("h")).as("kth"),
+        sum(col("ia") * col("ib")).as("n_both"))
+      .withColumn("union_est",
+        round(when(col("n_merged") < KmvK, col("n_merged").cast("double"))
+          .otherwise(scale / col("kth").cast("double")), 6))
+      .withColumn("jaccard_est",
+        round(col("n_both").cast("double") / least(lit(KmvK.toLong), col("n_merged")), 6))
+    val counts = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = hs.select(col("source").as("sa"), col("h"))
+      .join(hs.select(col("source").as("sb"), col("h")), "h")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    est
+      .join(broadcast(counts.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
+      .join(broadcast(counts.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jaccard_exact",
+        round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("n_inter"),
+        col("jaccard_exact"), col("kth"), col("union_est"), col("jaccard_est"),
+        round(abs(col("jaccard_est") - col("jaccard_exact")), 6).as("jaccard_err"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val q120Sql: String = {
+    val scale = f"${(KmvK - 1).toLong * 4294967296L}%d.0"
+    s"""WITH hs AS MATERIALIZED (
+  SELECT DISTINCT source, ${Sql.hash32OfHex("md5(t.tok)")} AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs) WHERE rn <= $KmvK),
+srcs AS (SELECT DISTINCT source FROM hs),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b WHERE a.source < b.source),
+tagged AS (
+  SELECT p.sa, p.sb, s.h, 1 AS ia, 0 AS ib FROM pairs p JOIN sk s ON s.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, s.h, 0 AS ia, 1 AS ib FROM pairs p JOIN sk s ON s.source = p.sb),
+m AS (
+  SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib
+  FROM tagged GROUP BY sa, sb, h),
+mr AS (
+  SELECT * FROM (
+    SELECT sa, sb, h, ia, ib,
+      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM m) WHERE rn <= $KmvK),
+est AS (
+  SELECT sa, sb, count(*) AS n_merged, max(h) AS kth,
+    CAST(sum(ia * ib) AS BIGINT) AS n_both
+  FROM mr GROUP BY sa, sb),
+cnts AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+  GROUP BY x.source, y.source)
+SELECT e.sa, e.sb, ca.n AS n_a, cb.n AS n_b,
+  coalesce(i.n_inter, 0) AS n_inter,
+  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard_exact,
+  e.kth,
+  round(CASE WHEN e.n_merged < $KmvK THEN CAST(e.n_merged AS DOUBLE)
+    ELSE $scale / e.kth END, 6) AS union_est,
+  round(CAST(e.n_both AS DOUBLE) / least($KmvK, e.n_merged), 6) AS jaccard_est,
+  round(abs(round(CAST(e.n_both AS DOUBLE) / least($KmvK, e.n_merged), 6)
+    - round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6)), 6) AS jaccard_err
+FROM est e
+JOIN cnts ca ON ca.source = e.sa
+JOIN cnts cb ON cb.source = e.sb
+LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+ORDER BY e.sa, e.sb"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_kmv_setops" -> q120KmvSetops,
     "q113_readability" -> q113Readability,
     "q106_jsonl_io" -> q106JsonlIo,
     "q100_boilerplate" -> q100Boilerplate,
@@ -1650,6 +1769,8 @@ ORDER BY n.doc_id"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q120_kmv_setops" -> q120Sql,
+    "q113_readability" -> q113Sql,
     "q106_jsonl_io" -> q106Sql,
     "q100_boilerplate" -> q100Sql,
     "q95_entropy" -> q95Sql,

@@ -191,6 +191,112 @@ class R8OpsSpec extends GraftSpec {
     assert(rows.map(r => r._1 -> r._2).toMap === q25)
   }
 
+  test("q119 double-sweep eccentricity equals a driver-side BFS pair") {
+    val edges = graft.graph.WebGraph
+      .cachedHostEdges(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def bfs2(seed: String): Map[String, Long] = {
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Vector(seed)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Array.empty[String]))
+          .filterNot(dist.contains).distinct
+        next.foreach(dist(_) = d)
+        frontier = next
+      }
+      dist.toMap
+    }
+    val d1 = bfs2(verts.min)
+    val seed2 = d1.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+    val d2 = bfs2(seed2)
+    val diam = d2.values.max
+    val got = graft.queries.GraphQueries.q119Ecc(spark, sfDir).collect()
+    got.foreach { r =>
+      assert(r.getString(2) === seed2, "re-seed host")
+      assert(r.getLong(3) === diam, "diameter lower bound")
+      assert(r.getLong(1) === d2.getOrElse(r.getString(0), -1L), s"dist of ${r.getString(0)}")
+    }
+    assert(got.map(_.getString(0)).toSeq.sorted === verts)
+  }
+
+  test("q120 KMV set ops: exact side recomputed, estimator formulas self-consistent") {
+    val rows = graft.text.TextQueries.q120KmvSetops(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact side from collected per-source token-hash sets
+    val hs = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), graft.functions.MathFunctions.hash32(col("tok")).as("h"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
+    val bySrc = hs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (a, b) = (bySrc(sa), bySrc(sb))
+      assert(r.getLong(2) === a.size.toLong, s"$sa n_a")
+      assert(r.getLong(3) === b.size.toLong, s"$sb n_b")
+      assert(r.getLong(4) === (a & b).size.toLong, s"($sa,$sb) n_inter")
+      val jx = BigDecimal((a & b).size.toDouble / (a | b).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - jx) < 1e-9, s"($sa,$sb) exact jaccard")
+      // estimator plausibility: within [0,1], and err column is honest
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+      assert(math.abs(r.getDouble(9) - math.abs(r.getDouble(8) - r.getDouble(5))) < 1e-6)
+      // the merged sketch can never estimate union below the larger side's sketch floor
+      assert(r.getDouble(7) > 0.0)
+    }
+  }
+
+  test("q121 seasonality eta2 equals a driver-side ANOVA recompute") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = RelationalQueries.q121Seasonality(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === ev.map(_._1).toSet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cells = ev.filter(_._1 == t).groupBy(e => (e._2, e._3))
+        .map { case (k, v) => k -> v.size.toLong }
+      val days = cells.keySet.map(_._1)
+      val grid = for (d <- days.toSeq; h <- 0L until 24L)
+        yield cells.getOrElse((d, h), 0L)
+      val D = days.size.toLong
+      assert(r.getLong(1) === D, s"$t n_days")
+      val n = 24 * D
+      val s = grid.sum
+      val q = grid.map(c => c * c).sum
+      val byH = (0L until 24L).map(h =>
+        days.toSeq.map(d => cells.getOrElse((d, h), 0L)).sum)
+      val ssh = byH.map(x => x * x).sum
+      val denom = n * q - s * s
+      val eta2 = if (denom == 0) 0.0
+        else BigDecimal((24 * ssh - s * s).toDouble / denom)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - eta2) < 1e-9, s"$t eta2")
+      val peakH = byH.zipWithIndex.maxBy { case (v, h) => (v, -h) }._2
+      assert(r.getLong(3) === peakH.toLong, s"$t peak hour")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q122 CSV round-trip aggregates equal the direct parquet aggregates") {
+    val got = RelationalQueries.q122CsvIo(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val want = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr("ts % 1000000007")).as("m"),
+        round(sum(col("value").cast("decimal(38,6)")).cast("double"), 6).as("v"),
+        sum(graft.functions.MathFunctions.hash32(col("props"))).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got.toSet === want)
+    assert(got.nonEmpty)
+  }
+
   test("q118 deciles: equal-frequency, complete, ordered, and exact vs a driver sort") {
     val prices = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
