@@ -596,7 +596,80 @@ SELECT cfg, total_exact // $K AS n_queries,
 FROM stats ORDER BY cfg"""
   }
 
+  // --------------------------------------------------------------- q131
+  /** Hard negatives emitted per query for triplet mining. */
+  val NegK = 3
+
+  /** Triplet mining for contrastive training — per anchor (q30's query
+    * set), the hardest positive (nearest SAME-label vector) and the
+    * [[NegK]] hardest negatives (nearest DIFFERENT-label vectors), with
+    * the triplet margin pos_cos − neg_cos. Negative margins are
+    * exactly the triplets a contrastive loss learns from; mining them
+    * is a corpus-scale join problem, not a model problem.
+    *
+    * Shape for 100 TB: one scored frame (broadcast anchors × base,
+    * q30's no-big-side-shuffle shape) feeds BOTH selections — the
+    * positive and negative ranks are WindowGroupLimit windows over the
+    * same partitioning, so per-partition top-k runs before any
+    * exchange; at larger scale the scored frame swaps for q31/q32's
+    * banded candidates with identical downstream shape. */
+  def q131Triplets(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        "vec_id")
+    val q = e.filter(pmod(col("vec_id"), lit(QueryMod)) === 0 && col("vec_id") < QueryCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("qlabel"))
+    val scored = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6)
+          .as("cosine"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .withColumn("prank", row_number().over(byQ))
+      .filter(col("prank") === 1)
+      .select(col("qid"), col("vec_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= NegK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neg_id"),
+        col("cosine").as("neg_cos"))
+    neg.join(pos, "qid")
+      .select(col("qid"), col("rank"), col("pos_id"), col("neg_id"),
+        col("pos_cos"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q131Sql: String =
+    s"""WITH $vecsCte,
+el AS (SELECT ed.vec_id, v, nrm, label FROM ed JOIN embeddings USING (vec_id)),
+qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS qlabel
+       FROM el WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+scored AS MATERIALIZED (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+    round(${Sql.listCosineByNorm("q.qv", "e.v", "q.qn", "e.nrm")}, 6) AS cosine
+  FROM qs q JOIN el e ON q.qid <> e.vec_id),
+pos AS (
+  SELECT qid, vec_id AS pos_id, cosine AS pos_cos FROM (
+    SELECT qid, vec_id, cosine,
+      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS prank
+    FROM scored WHERE label = qlabel)
+  WHERE prank = 1),
+neg AS (
+  SELECT qid, rank, vec_id AS neg_id, cosine AS neg_cos FROM (
+    SELECT qid, vec_id, cosine,
+      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored WHERE label <> qlabel)
+  WHERE rank <= $NegK)
+SELECT n.qid, n.rank, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+  round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM neg n JOIN pos p ON n.qid = p.qid
+ORDER BY n.qid, n.rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_triplets" -> q131Triplets,
     "q99_ann_frontier" -> q99AnnFrontier,
     "q30_knn_brute" -> q30KnnBrute,
     "q31_knn_lsh" -> q31KnnLsh,
@@ -606,6 +679,7 @@ FROM stats ORDER BY cfg"""
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q131_triplets" -> q131Sql,
     "q99_ann_frontier" -> q99Sql,
     "q30_knn_brute" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,

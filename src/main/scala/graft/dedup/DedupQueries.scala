@@ -33,6 +33,8 @@ object DedupQueries {
     * would have collided once real ids reached 100000. */
   private[graft] val NearDupOffset: Long = 1000000000L
   private[graft] val ExactDupOffset: Long = 2000000000L
+  /** q130's formatting-mangled twins (case/whitespace/punctuation). */
+  private[graft] val NormDupOffset: Long = 3000000000L
 
   // -------------------------------------------------- shared: corpus
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
@@ -892,7 +894,62 @@ FROM j ORDER BY doc_id"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q130
+  /** Normalization-aware exact dedup — the CCNet/RefinedWeb first pass
+    * that raw-hash dedup (q20) misses: text canonicalizes (casefold,
+    * strip non-alphanumerics, collapse whitespace, trim) BEFORE
+    * hashing, so formatting-only twins (re-encoded pages, shouting
+    * mirrors, trailing punctuation) collapse into one group. The
+    * corpus gains deterministic mangled twins (doc_id%12==0 →
+    * +[[NormDupOffset]], uppercased + padded + bang-suffixed) that raw
+    * md5 provably does NOT catch — the output carries both verdicts
+    * (`is_dup` on the normalized key, `is_dup_raw` on q20's raw key)
+    * so the gate pins the normalization's added recall, not just its
+    * group structure.
+    *
+    * Shape for 100 TB: identical to q20 — normalization is map-side
+    * codegen'd string work; one hash groupBy on the 128-bit key. */
+  def q130NormDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val mangled = base.filter(pmod(col("doc_id"), lit(12)) === 0)
+      .select((col("doc_id") + NormDupOffset).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  !!")).as("text"))
+    val all = corpus(spark, sfDir).unionByName(mangled)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val wNorm = Window.partitionBy(col("fp_norm"))
+    val wRaw = Window.partitionBy(col("fp_raw"))
+    all
+      .withColumn("fp_norm", md5(norm))
+      .withColumn("fp_raw", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(wNorm))
+      .withColumn("raw_canonical", min(col("doc_id")).over(wRaw))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"),
+        (col("doc_id") =!= col("raw_canonical")).as("is_dup_raw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q130Sql: String =
+    s"""WITH $corpusCte,
+aug AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id + $NormDupOffset AS doc_id, '  ' || upper(text) || '  !!' AS text
+  FROM documents WHERE doc_id % 12 = 0),
+keyed AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_norm,
+    md5(text) AS fp_raw
+  FROM aug)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY fp_norm) AS canonical_id,
+  (doc_id <> min(doc_id) OVER (PARTITION BY fp_norm)) AS is_dup,
+  (doc_id <> min(doc_id) OVER (PARTITION BY fp_raw)) AS is_dup_raw
+FROM keyed ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_norm_dedup" -> q130NormDedup,
     "q117_survivor" -> q117Survivor,
     "q108_ngram_decontaminate" -> q108NgramDecontaminate,
     "q104_containment" -> q104Containment,
@@ -908,6 +965,7 @@ FROM j ORDER BY doc_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q130_norm_dedup" -> q130Sql,
     "q117_survivor" -> q117Sql,
     "q108_ngram_decontaminate" -> q108Sql,
     "q104_containment" -> q104Sql,

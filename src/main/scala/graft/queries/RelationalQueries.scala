@@ -1885,7 +1885,623 @@ FROM cnt ORDER BY from_type, to_type"""
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q123
+  /** Unpivot (melt) — q51's pivot run in reverse, the wide→long
+    * reshape feature stores need before a union or a generic
+    * per-measure pipeline: lineitem's four numeric measures unpivot
+    * into (measure, value) rows via `stack`, then aggregate per
+    * (returnflag, measure).
+    *
+    * Shape for 100 TB: `stack` is a map-side constant-factor (4×)
+    * row generator feeding a partial aggregation — the exchange
+    * carries flags × measures rows, never the melted corpus. The
+    * wrong plan here (unioning four full scans) reads the table four
+    * times; the unpivot reads it once. */
+  def q123Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag",
+        """stack(4,
+          |  'quantity', l_quantity,
+          |  'extendedprice', l_extendedprice,
+          |  'discount', l_discount,
+          |  'tax', l_tax) AS (measure, value)""".stripMargin)
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), asD(dsum(col("value"))).as("total"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q123Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total
+      |FROM m GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // --------------------------------------------------------------- q124
+  /** SCD type-2 dimension build — the lakehouse history-table op: each
+    * user's event stream collapses into versioned state intervals
+    * (consecutive runs of the same event_type), with `valid_from` /
+    * `valid_to` (next version's start, NULL while current) and a
+    * version number. The gaps-and-islands change-flag + running-sum
+    * idiom; `valid_to` rides a lead() over the per-user version frame.
+    *
+    * Shape for 100 TB: ONE hash shuffle on user_id — change flags,
+    * version ids, the island aggregation, and the lead() all stay in
+    * that sorted partition (the island frame re-partitions by the
+    * same key, so AQE coalesces it into the same exchange); output is
+    * O(state changes), the natural size of an SCD2 dimension. */
+  def q124Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("chg")).over(byUser))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"), // constant within the island
+        count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000").as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("state"), col("n_events"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q124Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |              OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |versioned AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, version, min(event_type) AS state, count(*) AS n_events,
+      |    min(ts_us) AS valid_from_us
+      |  FROM versioned GROUP BY user_id, version)
+      |SELECT user_id, version, state, n_events, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+      |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current
+      |FROM islands
+      |ORDER BY user_id, version""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** Last-touch attribution — the marketing/product staple: each
+    * `purchase` event's value is attributed to the SAME user's most
+    * recent preceding non-purchase event type (the "touch"); revenue
+    * and purchase counts aggregate per touch channel with an exact
+    * decimal share-of-total. Purchases with no preceding touch land in
+    * 'none'.
+    *
+    * Shape for 100 TB: ONE hash shuffle on user_id; the running
+    * last-non-purchase state is an ignoreNulls last() over the same
+    * sorted partition (no self-join, no as-of re-sort), and the share
+    * divides two decimal sums on a |event types|-row frame. */
+  def q125Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("rev_dec"))
+    attributed
+      .withColumn("total_dec", sum(col("rev_dec")).over(Window.partitionBy()))
+      .select(col("touch"), col("n_purchases"),
+        asD(col("rev_dec")).as("revenue"),
+        round(col("rev_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy(col("touch"))
+  }
+
+  val q125Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    event_type, value
+      |  FROM events),
+      |touched AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM ev),
+      |agg AS (
+      |  SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases,
+      |    sum(CAST(value AS DECIMAL(38,6))) AS rev_dec
+      |  FROM touched WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT touch, n_purchases,
+      |  round(CAST(rev_dec AS DOUBLE), 6) AS revenue,
+      |  round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS rev_share
+      |FROM agg
+      |ORDER BY touch""".stripMargin
+
+  // --------------------------------------------------------------- q126
+  /** Bloom-filter bits for the semijoin sketch: fixed 1 Mbit ⇒ a
+    * ~128 KB broadcast no matter how large the filtered dim grows. */
+  val SemijoinBloomBits: Long = 1L << 20
+
+  /** Bloom semijoin reduction — the classic distributed-join
+    * optimization (and what Spark's own runtime row-level filtering
+    * does when stats allow): revenue of lineitems belonging to URGENT
+    * orders, computed by folding the qualifying orderkeys into a
+    * FIXED-SIZE Bloom sketch ([[SemijoinBloomBits]]), prefiltering the
+    * fact table map-only against it, and only then running the exact
+    * semi join that removes the ~fpp false positives. No false
+    * negatives ⇒ bit-identical to the plain join (the oracle replays
+    * the plain join), but the exchange carries only survivors.
+    *
+    * Shape for 100 TB: the sketch is O(1)-sized by construction
+    * (q28's argument) and built by one partial-agged pass over the
+    * dim; the fact-side probe is a compiled whole-stage filter AT THE
+    * SCAN (no join machinery for the ~99% of rows a selective dim
+    * rejects); the residual semi join shuffles only what survived.
+    * This is the join-strategy piece a 1000-executor plan wants when
+    * the dim is too big to broadcast whole but its KEY SET fits a
+    * sketch. */
+  def q126BloomSemijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // one O(1)-row driver scalar (the q28 pattern): might_contain
+    // requires a CONSTANT sketch, so it is embedded as a literal
+    val bf: Array[Byte] = urgent
+      .agg(call_function("graft_bloom_agg", col("o_orderkey"),
+        lit(math.max(1L, SemijoinBloomBits / 8)), lit(SemijoinBloomBits)).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val pre = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(call_function("graft_bloom_count_contains",
+        lit(bf), array(col("l_orderkey"))) > 0)
+    pre.join(urgent, pre("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        asD(dsum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q126Sql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q127
+  /** Spearman rank correlation between l_quantity and l_discount per
+    * return flag — the monotone-association screen (feature vs label)
+    * run before model fitting. Both variables are LOW-CARDINALITY, so
+    * the whole computation runs on the joint contingency table: one
+    * partial-agged groupBy(flag, qty, disc) collapses the corpus to
+    * |flags|·|qty|·|disc| cells; average tie-ranks come from the value
+    * MARGINALS (avg rank of value v = #less + (#eq+1)/2 — doubled to
+    * stay integer), and the Pearson-on-ranks moments are
+    * count-weighted sums over the cell frame in DECIMAL(38) (n·rᵪ·rᵧ
+    * products overflow int64 at corpus scale; decimals keep both
+    * engines exact), with one double division + sqrt at the end.
+    *
+    * Shape for 100 TB: the ONLY corpus-sized operation is the first
+    * partial-agged groupBy; ranks never touch a per-row window (the
+    * q118 concern does not even arise — the marginal frames are
+    * O(distinct values)). */
+  def q127Spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val joint = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_discount").as("y"))
+      .agg(count(lit(1)).as("n"))
+    def ranks(v: String): DataFrame = {
+      val m = joint.groupBy(col("flag"), col(v)).agg(sum(col("n")).as("cnt"))
+      val w = Window.partitionBy(col("flag")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // doubled average tie-rank: 2·rank(v) = 2·#less + #eq + 1
+      m.withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+          + col("cnt") + lit(1))
+        .select(col("flag"), col(v), col("r2").as(s"r2$v"))
+    }
+    val cells = joint
+      .join(ranks("x"), Seq("flag", "x"))
+      .join(ranks("y"), Seq("flag", "y"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val mom = cells.groupBy(col("flag"))
+      .agg(sum(col("n")).as("nn"),
+        sum(dec(col("n") * col("r2x"))).as("sx"),
+        sum(dec(col("n") * col("r2y"))).as("sy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2x"))).as("sxx"),
+        sum(dec(col("n")) * dec(col("r2y")) * dec(col("r2y"))).as("syy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2y"))).as("sxy"))
+    mom.select(col("flag"), col("nn").as("n"),
+        round((dec(col("nn")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((dec(col("nn")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (dec(col("nn")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman_rho"))
+      .orderBy(col("flag"))
+  }
+
+  val q127Sql: String =
+    """WITH joint AS (
+      |  SELECT l_returnflag AS flag, l_quantity AS x, l_discount AS y, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |rx AS (
+      |  SELECT flag, x,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2x
+      |  FROM (SELECT flag, x, sum(n) AS cnt FROM joint GROUP BY flag, x)),
+      |ry AS (
+      |  SELECT flag, y,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2y
+      |  FROM (SELECT flag, y, sum(n) AS cnt FROM joint GROUP BY flag, y)),
+      |cells AS (
+      |  SELECT j.flag, j.n, rx.r2x, ry.r2y
+      |  FROM joint j JOIN rx ON j.flag = rx.flag AND j.x = rx.x
+      |               JOIN ry ON j.flag = ry.flag AND j.y = ry.y),
+      |mom AS (
+      |  SELECT flag, sum(n) AS nn,
+      |    sum(CAST(n * r2x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(n * r2y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))) AS syy,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))) AS sxy
+      |  FROM cells GROUP BY flag)
+      |SELECT flag, CAST(nn AS BIGINT) AS n,
+      |  round(CAST(CAST(nn AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(CAST(nn AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+      |         * CAST(CAST(nn AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+      |FROM mom
+      |ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------------------- q128
+  /** Spend width of the Gini rank buckets (q118's pattern). */
+  val GiniBucketWidth = 10000.0
+
+  /** Gini coefficient of customer-spend concentration per market
+    * segment — the inequality/skew diagnostic (is 1% of customers 90%
+    * of revenue?) that also sizes skew-mitigation choices. Formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over spend sorted ascending
+    * with rank i — but the rank comes from q118's scale-out machinery
+    * (fixed spend-range buckets → tiny cumulative-offset frame →
+    * within-bucket row_number), NEVER a corpus-height window. All
+    * moments are exact decimals; one double division at the end.
+    *
+    * Covers customers WITH orders (spend > 0 support; the zero-spend
+    * tail would need the customer dim's complement — a different
+    * question). */
+  def q128Gini(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .withColumn("bucket",
+        expr(s"cast(floor(spend / $GiniBucketWidth) as bigint)"))
+    val counts = spend.groupBy(col("c_mktsegment"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = spend
+      .join(broadcast(offsets.select(col("c_mktsegment"), col("bucket"), col("off"))),
+        Seq("c_mktsegment", "bucket"))
+      .withColumn("rnk", col("off") + row_number().over(
+        Window.partitionBy(col("c_mktsegment"), col("bucket"))
+          .orderBy(col("spend"), col("o_custkey"))))
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("sx"),
+        sum(col("spend") * col("rnk").cast(DecimalType(38, 6))).as("sxr"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        asD(col("sx")).as("total_spend"),
+        round((lit(2) * col("sxr") - (col("n_customers") + 1) * col("sx"))
+          .cast("double")
+          / (col("n_customers") * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q128Sql: String =
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_custkey),
+      |ranked AS (
+      |  SELECT c_mktsegment, spend,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend, o_custkey) AS rnk
+      |  FROM spend)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(CAST(sum(spend) AS DOUBLE), 6) AS total_spend,
+      |  round(CAST(2 * sum(spend * CAST(rnk AS DECIMAL(38,6))) - (count(*) + 1) * sum(spend) AS DOUBLE)
+      |      / CAST(count(*) * sum(spend) AS DOUBLE), 6) AS gini
+      |FROM ranked GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------- q129
+  /** Single-pass column profiler over `orders` — the data-quality
+    * sweep (null ratios, cardinalities, ranges) every ingest gate runs
+    * before a table enters a pipeline: one aggregation computes
+    * per-column null counts, exact distinct counts, and numeric
+    * min/max (timestamps as epoch-µs), then the 1×N stats row unpivots
+    * to one row per column.
+    *
+    * Shape for 100 TB: one pass; the multi-column count(DISTINCT)
+    * plans as Catalyst's expand (×|columns| rows into a partial agg) —
+    * the standard exact plan; at extreme scale each count_distinct
+    * swaps for q83's HLL sketch with the same shape. The unpivot is on
+    * a 1-row frame. */
+  def q129Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c")
+    val stats = o.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_orderkey"), nulls("o_custkey"), nulls("o_orderstatus"),
+      nulls("o_totalprice"), nulls("o_orderdate"), nulls("o_orderpriority"),
+      countDistinct(col("o_orderkey")).as("nd_o_orderkey"),
+      countDistinct(col("o_custkey")).as("nd_o_custkey"),
+      countDistinct(col("o_orderstatus")).as("nd_o_orderstatus"),
+      countDistinct(col("o_totalprice")).as("nd_o_totalprice"),
+      countDistinct(col("o_orderdate")).as("nd_o_orderdate"),
+      countDistinct(col("o_orderpriority")).as("nd_o_orderpriority"),
+      min(col("o_orderkey")).cast("double").as("mn_o_orderkey"),
+      max(col("o_orderkey")).cast("double").as("mx_o_orderkey"),
+      min(col("o_custkey")).cast("double").as("mn_o_custkey"),
+      max(col("o_custkey")).cast("double").as("mx_o_custkey"),
+      round(min(col("o_totalprice")), 6).as("mn_o_totalprice"),
+      round(max(col("o_totalprice")), 6).as("mx_o_totalprice"),
+      // o_orderdate is TIMESTAMP_NTZ on disk; under the session's UTC
+      // zone the NTZ→LTZ cast is value-preserving (Tables.events doc)
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double")
+        .as("mn_o_orderdate"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double")
+        .as("mx_o_orderdate"))
+    stats.selectExpr("n_rows",
+      """stack(6,
+        |  'o_orderkey',      nu_o_orderkey,      nd_o_orderkey,      mn_o_orderkey,      mx_o_orderkey,
+        |  'o_custkey',       nu_o_custkey,       nd_o_custkey,       mn_o_custkey,       mx_o_custkey,
+        |  'o_orderstatus',   nu_o_orderstatus,   nd_o_orderstatus,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_totalprice',    nu_o_totalprice,    nd_o_totalprice,    mn_o_totalprice,    mx_o_totalprice,
+        |  'o_orderdate',     nu_o_orderdate,     nd_o_orderdate,     mn_o_orderdate,     mx_o_orderdate,
+        |  'o_orderpriority', nu_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (column_name, n_nulls, n_distinct, min_num, max_num)""".stripMargin)
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy(col("column_name"))
+  }
+
+  val q129Sql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+      |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+      |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu4,
+      |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu5,
+      |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu6,
+      |    count(DISTINCT o_orderkey) AS nd1, count(DISTINCT o_custkey) AS nd2,
+      |    count(DISTINCT o_orderstatus) AS nd3, count(DISTINCT o_totalprice) AS nd4,
+      |    count(DISTINCT o_orderdate) AS nd5, count(DISTINCT o_orderpriority) AS nd6,
+      |    CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+      |    CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
+      |    round(min(o_totalprice), 6) AS mn4, round(max(o_totalprice), 6) AS mx4,
+      |    CAST(epoch_us(min(o_orderdate)) AS DOUBLE) AS mn5,
+      |    CAST(epoch_us(max(o_orderdate)) AS DOUBLE) AS mx5
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS column_name, n_rows, CAST(nu1 AS BIGINT) AS n_nulls,
+      |  nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM s
+      |UNION ALL SELECT 'o_custkey', n_rows, CAST(nu2 AS BIGINT), nd2, mn2, mx2 FROM s
+      |UNION ALL SELECT 'o_orderstatus', n_rows, CAST(nu3 AS BIGINT), nd3, NULL, NULL FROM s
+      |UNION ALL SELECT 'o_totalprice', n_rows, CAST(nu4 AS BIGINT), nd4, mn4, mx4 FROM s
+      |UNION ALL SELECT 'o_orderdate', n_rows, CAST(nu5 AS BIGINT), nd5, mn5, mx5 FROM s
+      |UNION ALL SELECT 'o_orderpriority', n_rows, CAST(nu6 AS BIGINT), nd6, NULL, NULL FROM s
+      |ORDER BY column_name""".stripMargin
+
+  // --------------------------------------------------------------- q132
+  /** Streaming exact dedup as a DRIVER row — the at-least-once
+    * delivery collapse every event pipeline runs first: the event file
+    * streams through the REAL engine's `dropDuplicates` on the
+    * (user_id, event_type, event-time minute) key under a 2 h
+    * watermark, survivors append to a file sink, and the read-back
+    * aggregates per type. `dropDuplicates` EMITS rows immediately
+    * (state discards late duplicates; no output suppression), so —
+    * unlike q98/q111 — no watermark-cutoff arithmetic appears in the
+    * oracle: the emitted set is exactly the batch DISTINCT, which is
+    * what the oracle states. q98 gated stateless windows, q111 the
+    * session-merge state, this gates the dedup state store.
+    *
+    * Shape for 100 TB: dedup state is bounded by the watermark
+    * horizon (keys older than the event-time watermark are evicted);
+    * the sink carries unique keys only. */
+  def q132StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val tsEventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q132_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    val deduped = spark.readStream.schema(raw.schema)
+      .parquet(s"$sfDir/[e]vents.parquet")
+      .select(date_trunc("minute", tsEventTime).as("minute"),
+        col("user_id"), col("event_type"))
+      .withWatermark("minute", "2 hours")
+      .dropDuplicates("user_id", "event_type", "minute")
+    deduped.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val res = spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q132Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_unique, count(DISTINCT user_id) AS n_users
+      |FROM d GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q133
+  /** Calendar day (2024-01) splitting base from delta — the last ~6
+    * days of the fixture arrive as the "new partition". */
+  val IncrSplitDay = 24
+
+  /** Incremental aggregate maintenance — the materialized-view update
+    * path: yesterday's aggregate state (events BEFORE day
+    * [[IncrSplitDay]]) merges with the fresh partition's partial
+    * aggregate via pure ALGEBRAIC combination (counts add, decimal
+    * sums add, min/min, max/max; the mean derives after the merge) —
+    * the full-recompute oracle proves merge ≡ recompute. At 100 TB
+    * this is the difference between re-reading the corpus daily and
+    * reading one day: the exchange carries |types| merged rows, and
+    * each side's partial agg is map-side combined. */
+  def q133IncrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        expr("ts div 86400000000000").as("day"))
+    def part(p: Column => Column): DataFrame =
+      ev.filter(p(col("day")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val cut = lit(19723 + IncrSplitDay) // epoch day of 2024-01-01 + split offset
+    part(_ < cut).unionByName(part(_ >= cut))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .select(col("event_type"), col("n_events"),
+        asD(col("sv")).as("total_value"),
+        round(col("mn"), 6).as("min_value"), round(col("mx"), 6).as("max_value"),
+        round(col("sv").cast("double") / col("n_events"), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q133Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+      |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_value
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q134
+  val CcfMaxLag = 5
+
+  /** Lead–lag cross-correlation between the daily 'click' and
+    * 'purchase' series (does activity in one channel PREDICT the
+    * other, and at what offset?) — q103's autocorrelation machinery
+    * generalized to two series: both series zero-fill onto the common
+    * day grid, center via the integer n·x−S trick (no float sums), and
+    * ccf(lag) = Σ cₐ[t]·c_b[t+lag] / √(Σcₐ²·Σc_b²) with every sum exact
+    * int64 and ONE double division at the end. Negative lags = clicks
+    * trailing purchases.
+    *
+    * Shape for 100 TB: corpus work is one partial-agged
+    * groupBy(day, type); everything after lives on O(days) frames. */
+  def q134CrossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+    val grid = ev.select(col("day")).distinct()
+    def series(t: String): DataFrame = {
+      val cnt = ev.filter(col("event_type") === t)
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      val filled = grid.join(cnt, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val tot = filled.agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      filled.crossJoin(broadcast(tot))
+        .select(col("day"), (col("n") * col("x") - col("s")).as("c"))
+    }
+    val a = series("click").select(col("day"), col("c").as("ca"))
+    val b = series("purchase").select(col("day").as("dayb"), col("c").as("cb"))
+    val den = a.agg(sum(col("ca") * col("ca")).as("saa"))
+      .crossJoin(b.agg(sum(col("cb") * col("cb")).as("sbb")))
+    val pairs = a.join(b,
+        col("dayb") >= col("day") - CcfMaxLag &&
+          col("dayb") <= col("day") + CcfMaxLag)
+      .select((col("dayb") - col("day")).as("lag"),
+        (col("ca") * col("cb")).as("p"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("num"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double")
+          / sqrt(col("saa").cast("double") * col("sbb").cast("double")), 6)
+          .as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  val q134Sql: String =
+    s"""WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |grid AS (SELECT DISTINCT day FROM ev),
+      |sa AS (
+      |  SELECT g.day, coalesce(c.x, 0) AS x FROM grid g LEFT JOIN
+      |    (SELECT day, count(*) AS x FROM ev WHERE event_type = 'click' GROUP BY day) c
+      |    ON g.day = c.day),
+      |sb AS (
+      |  SELECT g.day, coalesce(c.x, 0) AS x FROM grid g LEFT JOIN
+      |    (SELECT day, count(*) AS x FROM ev WHERE event_type = 'purchase' GROUP BY day) c
+      |    ON g.day = c.day),
+      |ta AS (SELECT sum(x) AS s, count(*) AS n FROM sa),
+      |tb AS (SELECT sum(x) AS s, count(*) AS n FROM sb),
+      |ca AS (SELECT day, (ta.n * x - ta.s) AS c FROM sa CROSS JOIN ta),
+      |cb AS (SELECT day, (tb.n * x - tb.s) AS c FROM sb CROSS JOIN tb),
+      |den AS (
+      |  SELECT (SELECT sum(c * c) FROM ca) AS saa, (SELECT sum(c * c) FROM cb) AS sbb),
+      |pairs AS (
+      |  SELECT b.day - a.day AS lag, count(*) AS n_pairs, sum(a.c * b.c) AS num
+      |  FROM ca a JOIN cb b ON b.day >= a.day - $CcfMaxLag AND b.day <= a.day + $CcfMaxLag
+      |  GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  round(CAST(num AS DOUBLE) / sqrt(CAST(den.saa AS DOUBLE) * CAST(den.sbb AS DOUBLE)), 6) AS ccf
+      |FROM pairs CROSS JOIN den
+      |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_stream_dedup" -> q132StreamDedup,
+    "q133_incr_agg" -> q133IncrAgg,
+    "q134_crosscorr" -> q134CrossCorr,
+    "q127_spearman" -> q127Spearman,
+    "q128_gini" -> q128Gini,
+    "q129_profile" -> q129Profile,
+    "q123_unpivot" -> q123Unpivot,
+    "q124_scd2" -> q124Scd2,
+    "q125_attribution" -> q125Attribution,
+    "q126_bloom_semijoin" -> q126BloomSemijoin,
     "q121_seasonality" -> q121Seasonality,
     "q122_csv_io" -> q122CsvIo,
     "q111_stream_sessions" -> q111StreamSessions,
@@ -1924,6 +2540,16 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q132_stream_dedup" -> q132Sql,
+    "q133_incr_agg" -> q133Sql,
+    "q134_crosscorr" -> q134Sql,
+    "q127_spearman" -> q127Sql,
+    "q128_gini" -> q128Sql,
+    "q129_profile" -> q129Sql,
+    "q123_unpivot" -> q123Sql,
+    "q124_scd2" -> q124Sql,
+    "q125_attribution" -> q125Sql,
+    "q126_bloom_semijoin" -> q126Sql,
     "q121_seasonality" -> q121Sql,
     "q122_csv_io" -> q122Sql,
     "q111_stream_sessions" -> q111Sql,
