@@ -2318,7 +2318,7 @@ FROM cnt ORDER BY from_type, to_type"""
   /** Streaming exact dedup as a DRIVER row — the at-least-once
     * delivery collapse every event pipeline runs first: the event file
     * streams through the REAL engine's `dropDuplicates` on the
-    * (user_id, event_type, event-time minute) key under a 2 h
+    * (user_id, event_type, event-time hour) key under a 2 h
     * watermark, survivors append to a file sink, and the read-back
     * aggregates per type. `dropDuplicates` EMITS rows immediately
     * (state discards late duplicates; no output suppression), so —
@@ -2342,10 +2342,10 @@ FROM cnt ORDER BY from_type, to_type"""
     val cpDir = tmp.resolve("cp").toString
     val deduped = spark.readStream.schema(raw.schema)
       .parquet(s"$sfDir/[e]vents.parquet")
-      .select(date_trunc("minute", tsEventTime).as("minute"),
+      .select(date_trunc("hour", tsEventTime).as("hour"),
         col("user_id"), col("event_type"))
-      .withWatermark("minute", "2 hours")
-      .dropDuplicates("user_id", "event_type", "minute")
+      .withWatermark("hour", "2 hours")
+      .dropDuplicates("user_id", "event_type", "hour")
     deduped.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", cpDir)
       .outputMode("append").trigger(Trigger.AvailableNow())
@@ -2367,7 +2367,7 @@ FROM cnt ORDER BY from_type, to_type"""
 
   val q132Sql: String =
     """WITH d AS (
-      |  SELECT DISTINCT user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute
+      |  SELECT DISTINCT user_id, event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
       |  FROM events)
       |SELECT event_type, count(*) AS n_unique, count(DISTINCT user_id) AS n_users
       |FROM d GROUP BY event_type
