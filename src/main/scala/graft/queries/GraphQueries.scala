@@ -1105,7 +1105,154 @@ SELECT v.v AS host, coalesce(CAST(d2.d AS BIGINT), -1) AS dist,
 FROM verts v LEFT JOIN d2 ON d2.id = v.v
 ORDER BY host"""
 
+  // ---------------------------------------------------------------- q135
+  /** Seed-sample size for closeness; deterministic min-id hosts. */
+  val ClosenessSeeds = 8
+  /** Round budget — beyond the host graph's radius (q119's argument). */
+  val ClosenessMaxRounds = 32
+
+  /** Sampled closeness centrality over the directed host graph — the
+    * "how central is this host to the whole web" score (Eppstein–Wang
+    * estimator shape: exact closeness needs all-pairs distances;
+    * sampling K sources is the scale path): per-seed hop distances
+    * from the [[ClosenessSeeds]] min-id hosts via [[graft.graph.MultiBfs]]
+    * (ONE loop with (id, seed)-keyed state, not K loops), then per
+    * host the reached-seed count, distance sum, and closeness =
+    * n_reached / sum_dist — all integers until the one division.
+    * Distances follow edge DIRECTION (q69's convention): this is
+    * closeness under reachability-by-links, the rank-relevant form.
+    *
+    * Shape for 100 TB: state is reached pairs only (≤ n·K rows),
+    * rounds = seed-set eccentricity, each round an equi-join +
+    * partial-agged min + anti join on the same key. The oracle
+    * replays every seed's field as a recursive-CTE min-distance
+    * closure (q119's formulation-independent check). */
+  def q135Closeness(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val verts = WebGraph.vertices(hedges)
+    val seeds = verts.orderBy(col("id")).limit(ClosenessSeeds)
+    val pairs = graft.graph.MultiBfs.run(hedges, seeds, ClosenessMaxRounds)
+    val per = pairs.filter(col("dist") > 0) // self-distance carries no signal
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+    verts.join(per, Seq("id"), "left")
+      .select(col("id").as("host"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        when(col("sum_dist").isNotNull,
+          round(col("n_reached").cast("double") / col("sum_dist"), 6))
+          .otherwise(lit(0.0)).as("closeness"))
+      .orderBy(col("host"))
+  }
+
+  val q135Sql: String =
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+seeds AS (SELECT v AS id FROM verts ORDER BY v LIMIT $ClosenessSeeds),
+r AS (
+  SELECT id AS seed, id, 0 AS d FROM seeds
+  UNION
+  SELECT r.seed, h.dst, r.d + 1 FROM r JOIN hedges h ON h.src = r.id
+  WHERE r.d < $ClosenessMaxRounds),
+dm AS (SELECT seed, id, min(d) AS d FROM r GROUP BY seed, id),
+per AS (
+  SELECT id, count(*) AS n_reached, sum(d) AS sum_dist
+  FROM dm WHERE d > 0 GROUP BY id)
+SELECT v.v AS host,
+  coalesce(CAST(per.n_reached AS BIGINT), 0) AS n_reached,
+  coalesce(CAST(per.sum_dist AS BIGINT), 0) AS sum_dist,
+  (CASE WHEN per.sum_dist IS NOT NULL
+        THEN round(CAST(per.n_reached AS DOUBLE) / per.sum_dist, 6)
+        ELSE 0.0 END) AS closeness
+FROM verts v LEFT JOIN per ON per.id = v.v
+ORDER BY host"""
+
+  // ---------------------------------------------------------------- q136
+  /** Modularity of q78's label-propagation communities — the quality
+    * score that says whether the propagated communities are REAL
+    * structure (Q ≫ 0) or noise (Q ≈ 0), the standard acceptance
+    * gate before a community-based feature ships. Per community c:
+    * e_c internal undirected edges, d_c total degree; Q = Σ_c (e_c/m −
+    * (d_c/2m)²) computed as ONE exact integer rational (4m·Σe_c −
+    * Σd_c²) / 4m² — no float summation anywhere. Hosts the
+    * propagation never labeled count as singleton communities (zero
+    * internal edges, their degree mass still in the denominator).
+    *
+    * Shape for 100 TB: labels join the edge list as hash equi-joins
+    * (or broadcast when the label frame is small); everything after is
+    * per-community aggregation — output O(communities). */
+  def q136Modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = q78LabelProp(spark, sfDir)
+      .select(col("id"),
+        when(col("lbl") >= 0, concat(lit("c"), col("lbl")))
+          .otherwise(concat(lit("v:"), col("id"))).as("community"))
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val und = hedges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val m = und.agg(count(lit(1)).as("m"))
+    val eIn = und
+      .join(labels.select(col("id").as("u"), col("community").as("cu")), "u")
+      .join(labels.select(col("id").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .join(labels, "id")
+      .groupBy(col("community"))
+      .agg(sum(col("d")).as("deg_sum"), count(lit(1)).as("n_hosts"))
+    val perC = deg.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_hosts"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+    perC.crossJoin(broadcast(m))
+      .select(col("community"), col("n_hosts"), col("e_in"), col("deg_sum"),
+        round((lit(4) * col("m") * col("e_in") - col("deg_sum") * col("deg_sum"))
+          .cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
+  val q136Sql: String = {
+    val lpa = q78Sql.stripSuffix("\nSELECT id, lbl, is_seed FROM fin ORDER BY id")
+    s"""$lpa,
+lab AS (
+  SELECT id, (CASE WHEN lbl >= 0 THEN 'c' || CAST(lbl AS VARCHAR)
+              ELSE 'v:' || id END) AS community
+  FROM fin),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM hedges WHERE src <> dst),
+mm AS (SELECT count(*) AS m FROM und),
+ein AS (
+  SELECT a.community, count(*) AS e_in
+  FROM und JOIN lab a ON und.u = a.id JOIN lab b ON und.v = b.id
+  WHERE a.community = b.community
+  GROUP BY a.community),
+deg AS (
+  SELECT lab.community, sum(d) AS deg_sum, count(*) AS n_hosts
+  FROM (SELECT id, count(*) AS d FROM
+          (SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id) dv
+  JOIN lab ON dv.id = lab.id
+  GROUP BY lab.community)
+SELECT deg.community, n_hosts, coalesce(e_in, 0) AS e_in,
+  CAST(deg_sum AS BIGINT) AS deg_sum,
+  round(CAST(4 * mm.m * coalesce(e_in, 0) - deg_sum * deg_sum AS DOUBLE)
+    / (4.0 * mm.m * mm.m), 6) AS q_contrib
+FROM deg LEFT JOIN ein ON deg.community = ein.community CROSS JOIN mm
+ORDER BY deg.community"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_closeness" -> q135Closeness,
+    "q136_modularity" -> q136Modularity,
     "q119_ecc" -> q119Ecc,
     "q116_scc" -> q116Scc,
     "q109_degree_dist" -> q109DegreeDist,
@@ -1133,6 +1280,8 @@ ORDER BY host"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q135_closeness" -> q135Sql,
+    "q136_modularity" -> q136Sql,
     "q119_ecc" -> q119Sql,
     "q116_scc" -> q116Sql,
     "q109_degree_dist" -> q109Sql,

@@ -2491,7 +2491,123 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM pairs CROSS JOIN den
       |ORDER BY lag""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Burst window: a full trailing day of hourly history. */
+  val BurstBaselineHours = 24
+  /** Burst threshold: rate ≥ 3× the trailing-day mean, and ≥ 5
+    * absolute (a 0→2 blip on an empty baseline is not a burst). */
+  val BurstFactor = 3
+  val BurstMinCount = 5L
+  /** The injected incident: every event inside this 3-hour span
+    * (2024-01-16 06:00–09:00 UTC, epoch-hours) is replicated
+    * [[BurstAmp]]× — the synthetic stream is deliberately uniform, so
+    * the fixture overlays a deterministic surge the same way the dedup
+    * corpus overlays deterministic twins; the detector must light up
+    * exactly there and nowhere else, at every SF (amplification is
+    * relative, so the contrast survives any scale-up). */
+  val BurstHourStart = 473718L
+  val BurstHourEnd = 473720L
+  val BurstAmp = 6
+
+  /** Burst-episode detection per event type — the incident/trend
+    * detector next to q63's z-score point anomalies: the hourly series
+    * ZERO-FILLS onto the full hour grid (a silent hour is a 0, not a
+    * missing row — else the trailing baseline silently shortens), an
+    * hour bursts when its count is ≥ [[BurstFactor]]× the mean of the
+    * preceding [[BurstBaselineHours]] hours (integer
+    * cross-multiplication — cnt·24 ≥ 3·Σ₂₄ — no float baseline, full
+    * history required), CONSECUTIVE bursting hours merge into episodes
+    * (gaps-and-islands), and each episode reports span, peak, volume.
+    *
+    * Shape for 100 TB: corpus work is one partial-agged
+    * groupBy(type, hour) over the amplified stream (the overlay is a
+    * map-side constant-factor explode of a 3-hour slice); the grid,
+    * rolling window, flags, and islands live on the O(types × hours)
+    * hourly frame, partitioned by type. */
+  def q137Bursts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+    val surge = ev
+      .filter(col("hour").between(BurstHourStart, BurstHourEnd))
+      .select(col("event_type"), col("hour"),
+        explode(sequence(lit(1), lit(BurstAmp - 1))).as("copy"))
+      .drop("copy")
+    val amped = ev.unionByName(surge)
+    val hourly = amped.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val series = grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val byTypeHour = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val trail = byTypeHour.rowsBetween(-BurstBaselineHours, -1)
+    val flagged = series
+      .withColumn("base_sum", sum(col("cnt")).over(trail))
+      .withColumn("base_n", count(lit(1)).over(trail))
+      .withColumn("burst",
+        col("base_n") === BurstBaselineHours &&
+          col("cnt") * BurstBaselineHours >= lit(BurstFactor) * col("base_sum") &&
+          col("cnt") >= BurstMinCount)
+    val islands = flagged.filter(col("burst"))
+      .withColumn("prev_hour", lag(col("hour"), 1).over(byTypeHour))
+      .withColumn("brk",
+        when(col("prev_hour").isNull || col("hour") - col("prev_hour") > 1, 1)
+          .otherwise(0))
+      .withColumn("episode", sum(col("brk")).over(byTypeHour))
+    islands.groupBy(col("event_type"), col("episode"))
+      .agg(min(col("hour")).as("start_hour"), max(col("hour")).as("end_hour"),
+        count(lit(1)).as("n_hours"), max(col("cnt")).as("peak"),
+        sum(col("cnt")).as("volume"))
+      .orderBy(col("event_type"), col("episode"))
+  }
+
+  val q137Sql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour
+      |  FROM events),
+      |amped AS (
+      |  SELECT event_type, hour FROM ev
+      |  UNION ALL
+      |  SELECT event_type, hour FROM ev, generate_series(1, ${BurstAmp - 1})
+      |  WHERE hour BETWEEN $BurstHourStart AND $BurstHourEnd),
+      |hourly AS (SELECT event_type, hour, count(*) AS cnt FROM amped GROUP BY 1, 2),
+      |span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, g.hour
+      |  FROM (SELECT DISTINCT event_type FROM ev) t,
+      |    (SELECT unnest(generate_series(h0, h1)) AS hour FROM span) g),
+      |series AS (
+      |  SELECT grid.event_type, grid.hour, coalesce(hourly.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour),
+      |flagged AS (
+      |  SELECT event_type, hour, cnt,
+      |    sum(cnt) OVER w AS base_sum, count(*) OVER w AS base_n
+      |  FROM series
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN $BurstBaselineHours PRECEDING AND 1 PRECEDING)),
+      |bursting AS (
+      |  SELECT event_type, hour, cnt FROM flagged
+      |  WHERE base_n = $BurstBaselineHours
+      |    AND cnt * $BurstBaselineHours >= $BurstFactor * base_sum
+      |    AND cnt >= $BurstMinCount),
+      |islands AS (
+      |  SELECT event_type, hour, cnt,
+      |    CAST(sum(CASE WHEN prev_hour IS NULL OR hour - prev_hour > 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS episode
+      |  FROM (SELECT event_type, hour, cnt,
+      |          lag(hour) OVER (PARTITION BY event_type ORDER BY hour) AS prev_hour
+      |        FROM bursting))
+      |SELECT event_type, episode, min(hour) AS start_hour, max(hour) AS end_hour,
+      |  count(*) AS n_hours, max(cnt) AS peak, CAST(sum(cnt) AS BIGINT) AS volume
+      |FROM islands GROUP BY event_type, episode
+      |ORDER BY event_type, episode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_bursts" -> q137Bursts,
     "q132_stream_dedup" -> q132StreamDedup,
     "q133_incr_agg" -> q133IncrAgg,
     "q134_crosscorr" -> q134CrossCorr,
@@ -2540,6 +2656,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q137_bursts" -> q137Sql,
     "q132_stream_dedup" -> q132Sql,
     "q133_incr_agg" -> q133Sql,
     "q134_crosscorr" -> q134Sql,

@@ -1736,7 +1736,58 @@ LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
 ORDER BY e.sa, e.sb"""
   }
 
+  // --------------------------------------------------------------- q138
+  /** Byte-weighted length quantiles per language — "half the corpus
+    * BYTES live in documents shorter than L", the statistic that
+    * actually sizes shard/truncation/packing decisions (the unweighted
+    * q50 median answers a different question when long docs carry most
+    * of the mass). Exact, via the value histogram: one partial-agged
+    * groupBy(lang, n_chars) collapses the corpus to O(langs × distinct
+    * lengths) rows carrying integer byte masses; a cumulative window
+    * over that TINY frame (never the corpus) finds the smallest length
+    * whose cumulative mass reaches p% of the language total — all
+    * integer cross-multiplication (100·cumw ≥ p·W), no float
+    * percentile on either engine. */
+  def q138WeightedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        (col("n_chars") * count(lit(1))).as("w"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val cum = hist
+      .withColumn("cumw", sum(col("w")).over(
+        byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("lang"))))
+    def wp(pct: Int): Column =
+      min(when(col("cumw") * 100 >= lit(pct) * col("tw"), col("n_chars")))
+        .as(s"wp$pct")
+    cum.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), max(col("tw")).as("total_bytes"),
+        wp(25), wp(50), wp(75), wp(90))
+      .orderBy(col("lang"))
+  }
+
+  val q138Sql: String =
+    """WITH hist AS (
+      |  SELECT lang, n_chars, count(*) AS n_docs, n_chars * count(*) AS w
+      |  FROM documents GROUP BY lang, n_chars),
+      |cum AS (
+      |  SELECT lang, n_chars, n_docs, w,
+      |    sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY lang) AS tw
+      |  FROM hist)
+      |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(max(tw) AS BIGINT) AS total_bytes,
+      |  min(CASE WHEN cumw * 100 >= 25 * tw THEN n_chars END) AS wp25,
+      |  min(CASE WHEN cumw * 100 >= 50 * tw THEN n_chars END) AS wp50,
+      |  min(CASE WHEN cumw * 100 >= 75 * tw THEN n_chars END) AS wp75,
+      |  min(CASE WHEN cumw * 100 >= 90 * tw THEN n_chars END) AS wp90
+      |FROM cum GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_weighted_quantiles" -> q138WeightedQuantiles,
     "q120_kmv_setops" -> q120KmvSetops,
     "q113_readability" -> q113Readability,
     "q106_jsonl_io" -> q106JsonlIo,
@@ -1769,6 +1820,7 @@ ORDER BY e.sa, e.sb"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q138_weighted_quantiles" -> q138Sql,
     "q120_kmv_setops" -> q120Sql,
     "q113_readability" -> q113Sql,
     "q106_jsonl_io" -> q106Sql,
