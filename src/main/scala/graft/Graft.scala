@@ -402,6 +402,170 @@ object Graft {
       .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
   }
 
+  /** Per-seed multi-source BFS over any directed (src, dst) edge
+    * frame: (id, seed, dist) for every REACHED pair — one loop with
+    * (id, seed)-keyed state, not |seeds| loops (see graph.MultiBfs).
+    * The engine under sampled centralities. */
+  def multiBfs(edges: DataFrame, src: Column, dst: Column,
+               seeds: DataFrame, seedId: Column, maxIters: Int = 20): DataFrame =
+    graph.MultiBfs.run(edges.select(src.as("src"), dst.as("dst")),
+      seeds.select(seedId.as("id")), maxIters)
+
+  /** Sampled closeness centrality (q135's shape on a caller graph):
+    * (id, n_reached, sum_dist, closeness = n_reached/sum_dist) from
+    * the per-seed distance fields of [[multiBfs]] — integers until the
+    * one division. Exact closeness is all-pairs; K sampled sources is
+    * the 100 TB path (Eppstein–Wang). */
+  def closeness(edges: DataFrame, src: Column, dst: Column,
+                seeds: DataFrame, seedId: Column, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val pairs = graph.MultiBfs.run(e, seeds.select(seedId.as("id")), maxIters)
+    val per = pairs.filter(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+    graph.WebGraph.vertices(e).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        when(col("sum_dist").isNotNull,
+          round(col("n_reached").cast("double") / col("sum_dist"), 6))
+          .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** Modularity of a caller-supplied community assignment over any
+    * undirected-able edge frame: one row per community with
+    * (community, n_vertices, e_in, deg_sum, q_contrib) where Σq_contrib
+    * is Newman's Q — each contribution ONE exact integer rational
+    * (4m·e_c − d_c²)/4m² (q136's shape). `labels` maps every endpoint
+    * id to a community key. */
+  def modularity(edges: DataFrame, src: Column, dst: Column,
+                 labels: DataFrame, id: Column, community: Column): DataFrame = {
+    val lab = labels.select(id.as("id"), community.as("community"))
+    val und = edges.select(src.as("s"), dst.as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    val m = und.agg(count(lit(1)).as("m"))
+    val eIn = und
+      .join(lab.select(col("id").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("id").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .join(lab, "id")
+      .groupBy(col("community"))
+      .agg(sum(col("d")).as("deg_sum"), count(lit(1)).as("n_vertices"))
+    deg.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_vertices"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("e_in"), col("deg_sum"),
+        round((lit(4) * col("m") * col("e_in") - col("deg_sum") * col("deg_sum"))
+          .cast("double") / (lit(4.0) * col("m") * col("m")), 6).as("q_contrib"))
+  }
+
+  /** SCD type-2 history build over any keyed state stream (q124's
+    * shape on a caller schema): consecutive same-state runs per key
+    * become versioned intervals (key, version, state, n_events,
+    * valid_from, valid_to, is_current) — valid_to is the next
+    * version's start, NULL while current. ONE hash shuffle on the key;
+    * `ord` must be a total order within a key (pass a tiebreaker
+    * struct if the timestamp alone can tie). */
+  def scd2(events: DataFrame, key: Column, ord: Column, state: Column): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("o"))
+    val byVersion = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("version"))
+    events.select(key.as("k"), ord.as("o"), state.as("s"))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(byKey).isNull ||
+          lag(col("s"), 1).over(byKey) =!= col("s"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(byKey))
+      .groupBy(col("k"), col("version"))
+      .agg(min(col("s")).as("state"), count(lit(1)).as("n_events"),
+        min(col("o")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("k").as("key"), col("version"), col("state"), col("n_events"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** Spearman rank correlation per group over the JOINT CONTINGENCY
+    * TABLE (q127's shape): correct average tie-ranks from the value
+    * marginals, count-weighted decimal moments, one double
+    * division+sqrt — ranks never touch a per-row window, so this is
+    * safe for LOW-CARDINALITY x/y at any corpus size. Returns
+    * (group, n, spearman_rho). */
+  def spearman(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val joint = df.select(group.as("g"), x.as("x"), y.as("y"))
+      .groupBy(col("g"), col("x"), col("y")).agg(count(lit(1)).as("n"))
+    def ranks(v: String): DataFrame = {
+      val m = joint.groupBy(col("g"), col(v)).agg(sum(col("n")).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col(v))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      m.withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+          + col("cnt") + lit(1))
+        .select(col("g"), col(v), col("r2").as(s"r2$v"))
+    }
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val cells = joint.join(ranks("x"), Seq("g", "x")).join(ranks("y"), Seq("g", "y"))
+    cells.groupBy(col("g"))
+      .agg(sum(col("n")).as("nn"),
+        sum(dec(col("n") * col("r2x"))).as("sx"),
+        sum(dec(col("n") * col("r2y"))).as("sy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2x"))).as("sxx"),
+        sum(dec(col("n")) * dec(col("r2y")) * dec(col("r2y"))).as("syy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2y"))).as("sxy"))
+      .select(col("g").as("group"), col("nn").as("n"),
+        round((dec(col("nn")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((dec(col("nn")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (dec(col("nn")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman_rho"))
+  }
+
+  /** Weight-mass quantiles per group from the VALUE HISTOGRAM (q138's
+    * shape): for each percent in `pcts`, the smallest value whose
+    * cumulative weight reaches that share of the group total — exact
+    * integer cross-multiplication, the corpus never crosses a per-row
+    * window. Use weight = the value itself for "p% of the bytes live
+    * below L" statistics. */
+  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
+                        weight: Column, pcts: Seq[Int]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = df.select(group.as("g"), value.as("v"), weight.as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+    val cum = hist
+      .withColumn("cumw", sum(col("w")).over(W.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tw", sum(col("w")).over(W.partitionBy(col("g"))))
+    cum.groupBy(col("g").as("group"))
+      .agg(max(col("tw")).as("total_weight"),
+        pcts.map(p => min(when(col("cumw") * 100 >= lit(p) * col("tw"), col("v")))
+          .as(s"wp$p")): _*)
+  }
+
+  /** Bloom-semijoin prefilter (q126's shape): keeps the fact rows
+    * whose key MIGHT be in `dimKeys`, via a fixed-size sketch built in
+    * one pass and probed map-only at the scan — no false negatives, so
+    * `prefilter.join(dim, ..., "left_semi")` afterwards is exactly the
+    * plain semi join with only survivors shuffled. `numBits` bounds
+    * the broadcast no matter how large the dim key set grows. */
+  def bloomSemijoin(fact: DataFrame, factKey: Column,
+                    dimKeys: DataFrame, dimKey: Column,
+                    numBits: Long = 1L << 20): DataFrame = {
+    val bf: Array[Byte] = dimKeys.select(dimKey.as("k"))
+      .agg(call_function("graft_bloom_agg", col("k"),
+        lit(math.max(1L, numBits / 8)), lit(numBits)).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    if (bf == null) fact.filter(lit(false)) // empty dim ⇒ empty semi join
+    else fact.filter(
+      call_function("graft_bloom_count_contains", lit(bf), array(factKey)) > 0)
+  }
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

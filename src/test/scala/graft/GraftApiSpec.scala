@@ -125,4 +125,83 @@ class GraftApiSpec extends GraftSpec {
     val ph = docs.select(Graft.phash(lit(long))).first().getSeq[Long](0)
     assert(ph.length === 2)
   }
+  test("multiBfs / closeness on a user path graph") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d").toDF("s", "d")
+    val seeds = Seq("a", "b").toDF("v")
+    val pairs = Graft.multiBfs(edges, col("s"), col("d"), seeds, col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("c", "a")) === 2L && pairs(("c", "b")) === 1L)
+    assert(pairs(("d", "a")) === 3L && pairs(("d", "b")) === 2L)
+    assert(!pairs.contains(("a", "b")), "b cannot reach a on a directed path")
+    val c = Graft.closeness(edges, col("s"), col("d"), seeds, col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c("d") === ((2L, 5L))) // 3 hops from a + 2 from b
+    assert(c("a") === ((0L, 0L))) // nothing reaches a
+  }
+
+  test("modularity of two triangles joined by a bridge") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "e", "e" -> "f", "f" -> "d", "c" -> "d").toDF("s", "d")
+    val labels = Seq(("a", "L"), ("b", "L"), ("c", "L"),
+      ("d", "R"), ("e", "R"), ("f", "R")).toDF("id", "com")
+    val rows = Graft.modularity(edges, col("s"), col("d"),
+      labels, col("id"), col("com")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // m = 7; each community: e_in = 3, deg_sum = 7 -> (4*7*3 - 49)/196 = 35/196
+    assert(rows("L") === ((3L, 3L, 7L, 0.178571)))
+    assert(rows("R") === ((3L, 3L, 7L, 0.178571)))
+  }
+
+  test("scd2 builds versioned intervals from a keyed state stream") {
+    val ev = Seq((1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"), (1L, 5L, "x"),
+      (2L, 4L, "z")).toDF("k", "t", "st")
+    val got = Graft.scd2(ev, col("k"), col("t"), col("st")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, "x", 2L, 1L, 3L, false),
+      (1L, 2L, "y", 1L, 3L, 5L, false),
+      (1L, 3L, "x", 1L, 5L, -1L, true),
+      (2L, 1L, "z", 1L, 4L, -1L, true)))
+  }
+
+  test("spearman: monotone data scores +-1, ties handled by average ranks") {
+    val up = (1 to 50).map(i => ("g", i.toLong, i * i.toLong)).toDF("g", "x", "y")
+    val r1 = Graft.spearman(up, col("g"), col("x"), col("y"))
+      .first().getDouble(2)
+    assert(math.abs(r1 - 1.0) < 1e-9)
+    val down = (1 to 50).map(i => ("g", i.toLong, -3L * i)).toDF("g", "x", "y")
+    val r2 = Graft.spearman(down, col("g"), col("x"), col("y"))
+      .first().getDouble(2)
+    assert(math.abs(r2 + 1.0) < 1e-9)
+  }
+
+  test("weightedQuantiles finds the byte-mass crossing points") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 80L)).toDF("g", "v", "w")
+    val r = Graft.weightedQuantiles(df, col("g"), col("v"), col("w"), Seq(10, 50, 90))
+      .first()
+    assert(r.getLong(1) === 100L)
+    assert(r.getLong(2) === 1L)  // wp10: cum 10 >= 10
+    assert(r.getLong(3) === 3L)  // wp50: needs 50, only v=3 crosses
+    assert(r.getLong(4) === 3L)
+  }
+
+  test("bloomSemijoin prefilter keeps every true match and the semi join is exact") {
+    val fact = (0L until 2000L).map(i => (i, i % 100)).toDF("fid", "fk")
+    val dim = Seq(3L, 7L, 11L).toDF("dk")
+    val pre = Graft.bloomSemijoin(fact, col("fk"), dim, col("dk"))
+    val exact = pre.join(dim, col("fk") === col("dk"), "left_semi")
+    val want = fact.join(dim, col("fk") === col("dk"), "left_semi")
+    assert(exact.collect().map(_.getLong(0)).toSet ===
+      want.collect().map(_.getLong(0)).toSet)
+    // the prefilter is a SUPERSET of the matches and a strong filter overall
+    assert(pre.count() >= want.count())
+    assert(pre.count() < 2000L, "the sketch must reject most non-matching keys")
+    // empty dim -> empty result, not a null sketch failure
+    assert(Graft.bloomSemijoin(fact, col("fk"),
+      dim.filter(col("dk") < 0), col("dk")).count() === 0L)
+  }
+
 }
