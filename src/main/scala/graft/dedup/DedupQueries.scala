@@ -948,7 +948,103 @@ SELECT doc_id,
   (doc_id <> min(doc_id) OVER (PARTITION BY fp_raw)) AS is_dup_raw
 FROM keyed ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q139
+  /** Fellegi–Sunter-style field weights (fixed log-odds-shaped
+    * integers so the score is exact): agreement / disagreement. */
+  val LkLang = (15, -10)
+  val LkSource = (8, -4)
+  val LkLen = (10, -6)
+  val LkPrefix = (20, -12)
+  /** Classification thresholds on the integer score. */
+  val LkMatchMin = 35
+  val LkPossibleMin = 10
+  /** Prefix-edit-distance agreement bound (on [[EditPrefix]] chars). */
+  val LkEditMax = 8
+
+  /** Record-linkage scoring (Fellegi–Sunter shape) — entity resolution
+    * as block-then-score: the LSH candidate pairs (q21's band-bucket
+    * blocks, never all-pairs) score on four field comparisons — lang
+    * equality, source equality, length ratio ≥ 0.9 (integer
+    * cross-multiplication), and prefix edit distance ≤ [[LkEditMax]]
+    * (q54's bounded DP) — each contributing a fixed integer
+    * agreement/disagreement weight; the summed score classifies into
+    * match / possible / non_match. Synthetic corpus twins map to their
+    * base document's attributes via the id-offset arithmetic.
+    *
+    * Shape for 100 TB: candidate generation is the banded join;
+    * attribute lookup is two hash joins against the corpus frame;
+    * scoring is per-pair integer arithmetic — exact hash, no floats
+    * until the emitted length_ratio diagnostic. */
+  def q139Linkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val baseId = when(col("doc_id") >= ExactDupOffset, col("doc_id") - ExactDupOffset)
+      .when(col("doc_id") >= NearDupOffset, col("doc_id") - NearDupOffset)
+      .otherwise(col("doc_id"))
+    val attrs = corpus(spark, sfDir)
+      .select(col("doc_id"), baseId.as("base_id"),
+        length(col("text")).as("len"),
+        substring(col("text"), 1, EditPrefix).as("pre"))
+      .join(Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("base_id"), col("lang"), col("source")),
+        "base_id")
+    val a = attrs.select(col("doc_id").as("da"), col("lang").as("lang_a"),
+      col("source").as("src_a"), col("len").as("len_a"), col("pre").as("pre_a"))
+    val b = attrs.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+      col("source").as("src_b"), col("len").as("len_b"), col("pre").as("pre_b"))
+    val scored = cand.join(a, "da").join(b, "db")
+      .withColumn("agr_lang", when(col("lang_a") === col("lang_b"),
+        LkLang._1).otherwise(LkLang._2))
+      .withColumn("agr_source", when(col("src_a") === col("src_b"),
+        LkSource._1).otherwise(LkSource._2))
+      .withColumn("agr_len",
+        when(lit(10) * least(col("len_a"), col("len_b"))
+          >= lit(9) * greatest(col("len_a"), col("len_b")),
+          LkLen._1).otherwise(LkLen._2))
+      .withColumn("edit", levenshtein(col("pre_a"), col("pre_b")))
+      .withColumn("agr_prefix", when(col("edit") <= LkEditMax,
+        LkPrefix._1).otherwise(LkPrefix._2))
+      .withColumn("score",
+        col("agr_lang") + col("agr_source") + col("agr_len") + col("agr_prefix"))
+    scored.select(col("da"), col("db"), col("agr_lang"), col("agr_source"),
+        col("agr_len"), col("agr_prefix"), col("score"),
+        when(col("score") >= LkMatchMin, lit("match"))
+          .when(col("score") >= LkPossibleMin, lit("possible"))
+          .otherwise(lit("non_match")).as("class"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q139Sql: String =
+    s"""WITH $corpusCte,
+$shingleHashCte,
+$signaturesCte,
+$bandsCte,
+$candCte,
+attrs AS (
+  SELECT c.doc_id, length(c.text) AS len, substr(c.text, 1, $EditPrefix) AS pre,
+    d.lang, d.source
+  FROM corpus c JOIN documents d ON d.doc_id =
+    (CASE WHEN c.doc_id >= $ExactDupOffset THEN c.doc_id - $ExactDupOffset
+          WHEN c.doc_id >= $NearDupOffset THEN c.doc_id - $NearDupOffset
+          ELSE c.doc_id END)),
+scored AS (
+  SELECT da, db,
+    (CASE WHEN a.lang = b.lang THEN ${LkLang._1} ELSE ${LkLang._2} END) AS agr_lang,
+    (CASE WHEN a.source = b.source THEN ${LkSource._1} ELSE ${LkSource._2} END) AS agr_source,
+    (CASE WHEN 10 * least(a.len, b.len) >= 9 * greatest(a.len, b.len)
+          THEN ${LkLen._1} ELSE ${LkLen._2} END) AS agr_len,
+    (CASE WHEN levenshtein(a.pre, b.pre) <= $LkEditMax
+          THEN ${LkPrefix._1} ELSE ${LkPrefix._2} END) AS agr_prefix
+  FROM cand JOIN attrs a ON da = a.doc_id JOIN attrs b ON db = b.doc_id)
+SELECT da, db, agr_lang, agr_source, agr_len, agr_prefix,
+  (agr_lang + agr_source + agr_len + agr_prefix) AS score,
+  (CASE WHEN agr_lang + agr_source + agr_len + agr_prefix >= $LkMatchMin THEN 'match'
+        WHEN agr_lang + agr_source + agr_len + agr_prefix >= $LkPossibleMin THEN 'possible'
+        ELSE 'non_match' END) AS class
+FROM scored
+ORDER BY da, db"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_linkage" -> q139Linkage,
     "q130_norm_dedup" -> q130NormDedup,
     "q117_survivor" -> q117Survivor,
     "q108_ngram_decontaminate" -> q108NgramDecontaminate,
@@ -965,6 +1061,7 @@ FROM keyed ORDER BY doc_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q139_linkage" -> q139Sql,
     "q130_norm_dedup" -> q130Sql,
     "q117_survivor" -> q117Sql,
     "q108_ngram_decontaminate" -> q108Sql,

@@ -2606,7 +2606,141 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM islands GROUP BY event_type, episode
       |ORDER BY event_type, episode""".stripMargin
 
+  // --------------------------------------------------------------- q140
+  /** Number of independent AMS tug-of-war estimators. */
+  val AmsM = 64
+
+  /** Self-join size (second frequency moment F₂) estimation by the
+    * AMS tug-of-war sketch — the query-optimizer diagnostic that
+    * prices a join BEFORE running it: each of [[AmsM]] estimators keeps
+    * one running signed sum Sⱼ = Σ_rows sign_j(key) (±1 signs from the
+    * j-th universal hash of the portable key hash), and Sⱼ² is an
+    * unbiased estimate of F₂ = Σ_k f(k)² = |R ⋈ R| on the join key.
+    * The output carries every estimator (j, s_j, est_j), the mean
+    * estimate, the EXACT F₂, and the relative error — the sketch is
+    * deterministic (pure hash signs), so DuckDB replays it bit-for-bit.
+    *
+    * Shape for 100 TB: sketch state is O(M) longs per partition (the
+    * explode is map-side, partial-agged per j before the exchange — the
+    * shuffle carries M×partitions rows); the exact F₂ (gate-only, the
+    * thing the sketch replaces at scale) is one count-then-sum
+    * aggregation. */
+  def q140JoinSize(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = MF.HashP
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(MF.hash32(col("l_partkey").cast("string")).as("h"))
+    val signs = keyed
+      .select(col("h"), explode(sequence(lit(1), lit(AmsM))).as("j"))
+      .withColumn("uh", pmod((lit(1103515245L) + lit(12345L) * col("j")) * col("h")
+        + pmod(lit(1013904223L) + lit(2654435761L) * col("j"), lit(p)), lit(p)))
+      .withColumn("sign", lit(1L) - lit(2L) * pmod(col("uh"), lit(2)))
+    val sj = signs.groupBy(col("j")).agg(sum(col("sign")).as("s_j"))
+      .withColumn("est_j", col("s_j") * col("s_j"))
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    val meanEst = sj.agg(sum(col("est_j")).as("est_sum"))
+    sj.crossJoin(broadcast(exact)).crossJoin(broadcast(meanEst))
+      .select(col("j"), col("s_j"), col("est_j"), col("f2_exact"),
+        round(col("est_sum").cast("double") / AmsM, 6).as("mean_est"),
+        round(abs(col("est_sum").cast("double") / AmsM - col("f2_exact"))
+          / col("f2_exact"), 6).as("rel_err"))
+      .orderBy(col("j"))
+  }
+
+  val q140Sql: String = {
+    val p = MF.HashP
+    val a0 = 1103515245L
+    val b0 = 1013904223L
+    s"""WITH keyed AS (
+      |  SELECT ${graft.oracle.Sql.hash32OfHex("md5(CAST(l_partkey AS VARCHAR))")} AS h
+      |  FROM lineitem),
+      |signs AS (
+      |  SELECT j, (1 - 2 * ((((($a0 + 12345 * j) * h
+      |    + (($b0 + 2654435761 * j) % $p)) % $p) % 2))) AS sign
+      |  FROM keyed, generate_series(1, $AmsM) AS t(j)),
+      |sj AS (
+      |  SELECT j, CAST(sum(sign) AS BIGINT) AS s_j FROM signs GROUP BY j),
+      |exact AS (
+      |  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM
+      |    (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey)),
+      |msum AS (SELECT sum(s_j * s_j) AS est_sum FROM sj)
+      |SELECT j, s_j, s_j * s_j AS est_j, f2_exact,
+      |  round(CAST(est_sum AS DOUBLE) / $AmsM, 6) AS mean_est,
+      |  round(abs(CAST(est_sum AS DOUBLE) / $AmsM - f2_exact) / f2_exact, 6) AS rel_err
+      |FROM sj CROSS JOIN exact CROSS JOIN msum
+      |ORDER BY j""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q142
+  /** Stream-stream interval join as a DRIVER row — the fourth and last
+    * stateful-operator family under the oracle gate (q98 windows, q111
+    * session state, q132 dedup state, this one JOIN state): every
+    * error event joins the same user's clicks from the preceding 10
+    * minutes through the REAL streaming engine
+    * ([[graft.streaming.StreamingWindows.recentClickJoin]] — both
+    * sides watermarked so click state evicts at the horizon), sink to
+    * files, read back, aggregated per user. An INNER join emits each
+    * match the moment both sides are present — in the availableNow
+    * single-batch drain nothing is watermark-suppressed, so the oracle
+    * is the plain batch interval join with no cutoff arithmetic. */
+  def q142StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Tables.eventsRaw(spark, sfDir)
+    def ts(c: Column): Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else c.cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q142_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    def src(): DataFrame =
+      spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), ts(col("ts")).as("ets"), col("event_id").as("eid"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), ts(col("ts")).as("cts"),
+        col("event_id").as("cid"))
+    graft.streaming.StreamingWindows.recentClickJoin(errors, clicks)
+      .select(col("user_id"), col("eid"), col("cid"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val res = spark.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("eid")).as("n_errors_with_click"))
+      .orderBy(col("user_id"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q142Sql: String =
+    """WITH er AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id AS eid
+      |  FROM events WHERE event_type = 'error'),
+      |cl AS (
+      |  SELECT user_id AS c_user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS cid
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT er.user_id, eid, cid
+      |  FROM er JOIN cl ON user_id = c_user_id
+      |    AND cts BETWEEN ets - INTERVAL 10 MINUTE AND ets)
+      |SELECT user_id, count(*) AS n_pairs,
+      |  count(DISTINCT eid) AS n_errors_with_click
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_join_size" -> q140JoinSize,
+    "q142_stream_join" -> q142StreamJoin,
     "q137_bursts" -> q137Bursts,
     "q132_stream_dedup" -> q132StreamDedup,
     "q133_incr_agg" -> q133IncrAgg,
@@ -2656,6 +2790,8 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q140_join_size" -> q140Sql,
+    "q142_stream_join" -> q142Sql,
     "q137_bursts" -> q137Sql,
     "q132_stream_dedup" -> q132Sql,
     "q133_incr_agg" -> q133Sql,

@@ -90,12 +90,78 @@ SELECT src, dst FROM edges ORDER BY src, dst"""
        |  (${Sql.unreverseUrl("rev")} = url) AS roundtrip_ok
        |FROM r ORDER BY url""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  /** Crawl-hygiene report per source host — the operational profile of
+    * what q04's removeDuplicateLinks actually cleans (the reference's
+    * LinkRankComputation.java:304-340 effects, AGGREGATED): per host,
+    * raw out-link volume, links carrying a '#fragment', links with
+    * un-trimmed whitespace, case-insensitive self-links, duplicate
+    * targets after cleaning, and the surviving cleaned count. The
+    * numbers a crawl operator reads to decide which hosts emit dirty
+    * markup — and an always-on reconciliation of raw vs cleaned edge
+    * volume (kept + self + dups = raw, per host).
+    *
+    * Shape for 100 TB: two partial-agged aggregations over the raw
+    * edge scan (defect flags are per-row codegen'd string predicates)
+    * joined on the O(hosts) frame. */
+  def q141LinkHygiene(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = WebGraph.rawEdges(spark, sfDir)
+    val host = lower(urlHost(trim(col("src"))))
+    val cleanedDst = substring_index(trim(col("dst")), "#", 1)
+    val flags = raw.select(
+      host.as("host"),
+      col("dst"),
+      when(col("dst").contains("#"), 1L).otherwise(0L).as("frag"),
+      when(col("dst") =!= trim(col("dst")), 1L).otherwise(0L).as("ws"),
+      when(lower(cleanedDst) === lower(trim(col("src"))), 1L).otherwise(0L)
+        .as("self"),
+      trim(col("src")).as("csrc"), cleanedDst.as("cdst"))
+    val perHost = flags.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("frag")).as("n_fragment"),
+        sum(col("ws")).as("n_whitespace"), sum(col("self")).as("n_self"))
+    val kept = flags.filter(col("self") === 0)
+      .select(col("host"), col("csrc"), col("cdst")).distinct()
+      .groupBy(col("host")).agg(count(lit(1)).as("n_kept"))
+    perHost.join(kept, Seq("host"), "left")
+      .select(col("host"), col("n_raw"), col("n_fragment"), col("n_whitespace"),
+        col("n_self"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_raw") - col("n_self") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dup_dropped"))
+      .orderBy(col("host"))
+  }
+
+  val q141Sql: String =
+    s"""WITH ${Sql.rawEdgesCte},
+flags AS (
+  SELECT lower(${Sql.urlHost("trim(src)")}) AS host, dst,
+    (CASE WHEN contains(dst, '#') THEN 1 ELSE 0 END) AS frag,
+    (CASE WHEN dst <> trim(dst) THEN 1 ELSE 0 END) AS ws,
+    (CASE WHEN lower(split_part(trim(dst), '#', 1)) = lower(trim(src))
+          THEN 1 ELSE 0 END) AS self,
+    trim(src) AS csrc, split_part(trim(dst), '#', 1) AS cdst
+  FROM raw_edges),
+per_host AS (
+  SELECT host, count(*) AS n_raw, CAST(sum(frag) AS BIGINT) AS n_fragment,
+    CAST(sum(ws) AS BIGINT) AS n_whitespace, CAST(sum(self) AS BIGINT) AS n_self
+  FROM flags GROUP BY host),
+kept AS (
+  SELECT host, count(*) AS n_kept FROM (
+    SELECT DISTINCT host, csrc, cdst FROM flags WHERE self = 0)
+  GROUP BY host)
+SELECT p.host, n_raw, n_fragment, n_whitespace, n_self,
+  coalesce(n_kept, 0) AS n_kept,
+  (n_raw - n_self - coalesce(n_kept, 0)) AS n_dup_dropped
+FROM per_host p LEFT JOIN kept ON p.host = kept.host
+ORDER BY p.host"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_link_hygiene" -> q141LinkHygiene,
     "q04_edge_dedup" -> q04EdgeDedup,
     "q05_url_filter" -> q05UrlFilter,
     "q06_url_reverse" -> q06UrlReverse)
 
   val oracles: Map[String, String] = Map(
+    "q141_link_hygiene" -> q141Sql,
     "q04_edge_dedup" -> q04Sql,
     "q05_url_filter" -> q05Sql,
     "q06_url_reverse" -> q06Sql)
