@@ -2738,7 +2738,71 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM j GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** Insert-row id offset — above the dedup corpus offsets (1e9–3e9),
+    * same single-owner rationale (DedupQueries doc). */
+  val MergeInsertOffset = 4000000000L
+
+  /** CDC merge/upsert — MERGE INTO semantics (the lakehouse apply-
+    * changes op Spark SQL itself lacks without a table format): a
+    * deterministic change feed (updates for doc_id%9=0, deletes for
+    * %21=0, inserts at +[[MergeInsertOffset]] for %13=0) applies onto
+    * the documents snapshot by latest-version-wins per key, delete
+    * rows tombstoning the key. Emits the merged snapshot with an
+    * audit `op` column.
+    *
+    * Shape for 100 TB: ONE hash shuffle on the key; the latest-wins
+    * row_number and the tombstone filter ride that partition — the
+    * standard shuffle-merge plan every table format (Delta/Iceberg/
+    * Hudi) executes under MERGE. The feed is usually ≪ base, so AQE
+    * can also broadcast it; semantics are identical. */
+  def q143MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = d.select(col("doc_id"), lit(0L).as("version"), lit("B").as("op"),
+      col("text"))
+    val updates = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+        concat(col("text"), lit(" [rev2]")).as("text"))
+    val deletes = d.filter(pmod(col("doc_id"), lit(21)) === 0)
+      .select(col("doc_id"), lit(2L).as("version"), lit("D").as("op"),
+        lit(null).cast("string").as("text"))
+    val inserts = d.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select((col("doc_id") + MergeInsertOffset).as("doc_id"),
+        lit(1L).as("version"), lit("I").as("op"),
+        concat(lit("new "), col("text")).as("text"))
+    val all = base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("version").desc, col("op"))
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("doc_id"), col("version"), col("op"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q143Sql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, 0 AS version, 'B' AS op, text FROM documents),
+      |feed AS (
+      |  SELECT doc_id, 1 AS version, 'U' AS op, text || ' [rev2]' AS text
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id + $MergeInsertOffset, 1, 'I', 'new ' || text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |merged AS (
+      |  SELECT doc_id, version, op, text,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, op) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM feed))
+      |SELECT doc_id, CAST(version AS BIGINT) AS version, op,
+      |  length(text) AS n_chars
+      |FROM merged WHERE rn = 1 AND op <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_merge_upsert" -> q143MergeUpsert,
     "q140_join_size" -> q140JoinSize,
     "q142_stream_join" -> q142StreamJoin,
     "q137_bursts" -> q137Bursts,
@@ -2790,6 +2854,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q143_merge_upsert" -> q143Sql,
     "q140_join_size" -> q140Sql,
     "q142_stream_join" -> q142Sql,
     "q137_bursts" -> q137Sql,

@@ -1786,7 +1786,143 @@ ORDER BY e.sa, e.sb"""
       |FROM cum GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q144
+  /** Class-balanced downsampling — the training-set balancing step
+    * where q47's proportional strata are the wrong tool (a 90/5/5
+    * class skew must become 1/1/1): every language class downsamples
+    * to the SMALLEST class's size, membership chosen by deterministic
+    * hash order (q47's no-RNG reproducibility — reruns and retries
+    * pick identical rows).
+    *
+    * Shape for 100 TB: class sizes are a tiny aggregate (broadcast
+    * back); selection is rank-by-hash ≤ cap per class, which Spark
+    * rewrites to WindowGroupLimit — per-partition top-k BEFORE the
+    * exchange, ≤ cap rows of state per class at any corpus size. */
+  def q144BalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        MF.hash32(col("doc_id").cast("string")).as("h"))
+    val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rank") <= col("cap"))
+      .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q144Sql: String = {
+    val h = Sql.hash32OfHex("md5(CAST(doc_id AS VARCHAR))")
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang, $h AS h FROM documents),
+      |cap AS (SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM docs GROUP BY lang)),
+      |ranked AS (
+      |  SELECT lang, doc_id, h,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+      |  FROM docs)
+      |SELECT lang, rank, doc_id, h FROM ranked CROSS JOIN cap
+      |WHERE rank <= cap
+      |ORDER BY lang, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q145
+  /** Top keywords emitted per document. */
+  val RakeTopK = 3
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction) —
+    * the unsupervised key-phrase step of a document-understanding
+    * pipeline: candidate phrases are maximal stopword-free token runs
+    * (gaps-and-islands on the token stream, stopword = break), each
+    * word scores deg/freq (deg = Σ lengths of phrases containing it,
+    * freq = occurrences — both exact integers), a phrase scores the
+    * sum of its word scores, and each document keeps its
+    * [[RakeTopK]] best phrases. Word-score terms grid to 12 dp and
+    * sum as decimals (q81's convention) so both engines add identical
+    * rationals in any order.
+    *
+    * Shape for 100 TB: one tokenization explode (map-side) → ONE
+    * doc-keyed shuffle builds phrases; word stats partial-agg to an
+    * O(vocabulary) frame that hash-joins back; the per-doc top-k is a
+    * WindowGroupLimit. Nothing corpus-sized crosses an exchange
+    * twice. */
+  def q145Rake(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopArr = array(StopEn.map(lit): _*)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"),
+        array_contains(stopArr, col("col")).as("stop"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = toks
+      .withColumn("pid", sum(when(col("stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("stop"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    val phraseWords = phrases
+      .select(col("doc_id"), col("pid"), col("len"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val wordStats = phraseWords.groupBy(col("w"))
+      .agg(sum(col("len")).as("deg"), count(lit(1)).as("freq"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val scored = phraseWords.join(wordStats, "w")
+      .withColumn("wscore",
+        round(col("deg").cast("double") / col("freq"), 12).cast(dec))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(col("wscore")).as("sdec"))
+    val ranked = phrases.join(scored, Seq("doc_id", "pid"))
+      .withColumn("score", round(col("sdec").cast("double"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rank") <= RakeTopK)
+    ranked.select(col("doc_id"), col("rank"), col("phrase"),
+        col("len").as("n_words"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q145Sql: String = {
+    val stops = StopEn.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+      |  SELECT doc_id, pos - 1 AS pos, w, list_contains($stops, w) AS stop
+      |  FROM (SELECT doc_id,
+      |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+      |          unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |islands AS (
+      |  SELECT doc_id, pos, w, stop,
+      |    CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pid
+      |  FROM toks),
+      |phrases AS (
+      |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |    count(*) AS len
+      |  FROM islands WHERE NOT stop GROUP BY doc_id, pid),
+      |pw AS (
+      |  SELECT doc_id, pid, len, unnest(string_split(phrase, ' ')) AS w
+      |  FROM phrases),
+      |ws AS (
+      |  SELECT w, CAST(sum(len) AS BIGINT) AS deg, count(*) AS freq
+      |  FROM pw GROUP BY w),
+      |scored AS (
+      |  SELECT doc_id, pid,
+      |    sum(CAST(round(CAST(deg AS DOUBLE) / freq, 12) AS DECIMAL(38,12))) AS sdec
+      |  FROM pw JOIN ws USING (w) GROUP BY doc_id, pid),
+      |ranked AS (
+      |  SELECT p.doc_id, p.pid, p.phrase, p.len,
+      |    round(CAST(s.sdec AS DOUBLE), 6) AS score,
+      |    row_number() OVER (PARTITION BY p.doc_id
+      |      ORDER BY round(CAST(s.sdec AS DOUBLE), 6) DESC, p.phrase) AS rank
+      |  FROM phrases p JOIN scored s ON p.doc_id = s.doc_id AND p.pid = s.pid)
+      |SELECT doc_id, rank, phrase, len AS n_words, score
+      |FROM ranked WHERE rank <= $RakeTopK
+      |ORDER BY doc_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_balanced_sample" -> q144BalancedSample,
+    "q145_rake" -> q145Rake,
     "q138_weighted_quantiles" -> q138WeightedQuantiles,
     "q120_kmv_setops" -> q120KmvSetops,
     "q113_readability" -> q113Readability,
@@ -1820,6 +1956,8 @@ ORDER BY e.sa, e.sb"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q144_balanced_sample" -> q144Sql,
+    "q145_rake" -> q145Sql,
     "q138_weighted_quantiles" -> q138Sql,
     "q120_kmv_setops" -> q120Sql,
     "q113_readability" -> q113Sql,
