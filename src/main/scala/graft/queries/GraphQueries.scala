@@ -165,7 +165,8 @@ ORDER BY host"""
     // deterministic per-sfDir temp location, reused across invocations
     // (overwrite mode) instead of leaking a fresh dir per call
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_vio_" + Integer.toHexString(sfDir.hashCode)).toString
+      "graft_vio_" + Integer.toHexString(sfDir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()).toString
     Tables.part(spark, sfDir).select(line.as("value"))
       .write.mode("overwrite").text(dir)
     graft.graph.TextGraphIO.readVertices(spark, dir)

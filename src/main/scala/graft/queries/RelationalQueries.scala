@@ -376,7 +376,7 @@ object RelationalQueries {
     val (to, tc) = (s"graft_bko_$sfx", s"graft_bkc_$sfx")
     if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tc)) {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_buckets_$sfx").toString
+        s"graft_buckets_${sfx}_${java.lang.ProcessHandle.current().pid()}").toString
       Tables.orders(spark, sfDir).write.mode("overwrite")
         .bucketBy(16, "o_custkey").sortBy("o_custkey")
         .option("path", s"$tmp/orders").saveAsTable(to)
@@ -616,8 +616,13 @@ object RelationalQueries {
     val sfx = pathKey(sfDir)
     val tbl = s"graft_part_orders_$sfx"
     if (!spark.catalog.tableExists(tbl)) {
+      // per-process path: two graft JVMs on one host (a test run beside
+      // a verify run) must not overwrite each other's layout mid-scan —
+      // a shared path left this session's cached file listing pointing
+      // at files another JVM had just replaced (FILE_NOT_EXIST)
+      val pid = java.lang.ProcessHandle.current().pid()
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_partitions_$sfx").toString
+        s"graft_partitions_${sfx}_$pid").toString
       Tables.orders(spark, sfDir)
         .withColumn("o_date", to_date(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_date")
@@ -2801,7 +2806,211 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM merged WHERE rn = 1 AND op <> 'D'
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** Step-to-step conversion window (µs): 48 h. */
+  val FunnelWindowUs = 48L * 3600L * 1000000L
+
+  /** Time-boxed funnel (ClickHouse's windowFunnel semantics beside
+    * q53's unbounded chain): view → click → purchase where each step
+    * must land within [[FunnelWindowUs]] of the PREVIOUS step —
+    * first-touch greedy (the earliest qualifying event per step, q53's
+    * convention), so a user who converts slowly counts at the stage
+    * where the clock ran out. Emits per-stage user counts, conversion
+    * vs previous stage, and the exact average step latency (integer µs
+    * sums, one division).
+    *
+    * Shape for 100 TB: three partial-agged min-aggregations keyed on
+    * user (each joined back broadcast-or-hash) — no per-user event
+    * arrays, no window over the event stream. */
+  def q146WindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_us") > col("v_ts") &&
+        col("ts_us") <= col("v_ts") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_ts"),
+        min(col("v_ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") > col("c_ts") &&
+        col("ts_us") <= col("c_ts") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"),
+        min(col("c_ts")).as("c_ts"))
+    val all = ev.agg(countDistinct(col("user_id")).as("n"))
+      .select(lit(0).as("stage"), lit("all_users").as("step"), col("n"),
+        lit(null).cast("double").as("avg_step_latency_s"))
+    val sv = v.agg(count(lit(1)).as("n"))
+      .select(lit(1).as("stage"), lit("view").as("step"), col("n"),
+        lit(null).cast("double").as("avg_step_latency_s"))
+    val sc = c.agg(count(lit(1)).as("n"),
+        sum(col("c_ts") - col("v_ts")).as("lat"))
+      .select(lit(2).as("stage"), lit("click").as("step"), col("n"),
+        round(col("lat").cast("double") / col("n") / 1000000.0, 6)
+          .as("avg_step_latency_s"))
+    val sp = p.agg(count(lit(1)).as("n"),
+        sum(col("p_ts") - col("c_ts")).as("lat"))
+      .select(lit(3).as("stage"), lit("purchase").as("step"), col("n"),
+        round(col("lat").cast("double") / col("n") / 1000000.0, 6)
+          .as("avg_step_latency_s"))
+    val s = all.unionByName(sv).unionByName(sc).unionByName(sp)
+    s.withColumn("conversion",
+        coalesce(round(col("n").cast("double")
+          / lag(col("n"), 1).over(Window.orderBy(col("stage"))), 6), lit(1.0)))
+      .select(col("stage"), col("step"), col("n").as("n_users"),
+        col("conversion"), col("avg_step_latency_s"))
+      .orderBy(col("stage"))
+  }
+
+  val q146Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS c_ts, min(v_ts) AS v_ts
+      |      FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > v_ts
+      |        AND ts_us <= v_ts + $FunnelWindowUs
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_us) AS p_ts, min(c_ts) AS c_ts
+      |      FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts
+      |        AND ts_us <= c_ts + $FunnelWindowUs
+      |      GROUP BY e.user_id),
+      |s AS (
+      |  SELECT 0 AS stage, 'all_users' AS step, count(DISTINCT user_id) AS n,
+      |    CAST(NULL AS DOUBLE) AS lat FROM ev
+      |  UNION ALL SELECT 1, 'view', count(*), NULL FROM v
+      |  UNION ALL SELECT 2, 'click', count(*),
+      |    round(CAST(sum(c_ts - v_ts) AS DOUBLE) / count(*) / 1000000.0, 6) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*),
+      |    round(CAST(sum(p_ts - c_ts) AS DOUBLE) / count(*) / 1000000.0, 6) FROM p)
+      |SELECT stage, step, n AS n_users,
+      |  coalesce(round(CAST(n AS DOUBLE)
+      |    / CAST(lag(n) OVER (ORDER BY stage) AS DOUBLE), 6), 1.0) AS conversion,
+      |  lat AS avg_step_latency_s
+      |FROM s ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------- q147
+  /** Rolling-feature lookback (days). */
+  val LagFeatDays = 7
+
+  /** Per-user daily lag features — the feature-engineering pass a
+    * daily model trains on: for every user-day with activity, the
+    * previous day's count, the trailing-[[LagFeatDays]]-day sum, and
+    * days since the previous active day. Features compute on the
+    * ZERO-FILLED user×day grid (a silent day is a 0, not a missing
+    * row — else lag(1) reads the wrong day), but only observed
+    * (active) rows emit.
+    *
+    * Shape for 100 TB: corpus → one partial-agged groupBy(user, day);
+    * the grid is users × span (the natural feature-matrix size), all
+    * windows partition by user over O(span) rows. */
+  def q147LagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val feat = filled
+      .withColumn("prev_1d", coalesce(lag(col("cnt"), 1).over(byUser), lit(0L)))
+      .withColumn("prev_7d", coalesce(sum(col("cnt")).over(
+        byUser.rowsBetween(-LagFeatDays, -1)), lit(0L)))
+      .withColumn("prev_active_day",
+        last(when(col("cnt") > 0, col("day")), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("days_since_prev",
+        coalesce(col("day") - col("prev_active_day"), lit(-1L)))
+    feat.filter(col("cnt") > 0)
+      .select(col("user_id"), col("day"), col("cnt").as("n_events"),
+        col("prev_1d"), col("prev_7d"), col("days_since_prev"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q147Sql: String =
+    s"""WITH daily AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT u.user_id, g.day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u,
+      |    (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g),
+      |filled AS (
+      |  SELECT grid.user_id, grid.day, coalesce(daily.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN daily
+      |    ON grid.user_id = daily.user_id AND grid.day = daily.day),
+      |feat AS (
+      |  SELECT user_id, day, cnt,
+      |    coalesce(lag(cnt) OVER w, 0) AS prev_1d,
+      |    coalesce(sum(cnt) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN $LagFeatDays PRECEDING AND 1 PRECEDING), 0) AS prev_7d,
+      |    last_value(CASE WHEN cnt > 0 THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_active_day
+      |  FROM filled WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day, cnt AS n_events,
+      |  CAST(prev_1d AS BIGINT) AS prev_1d, CAST(prev_7d AS BIGINT) AS prev_7d,
+      |  coalesce(day - prev_active_day, -1) AS days_since_prev
+      |FROM feat WHERE cnt > 0
+      |ORDER BY user_id, day""".stripMargin
+
+  // --------------------------------------------------------------- q148
+  /** Item-item co-engagement similarity — the bipartite-projection /
+    * collaborative-filtering primitive ("users who did X also did Y"):
+    * the user×event-type bipartite graph projects onto item pairs via
+    * a self-join on user over DISTINCT (user, item) rows; cosine =
+    * co/√(nₐ·n_b) and Jaccard = co/(nₐ+n_b−co) from exact integer
+    * counts, one double op each at the end.
+    *
+    * Shape for 100 TB: the distinct pass is one partial-agged
+    * shuffle on user; the projection joins within user partitions
+    * (per-user item fan-out is bounded by the catalog, not the event
+    * count — the recsys-standard plan); item marginals are a tiny
+    * broadcast frame. */
+  def q148ItemSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ui = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val marg = ui.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val co = ui.select(col("user_id"), col("event_type").as("ia"))
+      .join(ui.select(col("user_id"), col("event_type").as("ib")), "user_id")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("co"))
+    co.join(broadcast(marg.select(col("event_type").as("ia"), col("n").as("na"))), "ia")
+      .join(broadcast(marg.select(col("event_type").as("ib"), col("n").as("nb"))), "ib")
+      .select(col("ia"), col("ib"), col("co"), col("na"), col("nb"),
+        round(col("co").cast("double")
+          / sqrt(col("na").cast("double") * col("nb")), 6).as("cosine"),
+        round(col("co").cast("double") / (col("na") + col("nb") - col("co")), 6)
+          .as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val q148Sql: String =
+    """WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+      |marg AS (SELECT event_type, count(*) AS n FROM ui GROUP BY event_type),
+      |co AS (
+      |  SELECT a.event_type AS ia, b.event_type AS ib, count(*) AS co
+      |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ia, ib, co, na.n AS na, nb.n AS nb,
+      |  round(CAST(co AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine,
+      |  round(CAST(co AS DOUBLE) / (na.n + nb.n - co), 6) AS jaccard
+      |FROM co JOIN marg na ON ia = na.event_type JOIN marg nb ON ib = nb.event_type
+      |ORDER BY ia, ib""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_window_funnel" -> q146WindowFunnel,
+    "q147_lag_features" -> q147LagFeatures,
+    "q148_item_similarity" -> q148ItemSimilarity,
     "q143_merge_upsert" -> q143MergeUpsert,
     "q140_join_size" -> q140JoinSize,
     "q142_stream_join" -> q142StreamJoin,
@@ -2854,6 +3063,9 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q146_window_funnel" -> q146Sql,
+    "q147_lag_features" -> q147Sql,
+    "q148_item_similarity" -> q148Sql,
     "q143_merge_upsert" -> q143Sql,
     "q140_join_size" -> q140Sql,
     "q142_stream_join" -> q142Sql,
