@@ -1043,7 +1043,87 @@ SELECT da, db, agr_lang, agr_source, agr_len, agr_prefix,
 FROM scored
 ORDER BY da, db"""
 
+  // --------------------------------------------------------------- q149
+  /** Jaccard threshold as an exact rational (3/5 = 0.6). */
+  val SetSimNum = 3
+  val SetSimDen = 5
+
+  /** Exact threshold set-similarity join (AllPairs/PPJoin prefix
+    * filtering) — the similarity join with a COMPLETENESS guarantee
+    * that LSH (q21/q23) trades away: every pair with Jaccard ≥ 0.6 is
+    * found, no recall loss. Each doc's sorted shingle-hash set keeps
+    * only its PREFIX (n − ⌈t·n⌉ + 1 smallest hashes — the pigeonhole
+    * theorem: two sets at J ≥ t MUST share a prefix element under any
+    * global token order); candidates come from an equi-join on prefix
+    * hashes with the length filter den·min ≥ num·max (J ≥ t forces
+    * compatible sizes), then the exact merge-walk intersection
+    * verifies den·∩ ≥ num·∪ — ALL integer arithmetic, no float
+    * threshold.
+    *
+    * Shape for 100 TB: the exchange carries prefix hashes (a t-governed
+    * FRACTION of each set), candidates are equality-join buckets (never
+    * all-pairs), and verification is the compiled in-row merge walk on
+    * the candidate pairs only — the published AllPairs plan, made
+    * relational. */
+  def q149SetSimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = graft.Checkpoints.deferUnpersist(
+      corpus(spark, sfDir)
+        .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
+        .select(col("doc_id"), col("s"), size(col("s")).as("n"))
+        .cache())
+    // p = n − ⌈t·n⌉ + 1, with ⌈num·n/den⌉ = (num·n + den − 1) div den
+    val prefLen = (col("n") - expr(s"($SetSimNum * n + ${SetSimDen - 1}) div $SetSimDen")
+      + 1).cast("int")
+    val pref = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("s"), lit(1), prefLen)).as("h"))
+    val cand = pref.select(col("doc_id").as("da"), col("n").as("pna"), col("h"))
+      .join(pref.select(col("doc_id").as("db"), col("n").as("pnb"), col("h")), "h")
+      .filter(col("da") < col("db") &&
+        lit(SetSimDen) * least(col("pna"), col("pnb"))
+          >= lit(SetSimNum) * greatest(col("pna"), col("pnb")))
+      .select(col("da"), col("db")).distinct()
+    val sa = sets.toDF("da", "sa", "na")
+    val sb = sets.toDF("db", "sb", "nb")
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sa"), col("sb")))
+      .filter(lit(SetSimDen) * col("inter")
+        >= lit(SetSimNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q149Sql: String =
+    s"""WITH $corpusCte,
+shd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS h
+  FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+ranked AS (
+  SELECT shd.doc_id, h, n,
+    row_number() OVER (PARTITION BY shd.doc_id ORDER BY h) AS rn
+  FROM shd JOIN cnt ON shd.doc_id = cnt.doc_id),
+pref AS (
+  SELECT doc_id, h, n FROM ranked
+  WHERE rn <= n - (($SetSimNum * n + ${SetSimDen - 1}) // $SetSimDen) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE $SetSimDen * least(a.n, b.n) >= $SetSimNum * greatest(a.n, b.n)),
+inter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM cand c JOIN shd a ON a.doc_id = c.da JOIN shd b ON b.doc_id = c.db AND b.h = a.h
+  GROUP BY c.da, c.db)
+SELECT i.da, i.db, na.n AS na, nb.n AS nb, i.inter,
+  round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN cnt na ON na.doc_id = i.da JOIN cnt nb ON nb.doc_id = i.db
+WHERE $SetSimDen * i.inter >= $SetSimNum * (na.n + nb.n - i.inter)
+ORDER BY i.da, i.db"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_setsim_join" -> q149SetSimJoin,
     "q139_linkage" -> q139Linkage,
     "q130_norm_dedup" -> q130NormDedup,
     "q117_survivor" -> q117Survivor,
@@ -1061,6 +1141,7 @@ ORDER BY da, db"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q149_setsim_join" -> q149Sql,
     "q139_linkage" -> q139Sql,
     "q130_norm_dedup" -> q130Sql,
     "q117_survivor" -> q117Sql,
