@@ -1253,7 +1253,75 @@ FROM deg LEFT JOIN ein ON deg.community = ein.community CROSS JOIN mm
 ORDER BY deg.community"""
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Walk length (steps beyond the start vertex). */
+  val WalkLen = 8
+
+  /** Deterministic random-walk corpus over the host graph — the
+    * DeepWalk/node2vec sentence generator that feeds graph-embedding
+    * training: one walk starts at every host and takes [[WalkLen]]
+    * steps, each step choosing the neighbor at index
+    * hash(walk_id ∥ step) mod out-degree in the dst-sorted adjacency
+    * — pure-hash pseudo-randomness (q47's no-RNG convention), so
+    * reruns, retries, AND the DuckDB oracle reproduce the identical
+    * corpus. Walks stop early at dangling hosts (no out-links).
+    *
+    * Shape for 100 TB: the ranked adjacency (rn, deg per src) builds
+    * once; each of the [[WalkLen]] steps is ONE equi-join of the
+    * current frontier (|walks| rows) against it on (vertex, rn) —
+    * state never exceeds one row per live walk, and the emitted
+    * corpus is O(walks × length), the size embedding training needs
+    * anyway. The oracle replays the chain as a recursive CTE — each
+    * (walk, step) has exactly ONE successor, so the recursion is
+    * linear, not explosive. */
+  def q151RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val bysrc = Window.partitionBy(col("src"))
+    val adj = hedges
+      .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(bysrc))
+    var cur = WebGraph.vertices(hedges)
+      .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += cur
+    for (step <- 1 to WalkLen) {
+      val pick = pmod(graft.functions.MathFunctions.hash32(
+        concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
+      cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
+        .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+      frames += cur
+    }
+    frames.result().reduce(_ unionByName _)
+      .orderBy(col("walk_id"), col("step"))
+  }
+
+  val q151Sql: String = {
+    val pick = Sql.hash32OfHex("md5(w.walk_id || '#' || CAST(w.step + 1 AS VARCHAR))")
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+    count(*) OVER (PARTITION BY src) AS deg
+  FROM hedges),
+w AS (
+  SELECT v AS walk_id, v AS host, 0 AS step FROM verts
+  UNION ALL
+  SELECT w.walk_id, a.dst, w.step + 1
+  FROM w JOIN adj a ON a.src = w.host
+    AND a.rn = ($pick % a.deg) + 1
+  WHERE w.step < $WalkLen)
+SELECT walk_id, host, step FROM w
+ORDER BY walk_id, step"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_random_walks" -> q151RandomWalks,
     "q135_closeness" -> q135Closeness,
     "q136_modularity" -> q136Modularity,
     "q119_ecc" -> q119Ecc,
@@ -1283,6 +1351,7 @@ ORDER BY deg.community"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q151_random_walks" -> q151Sql,
     "q135_closeness" -> q135Sql,
     "q136_modularity" -> q136Sql,
     "q119_ecc" -> q119Sql,

@@ -3007,7 +3007,70 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM co JOIN marg na ON ia = na.event_type JOIN marg nb ON ib = nb.event_type
       |ORDER BY ia, ib""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  /** Snapshot diff / reconciliation — the audit that runs AFTER q143's
+    * merge (did the apply do exactly what the feed said?): a full
+    * outer join of the base snapshot against the merged snapshot on
+    * the key classifies every row as added / deleted / changed /
+    * unchanged, and the per-class summary carries row counts plus an
+    * order-independent Σkey checksum on each side — the table-diff
+    * every CDC pipeline closes its loop with.
+    *
+    * Shape for 100 TB: ONE full-outer hash join on the key (both
+    * sides partition the same way) into a partial-agged 4-row
+    * summary — the standard reconciliation plan. */
+  def q150TableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("bid"), length(col("text")).as("blen"))
+    val merged = q143MergeUpsert(spark, sfDir)
+      .select(col("doc_id").as("mid"), col("n_chars").as("mlen"))
+    base.join(merged, col("bid") === col("mid"), "full_outer")
+      .select(
+        when(col("bid").isNull, lit("added"))
+          .when(col("mid").isNull, lit("deleted"))
+          .when(col("blen") =!= col("mlen"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_class"),
+        coalesce(col("bid"), lit(0L)).as("bk"),
+        coalesce(col("mid"), lit(0L)).as("mk"))
+      .groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bk")).as("base_key_sum"), sum(col("mk")).as("merged_key_sum"))
+      .orderBy(col("change_class"))
+  }
+
+  val q150Sql: String =
+    s"""WITH base AS (SELECT doc_id AS bid, length(text) AS blen FROM documents),
+      |feed AS (
+      |  SELECT doc_id, 1 AS version, 'U' AS op, text || ' [rev2]' AS text
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id + $MergeInsertOffset, 1, 'I', 'new ' || text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |merged0 AS (
+      |  SELECT doc_id, op, text,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, op) AS rn
+      |  FROM (SELECT doc_id, 0 AS version, 'B' AS op, text FROM documents
+      |        UNION ALL SELECT * FROM feed)),
+      |merged AS (
+      |  SELECT doc_id AS mid, length(text) AS mlen FROM merged0
+      |  WHERE rn = 1 AND op <> 'D'),
+      |classified AS (
+      |  SELECT (CASE WHEN bid IS NULL THEN 'added'
+      |               WHEN mid IS NULL THEN 'deleted'
+      |               WHEN blen <> mlen THEN 'changed'
+      |               ELSE 'unchanged' END) AS change_class,
+      |    coalesce(bid, 0) AS bk, coalesce(mid, 0) AS mk
+      |  FROM base FULL OUTER JOIN merged ON bid = mid)
+      |SELECT change_class, count(*) AS n_rows,
+      |  CAST(sum(bk) AS BIGINT) AS base_key_sum,
+      |  CAST(sum(mk) AS BIGINT) AS merged_key_sum
+      |FROM classified GROUP BY change_class
+      |ORDER BY change_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_table_diff" -> q150TableDiff,
     "q146_window_funnel" -> q146WindowFunnel,
     "q147_lag_features" -> q147LagFeatures,
     "q148_item_similarity" -> q148ItemSimilarity,
@@ -3063,6 +3126,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q150_table_diff" -> q150Sql,
     "q146_window_funnel" -> q146Sql,
     "q147_lag_features" -> q147Sql,
     "q148_item_similarity" -> q148Sql,
