@@ -566,6 +566,84 @@ object Graft {
       call_function("graft_bloom_count_contains", lit(bf), array(factKey)) > 0)
   }
 
+  /** Exact threshold set-similarity join (q149's AllPairs prefix
+    * filtering on caller data): all pairs of rows whose sorted-set
+    * columns reach Jaccard ≥ num/den — COMPLETE by construction
+    * (pigeonhole prefixes + integer-exact verification), unlike the
+    * LSH paths. `set` must be a sorted array<long> (e.g.
+    * [[shingleSet]]). Returns (ida, idb, na, nb, inter, jaccard). */
+  def setSimilarityJoin(df: DataFrame, id: Column, set: Column,
+                        num: Int = 3, den: Int = 5): DataFrame = {
+    val sets = df.select(id.as("doc_id"), set.as("s"))
+      .withColumn("n", size(col("s")))
+    val prefLen =
+      (col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1).cast("int")
+    val pref = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("s"), lit(1), prefLen)).as("h"))
+    val cand = pref.select(col("doc_id").as("da"), col("n").as("pna"), col("h"))
+      .join(pref.select(col("doc_id").as("db"), col("n").as("pnb"), col("h")), "h")
+      .filter(col("da") < col("db") &&
+        lit(den) * least(col("pna"), col("pnb"))
+          >= lit(num) * greatest(col("pna"), col("pnb")))
+      .select(col("da"), col("db")).distinct()
+    val sa = sets.toDF("da", "sa", "na")
+    val sb = sets.toDF("db", "sb", "nb")
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sa"), col("sb")))
+      .filter(lit(den) * col("inter")
+        >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("da").as("ida"), col("db").as("idb"), col("na"), col("nb"),
+        col("inter"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Deterministic random-walk corpus over any (src, dst) edge frame
+    * (q151's DeepWalk generator on a caller graph): one walk per
+    * distinct vertex, `len` steps, neighbor index = hash(walk∥step)
+    * mod out-degree over the dst-sorted adjacency — reruns reproduce
+    * the identical corpus. Returns (walk_id, host, step). */
+  def randomWalks(edges: DataFrame, src: Column, dst: Column,
+                  len: Int = 8): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val bysrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adj = e
+      .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(bysrc))
+    var cur = graph.WebGraph.vertices(e)
+      .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += cur
+    for (step <- 1 to len) {
+      val pick = pmod(graft.functions.MathFunctions.hash32(
+        concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
+      cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
+        .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+      frames += cur
+    }
+    frames.result().reduce(_ unionByName _)
+  }
+
+  /** MERGE INTO semantics on caller frames (q143's latest-wins apply):
+    * `base` rows carry version 0; `feed` rows carry (key, version, op,
+    * payload) with op 'D' tombstoning the key. Returns the merged
+    * snapshot (key, version, op, payload from the winning row). */
+  def mergeLatestWins(base: DataFrame, baseKey: Column, basePayload: Column,
+                      feed: DataFrame, feedKey: Column, version: Column,
+                      op: Column, feedPayload: Column): DataFrame = {
+    val b = base.select(baseKey.as("key"), lit(0L).as("version"),
+      lit("B").as("op"), basePayload.as("payload"))
+    val f = feed.select(feedKey.as("key"), version.cast("long").as("version"),
+      op.as("op"), feedPayload.as("payload"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("version").desc, col("op"))
+    b.unionByName(f)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn")
+  }
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

@@ -204,4 +204,41 @@ class GraftApiSpec extends GraftSpec {
       dim.filter(col("dk") < 0), col("dk")).count() === 0L)
   }
 
+  test("setSimilarityJoin finds exactly the over-threshold pairs on user data") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),    // near
+      (4L, "one two three four five six seven eight")).toDF("id", "body")
+    val pairs = Graft.setSimilarityJoin(docs, col("id"), Graft.shingleSet(col("body")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("randomWalks is deterministic and follows edges") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c").toDF("s", "d")
+    val w1 = Graft.randomWalks(edges, col("s"), col("d"), len = 5)
+      .collect().map(r => (r.getString(0), r.getInt(2)) -> r.getString(1)).toMap
+    val w2 = Graft.randomWalks(edges, col("s"), col("d"), len = 5)
+      .collect().map(r => (r.getString(0), r.getInt(2)) -> r.getString(1)).toMap
+    assert(w1 === w2)
+    assert(w1.keys.count(_._2 == 0) === 3) // one walk per vertex
+    val adj = Map("a" -> Set("b", "c"), "b" -> Set("c"), "c" -> Set("a"))
+    w1.foreach { case ((wid, step), host) =>
+      if (step > 0) assert(adj(w1((wid, step - 1))).contains(host))
+    }
+  }
+
+  test("mergeLatestWins applies updates, tombstones, inserts on user frames") {
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val feed = Seq((2L, 1L, "U", "y2"), (3L, 1L, "D", null),
+      (9L, 1L, "I", "new")).toDF("k", "ver", "op", "v")
+    val got = Graft.mergeLatestWins(base, col("k"), col("v"),
+        feed, col("k"), col("ver"), col("op"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> ("B", "x"), 2L -> ("U", "y2"), 9L -> ("I", "new")))
+  }
+
 }
