@@ -386,7 +386,104 @@ FROM sig JOIN groups USING (ph_lo, ph_hi)
 ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q153
+  /** VAD frame width (stub-PCM chars per frame) and energy gate. */
+  val VadFrameLen = 16
+  val VadThreshold = 450L
+
+  /** Voice-activity segmentation over the audio assets — the
+    * silence-trim / speech-chunking pass an audio training pipeline
+    * runs before transcription: the payload "decodes" (same honest
+    * stub as q60/q61 — a real codec swaps in without changing schema
+    * or plan) into fixed [[VadFrameLen]]-unit frames, each frame's
+    * pseudo-energy (portable hash mod 1000) gates against
+    * [[VadThreshold]], and consecutive speech frames merge into
+    * segments (gaps-and-islands). Per asset: frame/speech counts,
+    * segment count, longest segment, speech ratio.
+    *
+    * Shape for 100 TB: the frame stream is a map-side explode keyed
+    * by asset; flags, islands, and the per-asset aggregate all ride
+    * ONE hash shuffle on doc_id (frame count per asset is bounded by
+    * asset length — the natural audio-pipeline partitioning). */
+  def q153Vad(spark: SparkSession, sfDir: String): DataFrame = {
+    val audio = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // q60's audio/wav slice
+      .select(col("doc_id"), col("text"))
+    val nFrames = ceil(length(col("text")).cast("double") / VadFrameLen).cast("long")
+    val framed = audio
+      .withColumn("n_frames", nFrames)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("i"))
+      .withColumn("energy", pmod(MF.hash32(
+        col("text").substr((col("i") * VadFrameLen + 1).cast("int"), lit(VadFrameLen))),
+        lit(1000L)))
+      .withColumn("speech", col("energy") >= VadThreshold)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val segs = framed
+      .withColumn("start",
+        when(col("speech") &&
+          !coalesce(lag(col("speech"), 1).over(byDoc), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("start")).over(byDoc))
+    val perSeg = segs.filter(col("speech"))
+      .groupBy(col("doc_id"), col("seg_id")).agg(count(lit(1)).as("seg_len"))
+    val perDoc = segs.groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("n_speech"))
+    perDoc.join(perSeg.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"), max(col("seg_len")).as("longest_seg")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_speech"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+        round(col("n_speech").cast("double") / col("n_frames"), 6)
+          .as("speech_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q153Sql: String = {
+    val frame = s"substr(text, CAST(i * $VadFrameLen + 1 AS INTEGER), $VadFrameLen)"
+    s"""WITH audio AS (
+  SELECT doc_id, text, CAST(ceil(length(text) / $VadFrameLen.0) AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+framed AS (
+  SELECT doc_id, n_frames, i,
+    (${Sql.hash32OfHex(s"md5($frame)")} % 1000) AS energy
+  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames)) AS i FROM audio)),
+flagged AS (
+  SELECT doc_id, n_frames, i, (energy >= $VadThreshold) AS speech
+  FROM framed),
+starts AS (
+  SELECT doc_id, n_frames, i, speech,
+    (CASE WHEN speech AND NOT coalesce(lag(speech) OVER w, FALSE)
+          THEN 1 ELSE 0 END) AS start
+  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+segs AS (
+  SELECT doc_id, n_frames, i, speech,
+    CAST(sum(start) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS seg_id
+  FROM starts),
+per_seg AS (
+  SELECT doc_id, seg_id, count(*) AS seg_len FROM segs WHERE speech
+  GROUP BY doc_id, seg_id),
+per_doc AS (
+  SELECT doc_id, max(n_frames) AS n_frames,
+    CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT) AS n_speech
+  FROM segs GROUP BY doc_id),
+seg_agg AS (
+  SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest_seg
+  FROM per_seg GROUP BY doc_id)
+SELECT d.doc_id, d.n_frames, d.n_speech,
+  coalesce(s.n_segments, 0) AS n_segments,
+  coalesce(s.longest_seg, 0) AS longest_seg,
+  round(CAST(d.n_speech AS DOUBLE) / d.n_frames, 6) AS speech_ratio
+FROM per_doc d LEFT JOIN seg_agg s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_vad" -> q153Vad,
     "q80_phash" -> q80Phash,
     "q60_multimodal" -> q60Multimodal,
     "q61_frame_sample" -> q61FrameSample,
@@ -394,6 +491,7 @@ ORDER BY doc_id"""
     "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
+    "q153_vad" -> q153Sql,
     "q60_multimodal" -> q60Sql,
     "q61_frame_sample" -> q61Sql,
     "q62_chunk_dedup" -> q62Sql,

@@ -1320,7 +1320,69 @@ SELECT walk_id, host, step FROM w
 ORDER BY walk_id, step"""
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Weighted LinkRank over multiplicity-weighted page edges — the
+    * rank variant where duplicate raw links are endorsement STRENGTH
+    * instead of noise ([[graft.graph.WeightedRank]]): edges are
+    * cleaned (trim, #fragment strip, self-link drop — the reference's
+    * removeDuplicateLinks steps) but NOT deduped; the surviving
+    * multiplicity becomes the edge weight and transitions are
+    * weight-proportional (score·w/Σw) instead of uniform 1/out-degree.
+    * Raw damped iterate ×1000 on the round(,6) grid (q97's raw-score
+    * convention). Oracle = 9 unrolled weighted rounds. */
+  def q152WeightedRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val wedges = graft.SessionCache.cached(spark, s"wedges:$sfDir") {
+      val raw = WebGraph.rawEdges(spark, sfDir)
+      raw.select(trim(col("src")).as("src"),
+          substring_index(trim(col("dst")), "#", 1).as("dst"))
+        .filter(lower(col("dst")) =!= lower(col("src")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    }
+    val init = wedges.select(col("src").as("id"))
+      .unionAll(wedges.select(col("dst").as("id")))
+      .distinct().withColumn("score", lit(1.0))
+    graft.graph.WeightedRank.run(spark, wedges, init,
+        cacheKey = Some(s"pagew:$sfDir"))
+      .select(col("id"), round(col("score") * 1000, 6).as("score_k"))
+      .orderBy(col("id"))
+  }
+
+  val q152Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+wedges AS MATERIALIZED (
+  SELECT trim(src) AS src, split_part(trim(dst), '#', 1) AS dst, count(*) AS w
+  FROM raw_edges
+  WHERE lower(split_part(trim(dst), '#', 1)) <> lower(trim(src))
+  GROUP BY 1, 2),
+wv AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
+swt AS MATERIALIZED (SELECT src, sum(w) AS sw FROM wedges GROUP BY src),
+wn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wv),
+wr0 AS MATERIALIZED (SELECT id, 1.0 AS score FROM wv),
+"""
+    for (k <- 1 to 9) {
+      val p = s"wr${k - 1}"
+      sb ++= s"""wr$k AS MATERIALIZED (
+  SELECT v.id,
+    (0.15 / wn.n) + 0.85 * (coalesce(c.contrib, 0.0) + d.ds / wn.n) AS score
+  FROM wv v CROSS JOIN wn
+  CROSS JOIN (SELECT coalesce(sum(score), 0.0) AS ds FROM $p
+              WHERE id NOT IN (SELECT src FROM swt)) d
+  LEFT JOIN (
+    SELECT w.dst, sum(r.score * (CAST(w.w AS DOUBLE) / s.sw)) AS contrib
+    FROM wedges w JOIN $p r ON w.src = r.id JOIN swt s ON s.src = w.src
+    GROUP BY w.dst) c ON c.dst = v.id),
+"""
+    }
+    sb ++= """fin AS (SELECT id, score FROM wr9)
+SELECT id, round(score * 1000, 6) AS score_k FROM fin ORDER BY id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_weighted_rank" -> q152WeightedRank,
     "q151_random_walks" -> q151RandomWalks,
     "q135_closeness" -> q135Closeness,
     "q136_modularity" -> q136Modularity,
@@ -1351,6 +1413,7 @@ ORDER BY walk_id, step"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q152_weighted_rank" -> q152Sql,
     "q151_random_walks" -> q151Sql,
     "q135_closeness" -> q135Sql,
     "q136_modularity" -> q136Sql,
