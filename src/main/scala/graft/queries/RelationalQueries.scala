@@ -3069,7 +3069,140 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM classified GROUP BY change_class
       |ORDER BY change_class""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  /** Two-proportion A/B significance test — the experimentation
+    * primitive that closes the loop on every split/mixture operator:
+    * users hash into arms A/B (q47's no-RNG determinism), the metric
+    * is LAST-DAY purchase conversion (≥1 purchase on the fixture's
+    * final calendar day — the raw any-purchase flag saturates at 100%
+    * on this event volume, and a saturated metric has zero variance
+    * to test), and the two-sided
+    * two-proportion z-test scores the difference with the pooled
+    * standard error. The synthetic assignment is independent of
+    * behavior, so the expected verdict is NOT significant — a
+    * detector that fires here is broken (the spec asserts it).
+    *
+    * Shape for 100 TB: one partial-agged pass to per-user conversion
+    * flags (the exchange carries users, not events), then a 2-row
+    * aggregate; z is a handful of IEEE double ops off exact integer
+    * counts — deterministic across engines. */
+  /** Last fixture day (2024-01-30) as an epoch day — the conversion
+    * window. */
+  val AbLastDay = 19752L
+
+  def q155AbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("na"), col("x").as("xa"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("nb"), col("x").as("xb"))
+    a.crossJoin(b)
+      .withColumn("pa", col("xa").cast("double") / col("na"))
+      .withColumn("pb", col("xb").cast("double") / col("nb"))
+      .withColumn("pp", (col("xa") + col("xb")).cast("double")
+        / (col("na") + col("nb")))
+      .withColumn("z",
+        (col("pa") - col("pb")) / sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .select(col("na"), col("nb"), col("xa"), col("xb"),
+        round(col("pa"), 6).as("pa"), round(col("pb"), 6).as("pb"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 1.959964).as("significant"))
+  }
+
+  val q155Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted,
+      |    (CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END) AS arm
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+      |  FROM per_user GROUP BY arm),
+      |ab AS (
+      |  SELECT a.n AS na, b.n AS nb, a.x AS xa, b.x AS xb
+      |  FROM (SELECT * FROM arms WHERE arm = 'A') a,
+      |       (SELECT * FROM arms WHERE arm = 'B') b),
+      |calc AS (
+      |  SELECT na, nb, xa, xb,
+      |    CAST(xa AS DOUBLE) / na AS pa, CAST(xb AS DOUBLE) / nb AS pb,
+      |    CAST(xa + xb AS DOUBLE) / (na + nb) AS pp
+      |  FROM ab)
+      |SELECT na, nb, xa, xb, round(pa, 6) AS pa, round(pb, 6) AS pb,
+      |  round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) AS z,
+      |  (abs((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))) > 1.959964) AS significant
+      |FROM calc""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q156
+  /** Calibration / reliability curve — the audit run on any score a
+    * pipeline thresholds: the predictor is each user's activity SHARE
+    * OF THE MOST ACTIVE user (p̂ = n_ev / max_ev — scale-invariant,
+    * so the decile bins populate at every SF, and a RATIONAL with
+    * denominator max_ev, so bin means are exact), the outcome is
+    * q155's last-day conversion, and each decile bin reports
+    * predicted vs observed with the calibration gap — what a
+    * Platt/isotonic fix would consume.
+    *
+    * Shape for 100 TB: one partial-agged pass to per-user rows, a
+    * 1-row broadcast max, one tiny groupBy(bin); nothing event-level
+    * crosses twice. */
+  def q156Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("converted"))
+    val mx = perUser.agg(max(col("n_ev")).as("max_ev"))
+    perUser.crossJoin(broadcast(mx))
+      .withColumn("bin", expr("least((n_ev * 10) div max_ev, 9)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("n_ev")).cast("double") / (max(col("max_ev")) * count(lit(1))), 6)
+          .as("mean_predicted"),
+        round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+          .as("observed_rate"))
+      .withColumn("calib_gap",
+        round(col("observed_rate") - col("mean_predicted"), 6))
+      .orderBy(col("bin"))
+  }
+
+  val q156Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(n_ev) AS max_ev FROM per_user),
+      |binned AS (
+      |  SELECT n_ev, converted, max_ev,
+      |    least((n_ev * 10) // max_ev, 9) AS bin
+      |  FROM per_user CROSS JOIN mx)
+      |SELECT bin, count(*) AS n_users,
+      |  round(CAST(sum(n_ev) AS DOUBLE) / (max(max_ev) * count(*)), 6) AS mean_predicted,
+      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS observed_rate,
+      |  round(round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+      |      - round(CAST(sum(n_ev) AS DOUBLE) / (max(max_ev) * count(*)), 6), 6) AS calib_gap
+      |FROM binned GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_ab_test" -> q155AbTest,
+    "q156_calibration" -> q156Calibration,
     "q150_table_diff" -> q150TableDiff,
     "q146_window_funnel" -> q146WindowFunnel,
     "q147_lag_features" -> q147LagFeatures,
@@ -3126,6 +3259,8 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q155_ab_test" -> q155Sql,
+    "q156_calibration" -> q156Sql,
     "q150_table_diff" -> q150Sql,
     "q146_window_funnel" -> q146Sql,
     "q147_lag_features" -> q147Sql,

@@ -1920,7 +1920,90 @@ ORDER BY e.sa, e.sb"""
       |ORDER BY doc_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q154
+  /** Classification report for q40's language detector against the
+    * ground-truth lang column — the model-evaluation primitive
+    * (per-class precision/recall/F1 + overall accuracy) a pipeline
+    * runs on every heuristic/model it gates data with. Classes are
+    * the actual languages; 'und' detections depress recall where they
+    * land (they are fn for the true class, fp for nothing). All
+    * counts integer; each ratio is ONE double division rounded —
+    * exact-hash safe.
+    *
+    * Shape for 100 TB: q40's map-only scoring pass feeds a
+    * partial-agged confusion aggregation; the report frame is
+    * O(classes). */
+  def q154ClsReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = q40LangId(spark, sfDir)
+      .select(col("lang"), col("detected"))
+    val perClass = scored
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("detected") === col("lang"), 1L).otherwise(0L)).as("tp"))
+    val fpFrame = scored.filter(col("detected") =!= col("lang"))
+      .groupBy(col("detected").as("lang"))
+      .agg(count(lit(1)).as("fp"))
+    val tot = scored.agg(count(lit(1)).as("n"),
+      sum(when(col("detected") === col("lang"), 1L).otherwise(0L)).as("hits"))
+    perClass.join(fpFrame, Seq("lang"), "left")
+      .select(col("lang"), col("support"), col("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        (col("support") - col("tp")).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", round(col("tp").cast("double") / col("support"), 6))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp")
+            / (lit(2) * col("tp") + col("fp") + col("fn")), 6)))
+      .crossJoin(broadcast(tot))
+      .withColumn("accuracy", round(col("hits").cast("double") / col("n"), 6))
+      .select(col("lang"), col("support"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), col("f1"), col("accuracy"))
+      .orderBy(col("lang"))
+  }
+
+  val q154Sql: String = {
+    // q40's detection logic inlined (same CTE as q40Sql's scorer)
+    val w = "string_split(text, ' ')"
+    s"""WITH r AS (
+  SELECT doc_id, lang,
+    ${hitRatioSql(w, StopEn)} AS r_en, ${hitRatioSql(w, StopEs)} AS r_es,
+    ${hitRatioSql(w, StopFr)} AS r_fr, ${hitRatioSql(w, StopDe)} AS r_de
+  FROM documents),
+scored AS (
+  SELECT lang,
+    (CASE WHEN greatest(r_en, r_es, r_fr, r_de) < 0.05 THEN 'und'
+          WHEN r_en = greatest(r_en, r_es, r_fr, r_de) THEN 'en'
+          WHEN r_es = greatest(r_en, r_es, r_fr, r_de) THEN 'es'
+          WHEN r_fr = greatest(r_en, r_es, r_fr, r_de) THEN 'fr'
+          ELSE 'de' END) AS detected
+  FROM r),
+per_class AS (
+  SELECT lang, count(*) AS support,
+    CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM scored GROUP BY lang),
+fp_frame AS (
+  SELECT detected AS lang, count(*) AS fp FROM scored
+  WHERE detected <> lang GROUP BY detected),
+tot AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM scored)
+SELECT p.lang, support, tp, coalesce(fp, 0) AS fp, (support - tp) AS fn,
+  (CASE WHEN tp + coalesce(fp, 0) > 0
+        THEN round(CAST(tp AS DOUBLE) / (tp + coalesce(fp, 0)), 6) END) AS precision,
+  round(CAST(tp AS DOUBLE) / support, 6) AS recall,
+  (CASE WHEN 2 * tp + coalesce(fp, 0) + (support - tp) > 0
+        THEN round(2.0 * tp / (2 * tp + coalesce(fp, 0) + (support - tp)), 6) END) AS f1,
+  round(CAST(hits AS DOUBLE) / n, 6) AS accuracy
+FROM per_class p LEFT JOIN fp_frame f ON p.lang = f.lang CROSS JOIN tot
+ORDER BY p.lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_cls_report" -> q154ClsReport,
     "q144_balanced_sample" -> q144BalancedSample,
     "q145_rake" -> q145Rake,
     "q138_weighted_quantiles" -> q138WeightedQuantiles,
@@ -1956,6 +2039,7 @@ ORDER BY e.sa, e.sb"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q154_cls_report" -> q154Sql,
     "q144_balanced_sample" -> q144Sql,
     "q145_rake" -> q145Sql,
     "q138_weighted_quantiles" -> q138Sql,
