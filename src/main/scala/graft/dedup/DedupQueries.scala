@@ -1122,7 +1122,74 @@ FROM inter i JOIN cnt na ON na.doc_id = i.da JOIN cnt nb ON nb.doc_id = i.db
 WHERE $SetSimDen * i.inter >= $SetSimNum * (na.n + nb.n - i.inter)
 ORDER BY i.da, i.db"""
 
+  // --------------------------------------------------------------- q157
+  /** LSH recall/precision against exact ground truth — q65's tuning
+    * loop brought to the DEDUP path: q21's banded MinHash candidates
+    * are scored against q149's exact threshold join (every pair with
+    * true Jaccard ≥ 0.6), quantifying what the 4-band×3-row config
+    * actually buys — recall (how many true near-dup pairs the bands
+    * catch), precision (how much of the candidate budget is wasted),
+    * and the candidate-set cost. This is the number that decides a
+    * band/row retune, measured instead of assumed.
+    *
+    * Shape for 100 TB: both sides are the already-audited banded /
+    * prefix-filtered joins; the comparison is two hash semi-joins on
+    * (da, db) plus scalar counts. */
+  def q157LshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = candidates(bands(cachedSignatures(spark, sfDir)))
+    val truth = q149SetSimJoin(spark, sfDir).select(col("da"), col("db"))
+    val nCand = cand.count()
+    val nTruth = truth.count()
+    val hit = truth.join(cand, Seq("da", "db"), "left_semi").count()
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((nCand, nTruth, hit)).toDF("n_candidates", "n_true_pairs", "n_hit")
+      .select(col("n_candidates"), col("n_true_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true_pairs"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_candidates"), 6)
+          .as("precision"))
+  }
+
+  val q157Sql: String =
+    s"""WITH $corpusCte,
+shd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(s.sh)")} AS h
+  FROM (SELECT doc_id, unnest(${shingleSql("text")}) AS sh FROM corpus) s),
+sh AS MATERIALIZED (SELECT doc_id, h FROM shd),
+$signaturesCte,
+$bandsCte,
+$candCte,
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+ranked AS (
+  SELECT shd.doc_id, h, n,
+    row_number() OVER (PARTITION BY shd.doc_id ORDER BY h) AS rn
+  FROM shd JOIN cnt ON shd.doc_id = cnt.doc_id),
+pref AS (
+  SELECT doc_id, h, n FROM ranked
+  WHERE rn <= n - (($SetSimNum * n + ${SetSimDen - 1}) // $SetSimDen) + 1),
+scand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE $SetSimDen * least(a.n, b.n) >= $SetSimNum * greatest(a.n, b.n)),
+sinter AS (
+  SELECT c.da, c.db, count(*) AS inter
+  FROM scand c JOIN shd a ON a.doc_id = c.da JOIN shd b ON b.doc_id = c.db AND b.h = a.h
+  GROUP BY c.da, c.db),
+truth AS (
+  SELECT i.da, i.db FROM sinter i
+  JOIN cnt na ON na.doc_id = i.da JOIN cnt nb ON nb.doc_id = i.db
+  WHERE $SetSimDen * i.inter >= $SetSimNum * (na.n + nb.n - i.inter)),
+stats AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM truth) AS n_true_pairs,
+    (SELECT count(*) FROM truth t JOIN cand c ON t.da = c.da AND t.db = c.db) AS n_hit)
+SELECT n_candidates, n_true_pairs, n_hit,
+  round(CAST(n_hit AS DOUBLE) / n_true_pairs, 6) AS recall,
+  round(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS precision
+FROM stats"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_lsh_recall" -> q157LshRecall,
     "q149_setsim_join" -> q149SetSimJoin,
     "q139_linkage" -> q139Linkage,
     "q130_norm_dedup" -> q130NormDedup,
@@ -1141,6 +1208,7 @@ ORDER BY i.da, i.db"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q157_lsh_recall" -> q157Sql,
     "q149_setsim_join" -> q149Sql,
     "q139_linkage" -> q139Sql,
     "q130_norm_dedup" -> q130Sql,
