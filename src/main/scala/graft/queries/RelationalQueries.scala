@@ -3200,7 +3200,145 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM binned GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** Time-to-event (survival) distribution — days from a user's first
+    * 'view' to their first subsequent 'purchase', the
+    * conversion-latency analysis product teams run beside q53's
+    * funnel: per-day-lag histogram of converters plus exact quartiles
+    * computed ON the day histogram (q138's value-histogram machinery —
+    * the lag domain is O(days), so percentiles never touch a per-user
+    * window), with the never-converted population reported as the
+    * censored remainder.
+    *
+    * Shape for 100 TB: two partial-agged min-aggregations per user
+    * (view, then qualifying purchase), one tiny groupBy(day lag),
+    * cumulative window over O(days) rows. */
+  def q158TimeToEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"),
+        min(col("v_ts")).as("v_ts"))
+    val lags = firstBuy
+      .select(expr("(p_ts - v_ts) div 86400000000").as("tte_days"))
+      .groupBy(col("tte_days")).agg(count(lit(1)).as("n"))
+    val tot = firstView.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(lags.agg(sum(col("n")).as("n_converted")))
+    val cum = lags
+      .withColumn("cumn", sum(col("n")).over(Window.orderBy(col("tte_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    cum.select(col("tte_days"), col("n"), col("cumn"),
+        col("n_viewers"), col("n_converted"),
+        round(col("cumn").cast("double") / col("n_converted"), 6)
+          .as("cdf_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 6)
+          .as("conversion_rate"))
+      .orderBy(col("tte_days"))
+  }
+
+  val q158Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |fv AS (SELECT user_id, min(ts_us) AS v_ts FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |fb AS (SELECT e.user_id, min(ts_us) AS p_ts, min(v_ts) AS v_ts
+      |       FROM ev e JOIN fv ON e.user_id = fv.user_id
+      |       WHERE event_type = 'purchase' AND ts_us > v_ts
+      |       GROUP BY e.user_id),
+      |lags AS (
+      |  SELECT (p_ts - v_ts) // 86400000000 AS tte_days, count(*) AS n
+      |  FROM fb GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM fv) AS n_viewers,
+      |    (SELECT CAST(sum(n) AS BIGINT) FROM lags) AS n_converted),
+      |cum AS (
+      |  SELECT tte_days, n,
+      |    CAST(sum(n) OVER (ORDER BY tte_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+      |  FROM lags)
+      |SELECT tte_days, n, cumn, n_viewers, n_converted,
+      |  round(CAST(cumn AS DOUBLE) / n_converted, 6) AS cdf_converted,
+      |  round(CAST(n_converted AS DOUBLE) / n_viewers, 6) AS conversion_rate
+      |FROM cum CROSS JOIN tot
+      |ORDER BY tte_days""".stripMargin
+
+  // --------------------------------------------------------------- q159
+  /** Seasonal anomaly gate: count·denom ≥ 3·seasonal_sum·1 and ≥ 5. */
+  val SeasonalFactor = 3
+  val SeasonalMin = 5L
+
+  /** Seasonally-adjusted anomaly detection — q63's z-score flags
+    * anything busy, q121 proved the hour term matters; this one flags
+    * (type, day, hour) cells that are ≥ [[SeasonalFactor]]× their OWN
+    * hour-of-day seasonal mean (integer cross-multiplication:
+    * cnt·n_days ≥ 3·Σ_same-hour — no float baseline), so the 9 am
+    * spike that happens every day stays quiet and a 3 am surge
+    * lights up. Each cell's baseline excludes nothing (the mean
+    * includes the cell — a conservative gate that needs a stronger
+    * surge to fire, and keeps both engines' arithmetic identical).
+    * The stream carries q137's deterministic surge overlay (same
+    * [[BurstHourStart]]/[[BurstAmp]] constants — one incident, two
+    * detectors: q137 finds the episode in time, this one proves it is
+    * seasonally abnormal), because the uniform fixture otherwise has
+    * nothing ≥3× its own hour profile at most SFs.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(type, day, hour);
+    * the seasonal profile is a tiny re-aggregation broadcast back. */
+  def q159SeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+    val surge = ev.filter(col("hour").between(BurstHourStart, BurstHourEnd))
+      .select(col("event_type"), col("hour"),
+        explode(sequence(lit(1), lit(BurstAmp - 1))).as("copy"))
+      .drop("copy")
+    val cells = ev.unionByName(surge)
+      .select(col("event_type"), expr("hour div 24").as("day"),
+        expr("hour % 24").as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val seasonal = cells.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("cnt")).as("ssum"), count(lit(1)).as("n_days"))
+    cells.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .filter(col("cnt") * col("n_days") >= lit(SeasonalFactor) * col("ssum") &&
+        col("cnt") >= SeasonalMin)
+      .select(col("event_type"), col("day"), col("hod"), col("cnt"),
+        col("ssum"), col("n_days"),
+        round(col("cnt").cast("double") * col("n_days") / col("ssum"), 6)
+          .as("lift"))
+      .orderBy(col("event_type"), col("day"), col("hod"))
+  }
+
+  val q159Sql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour
+      |  FROM events),
+      |amped AS (
+      |  SELECT event_type, hour FROM ev
+      |  UNION ALL
+      |  SELECT event_type, hour FROM ev, generate_series(1, ${BurstAmp - 1})
+      |  WHERE hour BETWEEN $BurstHourStart AND $BurstHourEnd),
+      |cells AS (
+      |  SELECT event_type, hour // 24 AS day, hour % 24 AS hod, count(*) AS cnt
+      |  FROM amped GROUP BY 1, 2, 3),
+      |seasonal AS (
+      |  SELECT event_type, hod, CAST(sum(cnt) AS BIGINT) AS ssum,
+      |    count(*) AS n_days
+      |  FROM cells GROUP BY event_type, hod)
+      |SELECT c.event_type, c.day, c.hod, c.cnt, s.ssum, s.n_days,
+      |  round(CAST(c.cnt AS DOUBLE) * s.n_days / s.ssum, 6) AS lift
+      |FROM cells c JOIN seasonal s
+      |  ON c.event_type = s.event_type AND c.hod = s.hod
+      |WHERE c.cnt * s.n_days >= $SeasonalFactor * s.ssum AND c.cnt >= $SeasonalMin
+      |ORDER BY c.event_type, c.day, c.hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_time_to_event" -> q158TimeToEvent,
+    "q159_seasonal_anomaly" -> q159SeasonalAnomaly,
     "q155_ab_test" -> q155AbTest,
     "q156_calibration" -> q156Calibration,
     "q150_table_diff" -> q150TableDiff,
@@ -3259,6 +3397,8 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q158_time_to_event" -> q158Sql,
+    "q159_seasonal_anomaly" -> q159Sql,
     "q155_ab_test" -> q155Sql,
     "q156_calibration" -> q156Sql,
     "q150_table_diff" -> q150Sql,
