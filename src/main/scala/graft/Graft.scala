@@ -644,6 +644,89 @@ object Graft {
       .drop("rn")
   }
 
+  /** Bow-tie decomposition of a caller's directed graph (q164's
+    * engine): every vertex classified as core / in / out / tube /
+    * tendril / disconnected (Broder et al.'s web macro-map).
+    * Returns (id, cls). */
+  def bowtie(spark: SparkSession, edges: DataFrame, src: Column, dst: Column,
+             sccIters: Int = 20, maxRounds: Int = 32): DataFrame =
+    graph.Bowtie.run(spark, edges.select(src.as("src"), dst.as("dst")),
+      sccIters, maxRounds)
+
+  /** Referential-integrity audit of one FK relationship on caller
+    * frames (q163's engine): child rows/keys, null FKs, orphan
+    * keys/rows and orphan rate, as one labeled row. Orphans are
+    * NON-NULL child keys missing from the parent (SQL FK semantics).
+    * Set `broadcastParent` only for known-bounded parents. */
+  def fkAudit(relationship: String, child: DataFrame, fk: Column,
+              parent: DataFrame, pk: Column,
+              broadcastParent: Boolean = false): DataFrame =
+    queries.RelationalQueries.fkAudit(relationship,
+      child.select(fk.as("fk0")), "fk0",
+      parent.select(pk.as("pk0")), "pk0", broadcastParent)
+
+  /** Tie-aware ROC AUC of `score` against a binary `outcome` (q161's
+    * engine on caller frames): the Mann-Whitney identity computed on
+    * the score HISTOGRAM — one groupBy(score) plus a window over
+    * O(distinct scores) rows, never a global per-row rank. Returns one
+    * row (n_pos, n_neg, n_scores, auc). */
+  def auc(df: DataFrame, score: Column, outcome: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(score.as("s"), outcome.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .withColumn("cneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("pos") * (col("cneg") + col("neg") / lit(2.0))).as("u"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Ranking metrics over a caller retrieval run (q160's engine):
+    * `run` carries one row per (query, retrieved item) with its 1-based
+    * `rank`, binary `rel`evance, and the query's TOTAL relevant count
+    * in the corpus (for the ideal DCG). Returns per-query
+    * (qid, n_rel, p_at_k, rr, ndcg). */
+  def rankMetrics(run: DataFrame, qid: Column, rank: Column, rel: Column,
+                  nRelTotal: Column, k: Int): DataFrame =
+    run.select(qid.as("qid"), rank.as("rank"), rel.cast("double").as("rel"),
+        nRelTotal.as("nrt"))
+      .groupBy(col("qid"))
+      .agg(sum(col("rel") / log2(col("rank") + 1)).as("dcg"),
+        sum(col("rel")).cast("long").as("hits"),
+        min(when(col("rel") === 1.0, col("rank"))).as("first_rel"),
+        max(col("nrt")).as("nrt"))
+      .withColumn("ideal_k", least(col("nrt"), lit(k)).cast("int"))
+      .withColumn("idcg", expr(
+        "aggregate(sequence(1, greatest(ideal_k, 1)), cast(0.0 as double), " +
+          "(a, i) -> a + 1.0 / log2(i + 1))"))
+      .select(col("qid"), col("hits").as("n_rel"),
+        round(col("hits").cast("double") / k, 6).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"),
+        when(col("ideal_k") >= 1, round(col("dcg") / col("idcg"), 6))
+          .otherwise(0.0).as("ndcg"))
+
+  /** Zipf rank-frequency OLS fit over a caller corpus (q162's engine):
+    * ln(freq) on ln(rank) over the `topN` most frequent tokens.
+    * Returns one row (n_terms, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, text: Column, topN: Int = 200): DataFrame =
+    graft.text.TextQueries.zipfFitTokens(
+      docs.select(text.as("t"))
+        .select(explode(expr("regexp_extract_all(t, '[a-z0-9]+', 0)")).as("tok")),
+      topN)
+
+  /** Product-quantization codebook census over caller vectors (q166's
+    * engine): `nSubs` subspaces of `dims/nSubs` components, `k`
+    * centroids each, `iters` Lloyd rounds, trained in ONE distributed
+    * loop. Returns (m, cid, n_vecs, mean_d2). */
+  def pqCodebook(vecs: DataFrame, id: Column, v: Column, dims: Int,
+                 nSubs: Int = 8, k: Int = 8, iters: Int = 2,
+                 seed: Int = 3): DataFrame =
+    graft.ann.AnnQueries.pqFit(
+      vecs.select(id.as("vec_id"), v.as("v")), dims, nSubs, k, iters, seed)
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

@@ -668,7 +668,200 @@ SELECT n.qid, n.rank, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
 FROM neg n JOIN pos p ON n.qid = p.qid
 ORDER BY n.qid, n.rank"""
 
+  // --------------------------------------------------------------- q160
+  /** Retrieval ranking metrics — NDCG@K, reciprocal rank and
+    * precision@K of q30's brute-force run, judged against the label
+    * column as binary relevance (neighbor label == query label). This
+    * is the metric layer a retrieval/RAG pipeline runs over every
+    * index build: q65/q157 measure whether the ANN index finds the
+    * same NEIGHBORS as brute force; this row measures whether the
+    * ranking finds the right CLASS, which is what the downstream
+    * consumer actually pays for. IDCG uses the corpus-truth ideal:
+    * min(|same-label| − 1, K) relevant items in the top positions, so
+    * a query whose class has fewer than K other members is not
+    * penalized for the impossible.
+    *
+    * Shape for 100 TB: the run frame is |queries|·K rows — label
+    * joins stream the big labels table past the broadcast run; the
+    * per-query aggregation and the O(K) IDCG lookup are tiny. */
+  def q160Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val run = q30KnnBrute(spark, sfDir)
+    val j = broadcast(run)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")), "qid")
+      .join(labels.select(col("vec_id").as("neighbor"), col("label").as("nlab")),
+        "neighbor")
+      .withColumn("rel", when(col("qlab") === col("nlab"), 1.0).otherwise(0.0))
+    val per = j.groupBy(col("qid"), col("qlab"))
+      .agg(sum(col("rel") / log2(col("rank") + 1)).as("dcg"),
+        sum(col("rel")).cast("long").as("hits"),
+        min(when(col("rel") === 1.0, col("rank"))).as("first_rel"))
+    val labcnt = labels.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+    per.join(broadcast(labcnt), col("qlab") === col("label"))
+      .withColumn("ideal_k", least(col("n_lab") - 1, lit(K)).cast("int"))
+      .withColumn("idcg", expr(
+        "aggregate(sequence(1, greatest(ideal_k, 1)), cast(0.0 as double), " +
+          "(a, i) -> a + 1.0 / log2(i + 1))"))
+      .select(col("qid"), col("qlab").as("label"), col("hits").as("n_rel"),
+        round(col("hits").cast("double") / K, 6).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"),
+        when(col("ideal_k") >= 1, round(col("dcg") / col("idcg"), 6))
+          .otherwise(0.0).as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  val q160Sql: String =
+    s"""WITH $vecsCte,
+qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ed WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+scored AS (
+  SELECT q.qid, e.vec_id, round(${Sql.listCosineByNorm("q.qv", "e.v", "q.qn", "e.nrm")}, 6) AS cosine
+  FROM qs q JOIN ed e ON q.qid <> e.vec_id),
+run AS (
+  SELECT qid, vec_id AS neighbor, rank FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= $K),
+lab AS (SELECT vec_id, label FROM embeddings),
+labcnt AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY label),
+j AS (
+  SELECT r.qid, ql.label AS qlab, r.rank,
+    CASE WHEN ql.label = nl.label THEN 1.0 ELSE 0.0 END AS rel
+  FROM run r JOIN lab ql ON r.qid = ql.vec_id
+             JOIN lab nl ON r.neighbor = nl.vec_id),
+per AS (
+  SELECT qid, qlab, sum(rel / log2(rank + 1)) AS dcg,
+    CAST(sum(rel) AS BIGINT) AS hits,
+    min(CASE WHEN rel = 1.0 THEN rank END) AS first_rel
+  FROM j GROUP BY qid, qlab),
+ik AS (
+  SELECT g1.k AS k, sum(1.0 / log2(g2.i + 1)) AS idcg
+  FROM generate_series(1, $K) g1(k), generate_series(1, $K) g2(i)
+  WHERE g2.i <= g1.k GROUP BY g1.k),
+ide AS (
+  SELECT p.*, least(c.n_lab - 1, $K) AS ideal_k
+  FROM per p JOIN labcnt c ON p.qlab = c.label)
+SELECT qid, qlab AS label, hits AS n_rel,
+  round(CAST(hits AS DOUBLE) / $K, 6) AS p_at_k,
+  round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+  round(coalesce(d.dcg / ik.idcg, 0.0), 6) AS ndcg
+FROM ide d LEFT JOIN ik ON d.ideal_k = ik.k
+ORDER BY qid"""
+
+  // --------------------------------------------------------------- q166
+  /** PQ geometry: 8 subspaces × 8 dims, 8 centroids each, 2 Lloyd
+    * rounds from the hash-seeded draw (seed distinct from q36's so the
+    * two codebooks differ). */
+  val PqSubs = 8
+  val PqSubDim: Int = Dims / PqSubs
+  val PqK = 8
+  val PqIters = 2
+  val PqSeed = 3
+
+  /** Product-quantization codebook build — the memory-side scale path
+    * of ANN at 100 TB (q33 shrinks floats to int8; PQ shrinks each
+    * vector to [[PqSubs]] byte CODES, a 64× compression that makes a
+    * billion-vector index RAM-resident): the 64-dim space splits into
+    * [[PqSubs]] orthogonal 8-dim subspaces, each fitted with its own
+    * [[PqK]]-centroid Lloyd codebook (q36's machinery with the
+    * subspace as part of the key — ONE distributed loop trains all 8
+    * codebooks simultaneously, not 8 sequential fits). Emits the
+    * codebook census: per (subspace, centroid) population and mean
+    * residual distortion — the quality report an index build publishes
+    * before committing a codebook.
+    *
+    * Shape for 100 TB: the subspace explode is map-side (8 rows of
+    * 8-dim slices per vector, same bytes as the source row); each
+    * round is one broadcast-centroid argmin + one partial-agged
+    * groupBy(m, cid) with 8 algebraic sums; centroid components are
+    * rounded to the 1e-6 grid each round (q36's drift fence). */
+  /** Generic PQ codebook fit over `e0(vec_id, v: array<double>)`:
+    * `nSubs` subspaces of `dims/nSubs` components, each Lloyd-fitted
+    * with `k` centroids for `iters` rounds from the hash-seeded draw.
+    * ONE distributed loop trains all subspace codebooks (the subspace
+    * index rides the key). Returns the codebook census
+    * (m, cid, n_vecs, mean_d2). */
+  private[graft] def pqFit(e0: DataFrame, dims: Int, nSubs: Int, k: Int,
+                           iters: Int, seed: Int): DataFrame = {
+    val subDim = dims / nSubs
+    val e = e0.select(col("vec_id"), col("v"))
+    val subs = graft.Checkpoints.deferUnpersist(e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nSubs - 1))).as("m"),
+        col("v"))
+      .select(col("m"), col("vec_id"),
+        slice(col("v"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+      .cache())
+    val seedIds = e
+      .orderBy(graft.functions.MathFunctions.universalHash(col("vec_id"), seed),
+        col("vec_id"))
+      .limit(k).select(col("vec_id").as("seed_id"))
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("m"))
+        .select(col("m"), col("vec_id"), col("sv"), col("cid"),
+          round(VF.dist2(col("sv"), col("cv")), 6).as("d2"))
+        .groupBy(col("m"), col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("sv")), struct(col("d2"), col("cid"))).as("mm"),
+          min(struct(col("d2"), col("cid"))).as("dm"))
+        .select(col("m"), col("vec_id"), col("mm.cid").as("cid"),
+          col("mm.sv").as("sv"), col("dm.d2").as("d2"))
+    var cents = subs.join(broadcast(seedIds), col("vec_id") === col("seed_id"))
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+      .localCheckpoint() // nSubs·k rows; keeps the loop plan shallow
+    for (_ <- 1 to iters) {
+      val next = assign(cents)
+        .groupBy(col("m"), col("cid"))
+        .agg(count(lit(1)).as("cnt"),
+          (1 to subDim).map(i => sum(element_at(col("sv"), i)).as(s"s$i")): _*)
+        .select(col("m"), col("cid"),
+          array((1 to subDim).map(i => round(col(s"s$i") / col("cnt"), 6)): _*)
+            .as("cv"))
+      cents = graft.Checkpoints.rotate(next, cents)
+    }
+    graft.Checkpoints.deferFree(cents)
+    assign(cents)
+      .groupBy(col("m"), col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("mean_d2"))
+  }
+
+  def q166Pq(spark: SparkSession, sfDir: String): DataFrame =
+    pqFit(vecs(spark, sfDir), Dims, PqSubs, PqK, PqIters, PqSeed)
+      .orderBy(col("m"), col("cid"))
+
+  val q166Sql: String = {
+    val meanList = (1 to PqSubDim).map(i => s"round(sum(sv[$i]) / count(*), 6)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"WITH $vecsCte,\n"
+    sb ++= s"""subs AS MATERIALIZED (
+  SELECT t.m, vec_id, list_slice(v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+  FROM ed, generate_series(0, ${PqSubs - 1}) t(m)),
+seeds AS (SELECT vec_id FROM ed ORDER BY ${Sql.universalHash("vec_id", PqSeed)}, vec_id LIMIT $PqK),
+c0 AS MATERIALIZED (
+  SELECT s.m, s.vec_id AS cid, s.sv AS cv FROM subs s JOIN seeds ON s.vec_id = seeds.vec_id),
+"""
+    for (k <- 1 to PqIters + 1) {
+      val p = s"c${k - 1}"
+      sb ++= s"""a$k AS MATERIALIZED (
+  SELECT m, vec_id, sv, cid, d2 FROM (
+    SELECT s.m, s.vec_id, s.sv, c.cid, round(${Sql.listDist2("s.sv", "c.cv")}, 6) AS d2,
+      row_number() OVER (PARTITION BY s.m, s.vec_id
+        ORDER BY round(${Sql.listDist2("s.sv", "c.cv")}, 6), c.cid) AS ar
+    FROM subs s JOIN $p c ON s.m = c.m) WHERE ar = 1)"""
+      if (k <= PqIters)
+        sb ++= s""",
+c$k AS MATERIALIZED (
+  SELECT m, cid, $meanList AS cv FROM a$k GROUP BY m, cid),
+"""
+      else sb ++= "\n"
+    }
+    sb ++= s"""SELECT m, cid, count(*) AS n_vecs, round(avg(d2), 6) AS mean_d2
+FROM a${PqIters + 1} GROUP BY m, cid ORDER BY m, cid"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_pq" -> q166Pq,
+    "q160_ndcg" -> q160Ndcg,
     "q131_triplets" -> q131Triplets,
     "q99_ann_frontier" -> q99AnnFrontier,
     "q30_knn_brute" -> q30KnnBrute,
@@ -679,6 +872,8 @@ ORDER BY n.qid, n.rank"""
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q166_pq" -> q166Sql,
+    "q160_ndcg" -> q160Sql,
     "q131_triplets" -> q131Sql,
     "q99_ann_frontier" -> q99Sql,
     "q30_knn_brute" -> q30Sql,

@@ -482,7 +482,98 @@ FROM per_doc d LEFT JOIN seg_agg s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id"""
   }
 
+  // ---------------------------------------------------------------- q165
+  /** Shot-boundary frame length and luma-jump cut threshold. */
+  val ShotFrameLen = 16
+  val ShotCut = 500L
+
+  /** Shot-boundary detection over the video assets (q60's `video/mp4`
+    * slice) — the scene segmentation a video pipeline runs before
+    * per-shot sampling/captioning: q153 gates frames on ABSOLUTE
+    * pseudo-energy (voice activity); this cuts on the TEMPORAL
+    * DERIVATIVE — a boundary wherever the frame feature jumps by
+    * ≥ [[ShotCut]] against the previous frame — then merges frames
+    * into shots and reports the per-asset shot census (count, longest,
+    * mean length, cut rate). The stub frame feature is the same
+    * portable hash the VAD row uses; a real decoder drops its luma
+    * histogram into the same column with no plan change.
+    *
+    * Shape for 100 TB: frame stream is a map-side explode of fixed
+    * windows; the lag/cumsum ride ONE doc_id window shuffle; per-shot
+    * and per-doc aggregates are partial-agged on the same key. */
+  def q165Shots(spark: SparkSession, sfDir: String): DataFrame = {
+    val video = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), col("text"))
+    val nFrames = ceil(length(col("text")).cast("double") / ShotFrameLen).cast("long")
+    val framed = video
+      .withColumn("n_frames", nFrames)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("i"),
+        col("text"))
+      .withColumn("luma", pmod(MF.hash32(
+        col("text").substr((col("i") * ShotFrameLen + 1).cast("int"), lit(ShotFrameLen))),
+        lit(1000L)))
+      .drop("text")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val cuts = framed
+      .withColumn("cut",
+        when(abs(col("luma") - lag(col("luma"), 1).over(byDoc)) >= ShotCut, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(byDoc))
+    val perShot = cuts.groupBy(col("doc_id"), col("shot_id"))
+      .agg(count(lit(1)).as("shot_len"))
+    val perDoc = cuts.groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"), sum(col("cut")).as("n_cuts"))
+    perDoc.join(perShot.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shots"), max(col("shot_len")).as("longest_shot")),
+      Seq("doc_id"))
+      .select(col("doc_id"), col("n_frames"), col("n_shots"), col("longest_shot"),
+        round(col("n_frames").cast("double") / col("n_shots"), 6).as("mean_shot_len"),
+        when(col("n_frames") > 1,
+          round(col("n_cuts").cast("double") / (col("n_frames") - 1), 6))
+          .otherwise(0.0).as("cut_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q165Sql: String = {
+    val frame = s"substr(text, CAST(i * $ShotFrameLen + 1 AS INTEGER), $ShotFrameLen)"
+    s"""WITH video AS (
+  SELECT doc_id, text, CAST(ceil(length(text) / $ShotFrameLen.0) AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+framed AS (
+  SELECT doc_id, n_frames, i,
+    (${Sql.hash32OfHex(s"md5($frame)")} % 1000) AS luma
+  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames)) AS i FROM video)),
+cuts AS (
+  SELECT doc_id, n_frames, i,
+    (CASE WHEN abs(luma - lag(luma) OVER w) >= $ShotCut THEN 1 ELSE 0 END) AS cut
+  FROM framed WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+shots AS (
+  SELECT doc_id, n_frames, i, cut,
+    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS shot_id
+  FROM cuts),
+per_shot AS (
+  SELECT doc_id, shot_id, count(*) AS shot_len FROM shots GROUP BY doc_id, shot_id),
+per_doc AS (
+  SELECT doc_id, max(n_frames) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts
+  FROM shots GROUP BY doc_id),
+shot_agg AS (
+  SELECT doc_id, count(*) AS n_shots, max(shot_len) AS longest_shot
+  FROM per_shot GROUP BY doc_id)
+SELECT d.doc_id, d.n_frames, s.n_shots, s.longest_shot,
+  round(CAST(d.n_frames AS DOUBLE) / s.n_shots, 6) AS mean_shot_len,
+  (CASE WHEN d.n_frames > 1
+        THEN round(CAST(d.n_cuts AS DOUBLE) / (d.n_frames - 1), 6)
+        ELSE 0.0 END) AS cut_rate
+FROM per_doc d JOIN shot_agg s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_shots" -> q165Shots,
     "q153_vad" -> q153Vad,
     "q80_phash" -> q80Phash,
     "q60_multimodal" -> q60Multimodal,
@@ -491,6 +582,7 @@ ORDER BY d.doc_id"""
     "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
+    "q165_shots" -> q165Sql,
     "q153_vad" -> q153Sql,
     "q60_multimodal" -> q60Sql,
     "q61_frame_sample" -> q61Sql,

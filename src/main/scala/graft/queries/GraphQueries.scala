@@ -74,13 +74,19 @@ SELECT id, round(score, 6) AS score FROM ranked ORDER BY id"""
   /** HostRank: page edges projected to host edges (dedup + self-drop),
     * then the LinkRank core on the host graph (Nutch2HostInputFormat /
     * HostRankHBaseTest semantics). */
-  def q03HostRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
-    LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges),
+  /** Host-graph LinkRank, memoized per session: q03 and q169 consume
+    * the same 9-round loop. */
+  private def hostRank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"rank-out:host:$sfDir") {
+      val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+      LinkRank.run(spark, hedges, LinkRank.uniformInit(hedges),
         cacheKey = Some(s"host:$sfDir"))
+    }
+
+  def q03HostRank(spark: SparkSession, sfDir: String): DataFrame =
+    hostRank(spark, sfDir)
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("id"))
-  }
 
   val q03Sql: String =
     s"""WITH $pageGraphCtes,
@@ -1381,7 +1387,135 @@ SELECT id, round(score * 1000, 6) AS score_k FROM fin ORDER BY id"""
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q164
+  /** Bow-tie decomposition of the directed host graph (the Broder et
+    * al. "Graph structure in the Web" macro-map — the census a
+    * web-graph engine publishes about its crawl): every host is
+    * classified as CORE (the giant SCC), IN (reaches the core), OUT
+    * (reached from the core), TUBE (on an IN→OUT path that bypasses
+    * the core), TENDRIL (hangs forward off IN or backward off OUT),
+    * or DISCONNECTED. Composes the engines this library already
+    * gates: [[graft.graph.Scc]] for the core (shared session cache
+    * with q116) and four multi-source [[graft.graph.Bfs]] sweeps
+    * (forward/backward from CORE, forward from IN, backward from
+    * OUT). IN∩OUT = ∅ by construction: mutual reach through the core
+    * would put the host inside it.
+    *
+    * Shape for 100 TB: SCC + convergence-stopped BFS loops inherit
+    * their own scale audits; the giant-SCC pick is a 1-row
+    * TakeOrdered broadcast back; classification is one left-join
+    * chain of (id, flag) frames, all vertex-scale. The oracle
+    * recomputes everything from q116's recursive transitive closure —
+    * formulation-independent of both Pregel SCC and the BFS loops. */
+  def q164Bowtie(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Bowtie.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
+        SccIters, EccMaxRounds, cacheKey = Some(s"host:$sfDir"))
+      .withColumnRenamed("id", "host")
+      .orderBy(col("host"))
+
+  val q164Sql: String =
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+reach AS (
+  SELECT src AS a, dst AS b FROM hedges
+  UNION
+  SELECT r.a, h.dst FROM reach r JOIN hedges h ON r.b = h.src),
+verts AS (
+  -- NOTE: inside WITH RECURSIVE, DuckDB 1.0 treats a CTE-level UNION as
+  -- UNION ALL (potential-recursion parse), so dedup must be explicit
+  SELECT DISTINCT v FROM (SELECT src AS v FROM hedges UNION ALL SELECT dst FROM hedges)),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+members AS (SELECT v, w FROM mutual UNION SELECT v, v AS w FROM verts),
+comp AS (SELECT v, min(w) AS scc FROM members GROUP BY v),
+core_lab AS (
+  SELECT scc FROM (SELECT scc, count(*) AS n FROM comp GROUP BY scc)
+  ORDER BY n DESC, scc LIMIT 1),
+core AS (SELECT v FROM comp WHERE scc = (SELECT scc FROM core_lab)),
+fwd AS (SELECT DISTINCT v FROM (
+  SELECT v FROM core UNION ALL SELECT r.b AS v FROM reach r JOIN core c ON r.a = c.v)),
+bwd AS (SELECT DISTINCT v FROM (
+  SELECT v FROM core UNION ALL SELECT r.a AS v FROM reach r JOIN core c ON r.b = c.v)),
+in_set AS (SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM core)),
+out_set AS (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)),
+f_in AS (SELECT DISTINCT v FROM (
+  SELECT v FROM in_set UNION ALL SELECT r.b AS v FROM reach r JOIN in_set i ON r.a = i.v)),
+b_out AS (SELECT DISTINCT v FROM (
+  SELECT v FROM out_set UNION ALL SELECT r.a AS v FROM reach r JOIN out_set o ON r.b = o.v))
+SELECT v AS host,
+  (CASE WHEN v IN (SELECT v FROM core) THEN 'core'
+        WHEN v IN (SELECT v FROM bwd) THEN 'in'
+        WHEN v IN (SELECT v FROM fwd) THEN 'out'
+        WHEN v IN (SELECT v FROM f_in) AND v IN (SELECT v FROM b_out) THEN 'tube'
+        WHEN v IN (SELECT v FROM f_in) OR v IN (SELECT v FROM b_out) THEN 'tendril'
+        ELSE 'disconnected' END) AS cls
+FROM verts ORDER BY host"""
+
+  // ---------------------------------------------------------------- q169
+  /** Frontier budget: the top slice of the rank-interleaved schedule. */
+  val FrontierN = 1000
+
+  /** Crawl-frontier schedule — the operator the reference's rank
+    * actually FEEDS in a Nutch deployment (generate/fetch scheduling:
+    * README's "use the scores to prioritize the crawl"): every known
+    * page is queued behind its host's politeness slot (slot k = the
+    * k-th fetch from that host), and slots are drained in host-rank
+    * order — so the frontier interleaves hosts (no host starves or
+    * floods the fetcher) while high-rank hosts go first within every
+    * wave. Emits the top [[FrontierN]] of the schedule with position,
+    * slot and host score. Hosts absent from the host GRAPH (no
+    * external links) still get their pages queued at score 0.
+    *
+    * Shape for 100 TB: the 9-round host rank is session-shared with
+    * q03 (one loop, host-scale); pages get slots via ONE window
+    * partitioned by host (the natural crawl-state partitioning); the
+    * global top-N is a TakeOrdered (per-partition top-N, no full
+    * sort), and the position stamp is a window over exactly N rows. */
+  def q169CrawlFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = WebGraph.vertices(WebGraph.cachedEdges(spark, sfDir))
+      .select(col("id").as("url"),
+        graft.functions.UrlFunctions.urlHost(col("id")).as("host"))
+    val hr = hostRank(spark, sfDir)
+      .select(col("id").as("host"), round(col("score"), 6).as("hs"))
+    val slotted = pages.join(hr, Seq("host"), "left")
+      .withColumn("host_score", coalesce(col("hs"), lit(0.0)))
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("url"))))
+    val order = Seq(col("slot"), col("host_score").desc, col("host"), col("url"))
+    slotted.orderBy(order: _*).limit(FrontierN)
+      .withColumn("pos", row_number().over(Window.orderBy(order: _*)))
+      .select(col("pos"), col("url"), col("host"), col("slot"), col("host_score"))
+      .orderBy(col("pos"))
+  }
+
+  val q169Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+${RankSql.chain("hedges", "1.0")},
+pages AS (
+  SELECT DISTINCT v AS url FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+slotted AS (
+  SELECT p.url, ${Sql.urlHost("p.url")} AS host,
+    coalesce(round(r.score, 6), 0.0) AS host_score,
+    row_number() OVER (PARTITION BY ${Sql.urlHost("p.url")} ORDER BY p.url) AS slot
+  FROM pages p LEFT JOIN ranked r ON ${Sql.urlHost("p.url")} = r.id),
+sched AS (
+  SELECT * FROM slotted
+  ORDER BY slot, host_score DESC, host, url LIMIT $FrontierN)
+SELECT row_number() OVER (ORDER BY slot, host_score DESC, host, url) AS pos,
+  url, host, slot, host_score
+FROM sched ORDER BY pos"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_crawl_frontier" -> q169CrawlFrontier,
+    "q164_bowtie" -> q164Bowtie,
     "q152_weighted_rank" -> q152WeightedRank,
     "q151_random_walks" -> q151RandomWalks,
     "q135_closeness" -> q135Closeness,
@@ -1413,6 +1547,8 @@ SELECT id, round(score * 1000, 6) AS score_k FROM fin ORDER BY id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q169_crawl_frontier" -> q169Sql,
+    "q164_bowtie" -> q164Sql,
     "q152_weighted_rank" -> q152Sql,
     "q151_random_walks" -> q151Sql,
     "q135_closeness" -> q135Sql,

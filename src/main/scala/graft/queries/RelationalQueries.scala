@@ -3336,7 +3336,213 @@ FROM cnt ORDER BY from_type, to_type"""
       |WHERE c.cnt * s.n_days >= $SeasonalFactor * s.ssum AND c.cnt >= $SeasonalMin
       |ORDER BY c.event_type, c.day, c.hod""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** ROC AUC of the activity predictor — completes the evaluation
+    * family: q155 tests whether arms differ, q156 asks whether the
+    * score is CALIBRATED, this asks whether it DISCRIMINATES (does a
+    * more-active user convert more often, regardless of scale?). Same
+    * predictor (per-user event count) and outcome (q155's last-day
+    * purchase flag) as q156, so the three rows read as one report.
+    *
+    * AUC is computed by the tie-aware Mann-Whitney identity on the
+    * SCORE HISTOGRAM, never on per-user ranks: a global rank() over
+    * all users is a single-partition sort at 100 TB, but
+    * AUC = Σ_s pos_s·(cum_neg_<s + neg_s/2) / (P·N) needs only
+    * groupBy(score) counts plus a cumulative window over the O(distinct
+    * scores) histogram — and halves are exact in binary floating point,
+    * so both engines agree bit-for-bit before the final division.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user), one
+    * groupBy(score) re-aggregation, a window over O(scores) rows. */
+  def q161Auc(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("converted"))
+    val hist = perUser.groupBy(col("n_ev"))
+      .agg(sum(col("converted")).as("pos"),
+        sum(lit(1L) - col("converted")).as("neg"))
+    val w = Window.orderBy(col("n_ev"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+    cum.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("pos") * (col("cneg") + col("neg") / lit(2.0))).as("u"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  val q161Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT n_ev, CAST(sum(converted) AS BIGINT) AS pos,
+      |    CAST(sum(1 - converted) AS BIGINT) AS neg
+      |  FROM per_user GROUP BY n_ev),
+      |cum AS (
+      |  SELECT pos, neg, CAST(coalesce(sum(neg) OVER (ORDER BY n_ev
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+      |  FROM hist)
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+      |  count(*) AS n_scores,
+      |  round(sum(pos * (cneg + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
+      |FROM cum""".stripMargin
+
+  // --------------------------------------------------------------- q163
+  /** One relationship row of the referential-integrity audit: per-key
+    * child counts left-joined against the parent's key set. Orphans are
+    * NON-NULL child keys with no parent (SQL FK semantics: a null FK is
+    * absent, not broken — reported separately as null_rows). */
+  def fkAudit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String,
+              broadcastParent: Boolean): DataFrame = {
+    val ck = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("nrows"))
+    val pk0 = parent.select(col(pk).as("k")).distinct()
+      .withColumn("hit", lit(1))
+    val pside = if (broadcastParent) broadcast(pk0) else pk0
+    ck.join(pside, Seq("k"), "left")
+      .agg(sum(col("nrows")).as("child_rows"),
+        count(lit(1)).as("child_keys"),
+        coalesce(sum(when(col("k").isNull, col("nrows"))), lit(0L)).as("null_rows"),
+        coalesce(sum(when(col("hit").isNull && col("k").isNotNull, 1L)), lit(0L))
+          .as("orphan_keys"),
+        coalesce(sum(when(col("hit").isNull && col("k").isNotNull, col("nrows"))),
+          lit(0L)).as("orphan_rows"))
+      .select(lit(rel).as("relationship"), col("child_rows"), col("child_keys"),
+        col("null_rows"), col("orphan_keys"), col("orphan_rows"),
+        round(col("orphan_rows").cast("double") / col("child_rows"), 6)
+          .as("orphan_rate"))
+  }
+
+  /** Referential-integrity audit across the star schema — the data
+    * contract check a warehouse runs after every load: for each FK
+    * relationship, how many child rows/keys exist, how many are null,
+    * and how many point at a parent that is not there. Seven
+    * relationships, one 7-row report.
+    *
+    * Shape for 100 TB: each relationship aggregates the child side to
+    * DISTINCT keys first (partial-agged map-side combine — the join
+    * never sees child rows), then left-joins the parent key set:
+    * broadcast for the O(1) dims (nation, region), shuffle-on-key for
+    * the SF-scaled parents where AQE picks the strategy. The union is
+    * of 1-row aggregates. */
+  def q163FkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    Seq(
+      fkAudit("customer.c_nationkey->nation", cust, "c_nationkey",
+        nat, "n_nationkey", broadcastParent = true),
+      fkAudit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey", broadcastParent = false),
+      fkAudit("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey", broadcastParent = false),
+      fkAudit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        supp, "s_suppkey", broadcastParent = false),
+      fkAudit("nation.n_regionkey->region", nat, "n_regionkey",
+        Tables.region(spark, sfDir), "r_regionkey", broadcastParent = true),
+      fkAudit("orders.o_custkey->customer", ord, "o_custkey",
+        cust, "c_custkey", broadcastParent = false),
+      fkAudit("supplier.s_nationkey->nation", supp, "s_nationkey",
+        nat, "n_nationkey", broadcastParent = true)
+    ).reduce(_ unionByName _).orderBy(col("relationship"))
+  }
+
+  private def fkAuditSql(rel: String, child: String, fk: String,
+                         parent: String, pk: String): String =
+    s"""SELECT '$rel' AS relationship,
+       |  CAST(sum(nrows) AS BIGINT) AS child_rows,
+       |  count(*) AS child_keys,
+       |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN nrows END), 0) AS BIGINT) AS null_rows,
+       |  CAST(coalesce(sum(CASE WHEN hit IS NULL AND k IS NOT NULL THEN 1 END), 0) AS BIGINT) AS orphan_keys,
+       |  CAST(coalesce(sum(CASE WHEN hit IS NULL AND k IS NOT NULL THEN nrows END), 0) AS BIGINT) AS orphan_rows,
+       |  round(CAST(coalesce(sum(CASE WHEN hit IS NULL AND k IS NOT NULL THEN nrows END), 0) AS DOUBLE)
+       |    / sum(nrows), 6) AS orphan_rate
+       |FROM (SELECT $fk AS k, count(*) AS nrows FROM $child GROUP BY $fk) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS pk2, 1 AS hit FROM $parent) p ON c.k = p.pk2""".stripMargin
+
+  val q163Sql: String =
+    Seq(
+      fkAuditSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkAuditSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkAuditSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      fkAuditSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkAuditSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      fkAuditSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkAuditSql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+
+  // --------------------------------------------------------------- q168
+  /** A lineitem is "late" when it shipped this many days past the
+    * order date. */
+  val WaitLateDays = 60
+
+  /** Suppliers who kept orders waiting — the TPC-H Q21 shape adapted
+    * to this schema (shipdate vs orderdate + [[WaitLateDays]], final
+    * 'F' orders): for each finished multi-supplier order, find the
+    * supplier who was the SOLE late shipper (everyone else delivered
+    * on time), and count such orders per supplier. The classic
+    * EXISTS / NOT-EXISTS correlated-subquery composition, expressed as
+    * one left-semi and one left-anti join.
+    *
+    * Shape for 100 TB: every join — lineitem⋈orders, the semi (some
+    * other supplier exists) and the anti (no other LATE supplier) —
+    * keys on l_orderkey, so all four frames shuffle once onto the same
+    * partitioning and AQE can chain them without re-exchange; the
+    * late/pair frames are pre-aggregated to DISTINCT (orderkey,
+    * suppkey) before the correlates, and the supplier name join is a
+    * broadcast-scale dimension lookup. */
+  def q168WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val fo = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li.join(fo, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $WaitLateDays DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val pairs = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val cand = late.as("w")
+      .join(pairs.as("o"), expr("w.ok = o.ok AND w.sk <> o.sk"), "left_semi")
+      .as("w")
+      .join(late.as("l"), expr("w.ok = l.ok AND w.sk <> l.sk"), "left_anti")
+    cand.groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name")), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q168Sql: String =
+    s"""WITH fo AS (
+      |  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+      |late AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+      |  FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+      |  WHERE l.l_shipdate > fo.o_orderdate + INTERVAL $WaitLateDays DAY),
+      |pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |cand AS (
+      |  SELECT w.ok, w.sk FROM late w
+      |  WHERE EXISTS (SELECT 1 FROM pairs o WHERE o.ok = w.ok AND o.sk <> w.sk)
+      |    AND NOT EXISTS (SELECT 1 FROM late l2 WHERE l2.ok = w.ok AND l2.sk <> w.sk))
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM cand JOIN supplier s ON cand.sk = s.s_suppkey
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_waiting_suppliers" -> q168WaitingSuppliers,
+    "q161_auc" -> q161Auc,
+    "q163_fk_integrity" -> q163FkIntegrity,
     "q158_time_to_event" -> q158TimeToEvent,
     "q159_seasonal_anomaly" -> q159SeasonalAnomaly,
     "q155_ab_test" -> q155AbTest,
@@ -3397,6 +3603,9 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q168_waiting_suppliers" -> q168Sql,
+    "q161_auc" -> q161Sql,
+    "q163_fk_integrity" -> q163Sql,
     "q158_time_to_event" -> q158Sql,
     "q159_seasonal_anomaly" -> q159Sql,
     "q155_ab_test" -> q155Sql,

@@ -2002,7 +2002,115 @@ FROM per_class p LEFT JOIN fp_frame f ON p.lang = f.lang CROSS JOIN tot
 ORDER BY p.lang"""
   }
 
+  // --------------------------------------------------------------- q162
+  /** Zipf rank-frequency fit over the top terms. */
+  val ZipfTopN = 200
+
+  /** Zipf's-law diagnostic — OLS fit of ln(frequency) on ln(rank) over
+    * the [[ZipfTopN]] most frequent tokens: slope (natural text sits
+    * near −1; synthetic/templated corpora flatten), intercept, and R².
+    * Corpus-linguistics teams run this beside q82's drift monitor: a
+    * slope shift between snapshots flags a generator change or a
+    * boilerplate flood that per-doc quality scores miss.
+    *
+    * Shape for 100 TB: wordcount (explode + partial-agged groupBy) is
+    * the only corpus-sized stage; the top-N is a TakeOrdered (per-
+    * partition top-N, no global sort), and the regression runs over
+    * exactly N rows. Ties at the cut break on the token string in both
+    * engines, so the top-N SET is deterministic. */
+  def q162Zipf(spark: SparkSession, sfDir: String): DataFrame =
+    zipfFitTokens(Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok")),
+      ZipfTopN)
+
+  /** Generic Zipf OLS fit over a `(tok)` token frame (q162's engine;
+    * the facade instantiates it on caller corpora). */
+  private[graft] def zipfFitTokens(toks: DataFrame, topN: Int): DataFrame = {
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = tf.orderBy(col("cnt").desc, col("tok")).limit(topN)
+    val ranked = top
+      .withColumn("r", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val s = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_terms"),
+      round(cov / varx, 6).as("slope"),
+      round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  val q162Sql: String =
+    s"""WITH tf AS (
+      |  SELECT t.tok, count(*) AS cnt
+      |  FROM documents, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t(tok)
+      |  GROUP BY t.tok),
+      |top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT $ZipfTopN),
+      |ranked AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+      |         ln(CAST(cnt AS DOUBLE)) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |  FROM ranked)
+      |SELECT n AS n_terms,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+      |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+      |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- q167
+  /** Heavy-hitter gate: share ≥ 1/HhDen of the source's tokens AND an
+    * absolute floor (kills long-tail noise in tiny sources). */
+  val HhDen = 100L
+  val HhMinCount = 5L
+
+  /** Per-source heavy hitters — the group-local frequent-term census
+    * (which tokens dominate each corpus slice): a token qualifies when
+    * its count clears 1/[[HhDen]] of its source's token mass by
+    * integer cross-multiplication (cnt·Den ≥ total — no float gate)
+    * and the [[HhMinCount]] floor. The per-source companion to q56's
+    * global Count-Min heavy hitters: q56 asks "what is frequent
+    * anywhere", this asks "what characterizes THIS slice", the
+    * signature a mixture audit (q88) or contamination hunt reads.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(source, tok)
+    * wordcount; the per-source totals re-aggregate O(sources) rows and
+    * broadcast back. Nothing global, no window. */
+  def q167HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+    cnt.join(broadcast(tot), "source")
+      .filter(col("cnt") * HhDen >= col("total") && col("cnt") >= HhMinCount)
+      .select(col("source"), col("tok"), col("cnt"), col("total"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("source"), col("cnt").desc, col("tok"))
+  }
+
+  val q167Sql: String =
+    s"""WITH cnt AS (
+      |  SELECT source, t.tok, count(*) AS cnt
+      |  FROM documents, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t(tok)
+      |  GROUP BY source, t.tok),
+      |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM cnt GROUP BY source)
+      |SELECT c.source, c.tok, c.cnt, t.total,
+      |  round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS share
+      |FROM cnt c JOIN tot t ON c.source = t.source
+      |WHERE c.cnt * $HhDen >= t.total AND c.cnt >= $HhMinCount
+      |ORDER BY c.source, c.cnt DESC, c.tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_heavy_hitters" -> q167HeavyHitters,
+    "q162_zipf" -> q162Zipf,
     "q154_cls_report" -> q154ClsReport,
     "q144_balanced_sample" -> q144BalancedSample,
     "q145_rake" -> q145Rake,
@@ -2039,6 +2147,8 @@ ORDER BY p.lang"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q167_heavy_hitters" -> q167Sql,
+    "q162_zipf" -> q162Sql,
     "q154_cls_report" -> q154Sql,
     "q144_balanced_sample" -> q144Sql,
     "q145_rake" -> q145Sql,

@@ -241,4 +241,59 @@ class GraftApiSpec extends GraftSpec {
       1L -> ("B", "x"), 2L -> ("U", "y2"), 9L -> ("I", "new")))
   }
 
+  test("evaluation facade: auc and rankMetrics on caller frames") {
+    // perfectly separating score -> AUC 1; anti-separating -> 0
+    val df = Seq((10.0, 1L), (9.0, 1L), (2.0, 0L), (1.0, 0L)).toDF("s", "y")
+    assert(Graft.auc(df, col("s"), col("y")).first().getDouble(3) === 1.0)
+    assert(Graft.auc(df, -col("s"), col("y")).first().getDouble(3) === 0.0)
+    // all scores tied -> 0.5
+    val tied = Seq((1.0, 1L), (1.0, 0L), (1.0, 1L), (1.0, 0L)).toDF("s", "y")
+    assert(Graft.auc(tied, col("s"), col("y")).first().getDouble(3) === 0.5)
+    // one query, relevant at ranks 1 and 3, 4 relevant in corpus, k=3:
+    // dcg = 1 + 1/2; idcg = 1 + 1/log2(3) + 1/2
+    val run = Seq(("q", 1, 1), ("q", 2, 0), ("q", 3, 1))
+      .toDF("qid", "rank", "rel")
+    val m = Graft.rankMetrics(run, col("qid"), col("rank"), col("rel"),
+      lit(4), k = 3).first()
+    assert(m.getLong(1) === 2L)
+    assert(math.abs(m.getDouble(2) - 2.0 / 3) < 1e-6)
+    assert(m.getDouble(3) === 1.0)
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(m.getDouble(4) - 1.5 / idcg) < 1e-6)
+  }
+
+  test("data-contract facade: fkAudit and zipfFit on caller frames") {
+    val child = Seq(1L, 1L, 2L, 7L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val a = Graft.fkAudit("child->parent", child, col("k"), parent, col("p"))
+      .first()
+    assert(a.getString(0) === "child->parent")
+    assert(a.getLong(1) === 4L && a.getLong(4) === 1L && a.getLong(5) === 1L)
+    val z = Graft.zipfFit(
+      Seq("aa aa aa aa bb bb cc", "aa bb cc dd").toDF("t"), col("t"), topN = 4)
+      .first()
+    assert(z.getLong(0) === 4L)
+    assert(z.getDouble(1) < 0.0) // freq decays with rank
+  }
+
+  test("ann facade: pqCodebook partitions every vector in every subspace") {
+    val vs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 5).toDouble + d))).toDF("id", "vec")
+    val census = Graft.pqCodebook(vs, col("id"), col("vec"), dims = 8,
+      nSubs = 2, k = 3, iters = 2).collect()
+    (0 until 2).foreach { m =>
+      val rows = census.filter(_.getInt(0) == m)
+      assert(rows.map(_.getLong(2)).sum === 20L, s"subspace $m covers all vectors")
+      assert(rows.length <= 3)
+      rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+    }
+  }
+
+  test("graph facade: bowtie classifies a caller graph") {
+    val edges = Seq("a" -> "b", "b" -> "a", "i" -> "a", "b" -> "o")
+      .toDF("s", "d")
+    val cls = Graft.bowtie(spark, edges, col("s"), col("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cls === Map("a" -> "core", "b" -> "core", "i" -> "in", "o" -> "out"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.AnnQueries
+import graft.queries.RelationalQueries
+import graft.text.TextQueries
+
+/** Wave-24 operators (q160–q163): retrieval ranking metrics, ROC AUC,
+  * Zipf rank-frequency fit, referential-integrity audit. Each test
+  * replays the operator's math independently on the driver (collect of
+  * the small fixture) and checks the frame against it.
+  */
+class W24OpsSpec extends GraftSpec {
+
+  test("q160 NDCG/MRR/P@k replay a driver-side computation of q30's run") {
+    val rows = AnnQueries.q160Ndcg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labs = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labCount = labs.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val run = AnnQueries.q30KnnBrute(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = run.groupBy(_._1)
+    assert(rows.map(_.getLong(0)).toSet === byQ.keySet)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val qlab = labs(qid)
+      assert(r.getInt(1) === qlab)
+      val neigh = byQ(qid).sortBy(_._3)
+      val rels = neigh.map { case (_, n, rank) => (rank, if (labs(n) == qlab) 1.0 else 0.0) }
+      val hits = rels.map(_._2).sum.toLong
+      assert(r.getLong(2) === hits, s"q$qid hits")
+      assert(math.abs(r.getDouble(3) - hits.toDouble / AnnQueries.K) < 1e-6)
+      val firstRel = rels.collectFirst { case (rank, rel) if rel == 1.0 => rank }
+      val rr = firstRel.map(1.0 / _).getOrElse(0.0)
+      assert(math.abs(r.getDouble(4) - rr) < 1e-6, s"q$qid rr")
+      val dcg = rels.map { case (rank, rel) => rel / log2(rank + 1.0) }.sum
+      val idealK = math.min(labCount(qlab) - 1, AnnQueries.K)
+      val ndcg =
+        if (idealK < 1) 0.0
+        else dcg / (1 to idealK).map(i => 1.0 / log2(i + 1.0)).sum
+      assert(math.abs(r.getDouble(5) - ndcg) < 1e-6, s"q$qid ndcg")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q161 AUC matches a naive pairwise Mann-Whitney on the driver") {
+    val rows = RelationalQueries.q161Auc(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === RelationalQueries.AbLastDay, 1L)
+          .otherwise(0L)).as("c"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val pos = perUser.filter(_._2 == 1L).map(_._1)
+    val neg = perUser.filter(_._2 == 0L).map(_._1)
+    assert(r.getLong(0) === pos.length.toLong)
+    assert(r.getLong(1) === neg.length.toLong)
+    assert(r.getLong(2) === perUser.map(_._1).distinct.length.toLong)
+    // naive O(P·N) pairwise AUC: win 1, tie 0.5
+    val u = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = u / (pos.length.toDouble * neg.length)
+    assert(math.abs(r.getDouble(3) - auc) < 1e-6, s"auc ${r.getDouble(3)} vs $auc")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+  }
+
+  test("q162 Zipf fit replays a driver-side OLS over the same top-200") {
+    val rows = TextQueries.q162Zipf(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("t"))
+      .collect().map(_.getString(0))
+    val top = toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(TextQueries.ZipfTopN)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5, "slope")
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-5, "intercept")
+    assert(math.abs(r.getDouble(3) - r2) < 1e-5, "r2")
+    assert(slope < 0.0, "token frequencies must decay with rank")
+    // the synthetic fixture's near-uniform vocabulary is deliberately
+    // NON-Zipfian (flat curve, low R²) — the diagnostic reporting a weak
+    // fit on it is the signal working; only the range is invariant
+    assert(r2 >= 0.0 && r2 <= 1.0, "R² must be a valid coefficient")
+  }
+
+  test("q163 audits all seven relationships and the fixture has no orphans") {
+    val rows = RelationalQueries.q163FkIntegrity(spark, sfDir).collect()
+    assert(rows.length === 7)
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val byRel = rows.map(r => r.getString(0) -> r).toMap
+    val lo = byRel("lineitem.l_orderkey->orders")
+    assert(lo.getLong(1) === li.count())
+    assert(lo.getLong(2) === li.select("l_orderkey").distinct().count())
+    // generated star schema is referentially intact: zero orphans anywhere
+    rows.foreach { r =>
+      assert(r.getLong(4) === 0L, s"${r.getString(0)} orphan_keys")
+      assert(r.getLong(5) === 0L, s"${r.getString(0)} orphan_rows")
+      assert(r.getDouble(6) === 0.0)
+      assert(r.getLong(1) >= r.getLong(2), "rows >= distinct keys")
+    }
+    val oc = byRel("orders.o_custkey->customer")
+    assert(oc.getLong(1) === ord.count())
+  }
+
+  test("q163 counts an injected orphan (synthetic frame through the same audit)") {
+    // guard the orphan/null accounting itself, which the clean fixture
+    // cannot exercise: 3 child rows on key 1 (present), 2 on key 99
+    // (orphan), 1 null
+    val s = spark
+    import s.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(1L), Some(99L), Some(99L),
+      Option.empty[Long]).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = RelationalQueries
+      .fkAudit("t", child, "fk", parent, "pk", broadcastParent = true)
+      .collect().head
+    assert(out.getLong(1) === 6L, "child_rows")
+    assert(out.getLong(2) === 3L, "child_keys: 1, 99, null")
+    assert(out.getLong(3) === 1L, "null_rows")
+    assert(out.getLong(4) === 1L, "orphan_keys")
+    assert(out.getLong(5) === 2L, "orphan_rows")
+    assert(math.abs(out.getDouble(6) - 2.0 / 6.0) < 1e-6)
+  }
+}
