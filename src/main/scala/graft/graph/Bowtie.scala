@@ -32,11 +32,15 @@ object Bowtie {
     *                 early-exits at its fixed point)
     * @return (id, cls) — cls ∈ {core,in,out,tube,tendril,disconnected}
     */
+  /** @param sccFrame pre-computed SCC labeling (id, scc, scc_size) to
+    *                  reuse (e.g. a session-cached q116 result); None
+    *                  computes it here. */
   def run(spark: SparkSession, edges: DataFrame, sccIters: Int,
-          maxRounds: Int, cacheKey: Option[String] = None): DataFrame = {
+          maxRounds: Int, cacheKey: Option[String] = None,
+          sccFrame: Option[DataFrame] = None): DataFrame = {
     val redges = edges.select(col("dst").as("src"), col("src").as("dst"))
     val verts = WebGraph.vertices(edges)
-    val scc = Scc.run(spark, edges, sccIters, cacheKey)
+    val scc = sccFrame.getOrElse(Scc.run(spark, edges, sccIters, cacheKey))
     val coreLab = scc.select(col("scc"), col("scc_size")).distinct()
       .orderBy(col("scc_size").desc, col("scc")).limit(1)
       .select(col("scc").as("core_scc"))

@@ -237,4 +237,63 @@ object LinkRank {
     * (LinkRankVertexUniformInputFormat: score 1.0, NOT 1/N). */
   def uniformInit(edges: DataFrame): DataFrame =
     WebGraph.vertices(edges).withColumn("score", lit(1.0))
+
+  /** Per-round convergence trace of the damped loop — the
+    * observability product an operator watches instead of the scores:
+    * for each round k, the dangling mass redistributed INTO the round
+    * (Σ score of out-degree-0 vertices of r_{k−1}), the L1 step size
+    * Σ|r_k − r_{k−1}| (the quantity a tolerance halt like q97's
+    * thresholds), and the total raw mass Σ r_k. Same loop shape as
+    * [[run]] (surrogate ids, loop-invariant cached edge side, one live
+    * checkpoint); the trace costs ONE extra 1-row aggregate per round,
+    * and the returned frame is O(iters) rows assembled on the driver.
+    */
+  def runTrace(spark: SparkSession, edges: DataFrame, init: DataFrame,
+               iters: Int = 9, damping: Double = 0.85,
+               cacheKey: Option[String] = None): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val vmap = vmapFor(spark, init.select(col("id")), cacheKey)
+    val eod = eodFor(spark, edges, vmap, cacheKey)
+    val base = init.join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(vmap, "id")
+      .select(col("vid"), col("score"), col("od").isNull.as("dangling"))
+      .repartition(col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = base.count().toDouble
+    var cp = base.localCheckpoint()
+    base.unpersist()
+    var ranks = cp
+    val trace = Seq.newBuilder[(Int, Double, Double, Double)]
+    for (k <- 1 to iters) {
+      val dang = ranks.filter(col("dangling"))
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("ds"))
+      val contribs = eod
+        .join(ranks.select(col("vid"), col("score")), eod("svid") === col("vid"))
+        .groupBy(col("dvid")).agg(sum(col("score") / col("od")).as("contrib"))
+        .withColumnRenamed("dvid", "cid")
+      val newScore = lit((1.0 - damping) / n) +
+        lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("ds") / lit(n))
+      val next = ranks
+        .join(contribs, col("vid") === col("cid"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("vid"), col("dangling"), newScore.as("score"),
+          abs(newScore - col("score")).as("delta"), col("ds"))
+      cp = graft.Checkpoints.rotate(next, cp)
+      val st = cp.agg(max(col("ds")), sum(col("delta")), sum(col("score"))).first()
+      trace += ((k, st.getDouble(0), st.getDouble(1), st.getDouble(2)))
+      ranks = cp.select(col("vid"), col("dangling"), col("score"))
+    }
+    graft.Checkpoints.deferFree(cp)
+    if (cacheKey.isEmpty) {
+      eod.unpersist()
+      graft.Checkpoints.deferCleanup(spark)(() => graft.Checkpoints.free(vmap))
+    }
+    import spark.implicits._
+    trace.result()
+      .toDF("round", "raw_ds", "raw_l1", "raw_mass")
+      .select(col("round"),
+        round(col("raw_ds"), 6).as("dangling_mass"),
+        round(col("raw_l1"), 6).as("l1_delta"),
+        round(col("raw_mass"), 6).as("total_mass"))
+  }
 }

@@ -1029,9 +1029,16 @@ FROM recip"""
     * why). Oracle: recursive-CTE transitive closure, SCC = classes of
     * (reach ∧ co-reach) — formulationally independent of the Pregel
     * peeling, so agreement is a real cross-check. */
-  def q116Scc(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.Scc.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
+  /** Host-graph SCC labeling, memoized per session: q116 and q164
+    * consume the same GraphX peeling run. */
+  private def hostScc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"scc-out:host:$sfDir") {
+      graft.graph.Scc.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
         SccIters, cacheKey = Some(s"host:$sfDir"))
+    }
+
+  def q116Scc(spark: SparkSession, sfDir: String): DataFrame =
+    hostScc(spark, sfDir)
       .withColumnRenamed("id", "host")
       .orderBy(col("host"))
 
@@ -1409,7 +1416,8 @@ SELECT id, round(score * 1000, 6) AS score_k FROM fin ORDER BY id"""
     * formulation-independent of both Pregel SCC and the BFS loops. */
   def q164Bowtie(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Bowtie.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
-        SccIters, EccMaxRounds, cacheKey = Some(s"host:$sfDir"))
+        SccIters, EccMaxRounds, cacheKey = Some(s"host:$sfDir"),
+        sccFrame = Some(hostScc(spark, sfDir)))
       .withColumnRenamed("id", "host")
       .orderBy(col("host"))
 
@@ -1513,7 +1521,94 @@ SELECT row_number() OVER (ORDER BY slot, host_score DESC, host, url) AS pos,
   url, host, slot, host_score
 FROM sched ORDER BY pos"""
 
+  // ---------------------------------------------------------------- q170
+  /** Report size of the near-mirror census. */
+  val MirrorTopK = 20
+
+  /** Near-mirror host detection — the top-[[MirrorTopK]] host pairs by
+    * outlink-set Jaccard, the link-spam / mirror-farm signal a crawl
+    * operator reviews (two hosts endorsing an almost identical target
+    * set are one site, a mirror, or a spam constellation; their votes
+    * should be discounted — the motivation behind the reference's
+    * duplicate-link removal, lifted from page level to host level).
+    * A top-K census rather than a threshold: the interesting output is
+    * the ranking's head, whatever the corpus's similarity regime.
+    *
+    * Shape for 100 TB: candidate pairs come from the shared-TARGET
+    * equi-join (the inverted-index walk — only hosts that co-cite at
+    * least one target ever meet; never all-pairs); intersections are
+    * partial-agged counts, degrees broadcast back (host-scale), the
+    * global top-K a TakeOrdered. For corpus-scale SETS the q149 prefix
+    * filter is the same report's heavier engine. */
+  def q170MirrorHosts(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val deg = hedges.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = hedges.select(col("src").as("ha"), col("dst"))
+      .join(hedges.select(col("src").as("hb"), col("dst")), "dst")
+      .filter(col("ha") < col("hb"))
+      .groupBy(col("ha"), col("hb")).agg(count(lit(1)).as("inter"))
+    val order = Seq(col("jaccard").desc, col("ha"), col("hb"))
+    pairs
+      .join(broadcast(deg.select(col("src").as("ha"), col("n").as("na"))), "ha")
+      .join(broadcast(deg.select(col("src").as("hb"), col("n").as("nb"))), "hb")
+      .select(col("ha"), col("hb"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy(order: _*).limit(MirrorTopK)
+      .orderBy(order: _*)
+  }
+
+  val q170Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+deg AS (SELECT src, count(*) AS n FROM hedges GROUP BY src),
+inter AS (
+  SELECT a.src AS ha, b.src AS hb, count(*) AS inter
+  FROM hedges a JOIN hedges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT ha, hb, na, nb, inter, jaccard FROM (
+  SELECT i.ha, i.hb, da.n AS na, db.n AS nb, i.inter,
+    round(CAST(i.inter AS DOUBLE) / (da.n + db.n - i.inter), 6) AS jaccard
+  FROM inter i JOIN deg da ON i.ha = da.src JOIN deg db ON i.hb = db.src)
+ORDER BY jaccard DESC, ha, hb LIMIT $MirrorTopK"""
+
+  // ---------------------------------------------------------------- q171
+  /** Per-round convergence trace of the page-graph LinkRank loop —
+    * the run-health dashboard an operator actually watches (is the
+    * dangling mass stable? is the L1 step shrinking geometrically? did
+    * total mass drift?): engine [[graft.graph.LinkRank.runTrace]], one
+    * extra 1-row aggregate per round on the same loop q01 runs. The
+    * oracle recomputes all three series from the unrolled r0..r9/d1..d9
+    * CTE chain — every intermediate the engine's loop produces is
+    * pinned, not just the final ranking (q97's tolerance halt consumes
+    * exactly the l1_delta series this row publishes). */
+  def q171RankTrace(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = WebGraph.cachedEdges(spark, sfDir)
+    LinkRank.runTrace(spark, edges, LinkRank.uniformInit(edges),
+        cacheKey = Some(s"page:$sfDir"))
+      .orderBy(col("round"))
+  }
+
+  val q171Sql: String = {
+    val rounds = (1 to 9).map { k =>
+      s"""  SELECT $k AS round,
+    round((SELECT ds FROM d$k), 6) AS dangling_mass,
+    round((SELECT sum(abs(a.score - b.score)) FROM r$k a JOIN r${k - 1} b ON a.id = b.id), 6) AS l1_delta,
+    round((SELECT sum(score) FROM r$k), 6) AS total_mass"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pageGraphCtes,
+${RankSql.chain("edges", "1.0", normalize = false)}
+SELECT * FROM (
+$rounds
+) ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_mirror_hosts" -> q170MirrorHosts,
+    "q171_rank_trace" -> q171RankTrace,
     "q169_crawl_frontier" -> q169CrawlFrontier,
     "q164_bowtie" -> q164Bowtie,
     "q152_weighted_rank" -> q152WeightedRank,
@@ -1547,6 +1642,8 @@ FROM sched ORDER BY pos"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q170_mirror_hosts" -> q170Sql,
+    "q171_rank_trace" -> q171Sql,
     "q169_crawl_frontier" -> q169Sql,
     "q164_bowtie" -> q164Sql,
     "q152_weighted_rank" -> q152Sql,

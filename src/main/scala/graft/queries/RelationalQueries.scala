@@ -3539,7 +3539,96 @@ FROM cnt ORDER BY from_type, to_type"""
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Trending geometry: 30-minute windows, top-3 risers per window. */
+  val TrendWindowUs = 1800000000L
+  val TrendTopK = 3
+
+  /** Streaming trending detector — the "what is rising RIGHT NOW"
+    * product (trending topics/SKUs/errors): the STREAM maintains
+    * 30-minute windowed counts per event type under the q98 watermark
+    * regime (bounded state, append-only finalized windows through the
+    * real Structured Streaming engine); the serving-side read-back
+    * then scores each finalized window's types by GROWTH vs their own
+    * previous window and keeps the top [[TrendTopK]] risers. The
+    * split is the production architecture: monotone windowed counts
+    * are the only thing streaming state must hold — ranking is a
+    * view-time concern on the O(windows × types) sink.
+    *
+    * Determinism: identical availableNow/watermark argument as q98 —
+    * emitted set = windows with end ≤ max(ts) − 2 h, a pure function
+    * of the data replayed by the oracle's HAVING; growth/rank run on
+    * that closed set with (growth desc, type) tiebreak.
+    *
+    * Shape for 100 TB: streaming side is partial-agged windowed
+    * counts with watermark-evicted state; batch side self-joins the
+    * tiny aggregate on (type, prev window) and ranks inside each
+    * window partition. */
+  def q172StreamTrending(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val tsEventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q172_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    val agg = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(tsEventTime.as("ts"), col("event_type"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("ws"),
+        col("event_type"), col("n_events"))
+    agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val sink = spark.read.parquet(outDir).localCheckpoint()
+    graft.Checkpoints.deferFree(sink)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    val prev = sink.select((col("ws") + TrendWindowUs).as("ws"),
+      col("event_type"), col("n_events").as("prev_n"))
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("growth").desc, col("event_type"))
+    sink.join(prev, Seq("ws", "event_type"), "left")
+      .withColumn("growth", col("n_events") - coalesce(col("prev_n"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendTopK)
+      .select(col("ws").as("window_start_us"), col("rank"), col("event_type"),
+        col("n_events"), col("growth"))
+      .orderBy(col("window_start_us"), col("rank"))
+  }
+
+  val q172Sql: String =
+    s"""WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+      |wm AS (SELECT (max(ts_us) // 1000 - $StreamDelayMs) * 1000 AS w FROM ev),
+      |sink AS (
+      |  SELECT (ts_us // $TrendWindowUs) * $TrendWindowUs AS ws,
+      |    event_type, count(*) AS n_events
+      |  FROM ev GROUP BY 1, 2
+      |  HAVING ws + $TrendWindowUs <= (SELECT w FROM wm)),
+      |scored AS (
+      |  SELECT s.ws, s.event_type, s.n_events,
+      |    s.n_events - coalesce(p.n_events, 0) AS growth
+      |  FROM sink s LEFT JOIN sink p
+      |    ON s.event_type = p.event_type AND p.ws = s.ws - $TrendWindowUs),
+      |ranked AS (
+      |  SELECT ws, event_type, n_events, growth,
+      |    row_number() OVER (PARTITION BY ws ORDER BY growth DESC, event_type) AS rank
+      |  FROM scored)
+      |SELECT ws AS window_start_us, rank, event_type, n_events, growth
+      |FROM ranked WHERE rank <= $TrendTopK
+      |ORDER BY ws, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_stream_trending" -> q172StreamTrending,
     "q168_waiting_suppliers" -> q168WaitingSuppliers,
     "q161_auc" -> q161Auc,
     "q163_fk_integrity" -> q163FkIntegrity,
@@ -3603,6 +3692,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q172_stream_trending" -> q172Sql,
     "q168_waiting_suppliers" -> q168Sql,
     "q161_auc" -> q161Sql,
     "q163_fk_integrity" -> q163Sql,
