@@ -376,30 +376,37 @@ FROM errs ORDER BY vec_id"""
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
       .orderBy(col("vec_id"))
 
-  val q36Sql: String = {
-    val meanList = (1 to Dims).map(i => s"round(sum(v[$i]) / count(*), 6)")
+  /** DuckDB twin of [[kmeansFit]] as a CTE chain over `src(vec_id, v)`
+    * of `dims` dims: seeds c0 → `iters` assign/mean rounds → final
+    * assignment `fin(vec_id, cid, d2)`. q36 instantiates it on the raw
+    * embeddings; q174 on the dup-injected corpus. */
+  private[graft] def kmeansSqlChain(src: String, k: Int, iters: Int,
+                                    dims: Int, seed: Int): String = {
+    val meanList = (1 to dims).map(i => s"round(sum(v[$i]) / count(*), 6)")
       .mkString("[", ", ", "]")
     val sb = new StringBuilder
-    sb ++= s"WITH $vecsCte,\n"
-    sb ++= s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ed ORDER BY ${Sql.universalHash("vec_id", 2)}, vec_id LIMIT $KmK),\n"
-    for (k <- 1 to KmIters) {
-      val p = s"c${k - 1}"
-      sb ++= s"""a$k AS MATERIALIZED (
+    sb ++= s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM $src ORDER BY ${Sql.universalHash("vec_id", seed)}, vec_id LIMIT $k),\n"
+    for (kk <- 1 to iters) {
+      val p = s"c${kk - 1}"
+      sb ++= s"""a$kk AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY round(${Sql.listDist2("e.v", "c.cv")}, 6), c.cid) AS ar
-    FROM ed e CROSS JOIN $p c) WHERE ar = 1),
-c$k AS MATERIALIZED (SELECT cid, $meanList AS cv FROM a$k GROUP BY cid),
+    FROM $src e CROSS JOIN $p c) WHERE ar = 1),
+c$kk AS MATERIALIZED (SELECT cid, $meanList AS cv FROM a$kk GROUP BY cid),
 """
     }
     sb ++= s"""fin AS (
   SELECT vec_id, cid, d2 FROM (
     SELECT e.vec_id, c.cid, round(${Sql.listDist2("e.v", "c.cv")}, 6) AS d2,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY round(${Sql.listDist2("e.v", "c.cv")}, 6), c.cid) AS ar
-    FROM ed e CROSS JOIN c$KmIters c) WHERE ar = 1)
-SELECT vec_id, cid AS cluster, d2 AS dist2 FROM fin ORDER BY vec_id"""
+    FROM $src e CROSS JOIN c$iters c) WHERE ar = 1)"""
     sb.toString
   }
+
+  val q36Sql: String =
+    s"WITH $vecsCte,\n" + kmeansSqlChain("ed", KmK, KmIters, Dims, seed = 2) +
+      "\nSELECT vec_id, cid AS cluster, d2 AS dist2 FROM fin ORDER BY vec_id"
 
   // ---------------------------------------------------------------- q65
   /** ANN recall@k — the measurement that turns q31/q32 from "claims to

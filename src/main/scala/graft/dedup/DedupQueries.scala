@@ -1188,7 +1188,76 @@ SELECT n_candidates, n_true_pairs, n_hit,
   round(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS precision
 FROM stats"""
 
+  // --------------------------------------------------------------- q174
+  /** Semantic dedup, cluster-scoped (the SemDeDup recipe, Abbas et al.
+    * 2023): k-means partitions the embedding corpus (q36's Lloyd
+    * engine, same seed/rounding fences), then near-duplicates are
+    * detected ONLY within each cluster — pairwise cosine at q24's
+    * [[CosThreshold]] bar — and every duplicate records its canonical
+    * survivor (the minimum lower id it matches). q24 blocks by LSH
+    * bucket; this blocks by learned cluster, the variant that also
+    * catches paraphrase-distance pairs a random-hyperplane bucket can
+    * split. Runs on the same dup-injected corpus so both rows audit
+    * the same ground truth.
+    *
+    * Shape for 100 TB: the quadratic is confined INSIDE clusters
+    * (SemDeDup's actual design — cluster count scales with corpus so
+    * cluster size stays bounded; add a size cap or recursive split for
+    * skewed clusters); the cluster build is q36's broadcast-centroid
+    * loop; the survivor pick is one partial-agged min per duplicate. */
+  def q174SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ann.AnnQueries
+    val corpus = graft.Checkpoints.deferUnpersist(
+      embCorpus(spark, sfDir).cache())
+    val assign = AnnQueries.kmeansFit(corpus.select(col("vec_id"), col("v")),
+      AnnQueries.KmK, AnnQueries.KmIters, EmbDims, seed = 2)
+    val a = graft.Checkpoints.deferUnpersist(assign
+      .select(col("vec_id"), col("cid"))
+      .join(corpus, "vec_id")
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      .cache())
+    val pairs = a.toDF("da", "cid", "va_v", "na")
+      .join(a.toDF("db", "cid", "vb_v", "nb"), "cid")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(VF.cosineByNorm(col("va_v"), col("vb_v"), col("na"), col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosThreshold)
+    val dupOf = pairs.groupBy(col("db").as("vec_id"))
+      .agg(min(col("da")).as("dup_of"))
+    a.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q174Sql: String = {
+    val pert = s"list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * 1.01 + CAST(((i - 1) % 5) - 2 AS DOUBLE) * 0.001)"
+    s"""WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+vc0 AS (
+  SELECT vec_id, v FROM ed
+  UNION ALL
+  SELECT vec_id + $NearDupOffset AS vec_id, $pert AS v
+  FROM embeddings WHERE vec_id % 10 = 0),
+vc AS MATERIALIZED (SELECT vec_id, v, ${Sql.listNorm("v")} AS nrm FROM vc0),
+${graft.ann.AnnQueries.kmeansSqlChain("vc", graft.ann.AnnQueries.KmK, graft.ann.AnnQueries.KmIters, EmbDims, seed = 2)},
+pairs AS (
+  SELECT fa.vec_id AS da, fb.vec_id AS db,
+    round(${Sql.listCosineByNorm("va.v", "vb.v", "va.nrm", "vb.nrm")}, 6) AS cosine
+  FROM fin fa JOIN fin fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+  JOIN vc va ON va.vec_id = fa.vec_id JOIN vc vb ON vb.vec_id = fb.vec_id),
+dup AS (
+  SELECT db AS vec_id, min(da) AS dup_of FROM pairs
+  WHERE cosine >= $CosThreshold GROUP BY db)
+SELECT f.vec_id, f.cid AS cluster, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
+ORDER BY f.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_semdedup" -> q174SemDedup,
     "q157_lsh_recall" -> q157LshRecall,
     "q149_setsim_join" -> q149SetSimJoin,
     "q139_linkage" -> q139Linkage,
@@ -1208,6 +1277,7 @@ FROM stats"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q174_semdedup" -> q174Sql,
     "q157_lsh_recall" -> q157Sql,
     "q149_setsim_join" -> q149Sql,
     "q139_linkage" -> q139Sql,

@@ -572,7 +572,109 @@ FROM per_doc d JOIN shot_agg s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id"""
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Shot↔chunk interval alignment — the random-access plan a media
+    * pipeline derives before serving per-shot work (captioning,
+    * re-encode, clip export): which CONTENT-DEFINED storage chunks
+    * (q64's Gear cut rule, via the `graft_cdc_cuts` kernel — boundary
+    * positions instead of chunk hashes) does each detected shot
+    * (q165's luma-jump walk) span? One overlap interval join per
+    * asset, reported per shot as its char range plus the first/last
+    * chunk index and chunk count. Both interval sets are 1-based char
+    * ranges of the same payload, so the alignment is exact.
+    *
+    * Shape for 100 TB: shots and chunks both derive map-side per
+    * asset and meet in ONE doc_id equi-join (intervals of the same
+    * asset are co-partitioned by construction — never a global range
+    * join); per-shot aggregation rides the same key. */
+  def q175ShotChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val video = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("L"))
+    val framed = video
+      .withColumn("n_frames",
+        ceil(col("L").cast("double") / ShotFrameLen).cast("long"))
+      .select(col("doc_id"), col("L"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("i"), col("text"))
+      .withColumn("luma", pmod(MF.hash32(
+        col("text").substr((col("i") * ShotFrameLen + 1).cast("int"),
+          lit(ShotFrameLen))), lit(1000L)))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val shots = framed
+      .withColumn("cut",
+        when(abs(col("luma") - lag(col("luma"), 1).over(byDoc)) >= ShotCut, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(byDoc))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("i")).as("f0"), max(col("i")).as("f1"), max(col("L")).as("L"))
+      .select(col("doc_id"), col("shot_id"),
+        (col("f0") * ShotFrameLen + 1).as("shot_start"),
+        least((col("f1") + 1) * ShotFrameLen, col("L")).as("shot_end"))
+    val byChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    val chunks = video
+      .select(col("doc_id"),
+        posexplode(call_function("graft_cdc_cuts", col("text"), lit(CdcMaskBits))))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_id"), col("col").as("ce"))
+      .withColumn("cs",
+        coalesce(lag(col("ce"), 1).over(byChunk) + 1, lit(1L)))
+    shots.join(chunks, Seq("doc_id"))
+      .filter(col("cs") <= col("shot_end") && col("ce") >= col("shot_start"))
+      .groupBy(col("doc_id"), col("shot_id"), col("shot_start"), col("shot_end"))
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("chunk_id")).as("first_chunk"),
+        max(col("chunk_id")).as("last_chunk"))
+      .orderBy(col("doc_id"), col("shot_id"))
+  }
+
+  val q175Sql: String = {
+    val m = CdcMaskBits
+    val mod = 1L << m
+    val frame = s"substr(text, CAST(i * $ShotFrameLen + 1 AS INTEGER), $ShotFrameLen)"
+    val gear = "(((unicode(text[i-k]) + 1) * 2654435761) % 4294967296)"
+    s"""WITH video AS (
+  SELECT doc_id, text, length(text) AS L,
+    CAST(ceil(length(text) / $ShotFrameLen.0) AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+framed AS (
+  SELECT doc_id, L, n_frames, i,
+    (${Sql.hash32OfHex(s"md5($frame)")} % 1000) AS luma
+  FROM (SELECT doc_id, text, L, n_frames, unnest(range(0, n_frames)) AS i FROM video)),
+sc AS (
+  SELECT doc_id, L, i,
+    (CASE WHEN abs(luma - lag(luma) OVER w) >= $ShotCut THEN 1 ELSE 0 END) AS cut
+  FROM framed WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (
+  SELECT doc_id, i, L,
+    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS shot_id
+  FROM sc),
+shots AS (
+  SELECT doc_id, shot_id, min(i) * $ShotFrameLen + 1 AS shot_start,
+    least((max(i) + 1) * $ShotFrameLen, max(L)) AS shot_end
+  FROM sh GROUP BY doc_id, shot_id),
+ends AS (
+  SELECT doc_id,
+    list_append(list_filter(range(1, L), i ->
+      list_sum(list_transform(range(0, least($m, i)), k ->
+        $gear * CAST(pow(2, k) AS BIGINT))) % $mod = 0), L) AS el
+  FROM video),
+chunks AS (
+  SELECT doc_id, j AS chunk_id, el[j] AS ce,
+    (CASE WHEN j = 1 THEN 1 ELSE el[j - 1] + 1 END) AS cs
+  FROM (SELECT doc_id, el, unnest(range(1, len(el) + 1)) AS j FROM ends))
+SELECT s.doc_id, s.shot_id, s.shot_start, s.shot_end,
+  count(*) AS n_chunks, min(c.chunk_id) AS first_chunk,
+  max(c.chunk_id) AS last_chunk
+FROM shots s JOIN chunks c ON s.doc_id = c.doc_id
+WHERE c.cs <= s.shot_end AND c.ce >= s.shot_start
+GROUP BY s.doc_id, s.shot_id, s.shot_start, s.shot_end
+ORDER BY s.doc_id, s.shot_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_shot_chunks" -> q175ShotChunks,
     "q165_shots" -> q165Shots,
     "q153_vad" -> q153Vad,
     "q80_phash" -> q80Phash,
@@ -582,6 +684,7 @@ ORDER BY d.doc_id"""
     "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
+    "q175_shot_chunks" -> q175Sql,
     "q165_shots" -> q165Sql,
     "q153_vad" -> q153Sql,
     "q60_multimodal" -> q60Sql,

@@ -49,6 +49,27 @@ object CdcMath {
   /** Gear value of one code point. */
   def gear(c: Int): Long = ((c.toLong + 1L) * 2654435761L) & 0xffffffffL
 
+  /** Chunk END positions of `text` under mask width `maskBits`
+    * (1-based, ascending, last element == L): the boundary list
+    * [[chunkHashes]] implies — for consumers that need chunk RANGES
+    * (random-access planning, interval alignment) rather than chunk
+    * identities. Same cut rule, same single pass. */
+  def chunkEnds(text: UTF8String, maskBits: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val L = cps.length
+    if (L == 0) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << maskBits) - 1L
+    val out = new scala.collection.mutable.ArrayBuffer[Any](L >> maskBits)
+    var h = 0L
+    var i = 0
+    while (i < L) {
+      h = ((h << 1) + gear(cps(i))) & 0xffffffffL
+      if ((h & mask) == 0L || i == L - 1) out += (i + 1).toLong
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Chunk hashes of `text` under mask width `maskBits`: one pass over
     * the code points, O(1) state (the rolling hash + chunk start). */
   def chunkHashes(text: UTF8String, maskBits: Int): ArrayData = {
@@ -86,5 +107,21 @@ case class CdcChunks(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CdcChunks =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (text, maskBits) → array<long> of 1-based chunk end positions. */
+case class CdcCuts(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    CdcMath.chunkEnds(t.asInstanceOf[UTF8String], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"graft.plans.CdcMath.chunkEnds($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcCuts =
     copy(left = newLeft, right = newRight)
 }

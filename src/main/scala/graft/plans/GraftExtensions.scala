@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CdcChunks(Cast(args.head, StringType),
         Cast(args(1), IntegerType))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+      (args: Seq[Expression]) => CdcCuts(Cast(args.head, StringType),
+        Cast(args(1), IntegerType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
       (args: Seq[Expression]) => CharEntropy(Cast(args.head, StringType))))

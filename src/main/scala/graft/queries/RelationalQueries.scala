@@ -3627,7 +3627,88 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM ranked WHERE rank <= $TrendTopK
       |ORDER BY ws, rank""".stripMargin
 
+  // --------------------------------------------------------------- q173
+  /** Seasonal-mean forecast backtest — the capacity-planning loop run
+    * on event streams (will tomorrow's 9 am load fit?): forecast the
+    * LAST day's hourly counts per event type as the mean of the same
+    * hour over all training days (the seasonal-naive baseline every
+    * forecasting system must beat), then score against the actual last
+    * day: per-cell absolute error plus the per-type MAPE over cells
+    * with non-zero actuals (the standard MAPE domain — zero-actual
+    * cells would divide by zero; they still appear as rows with their
+    * absolute error). Exact integer inputs throughout: forecast =
+    * Σcell / n_train_days as one rational per cell.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(type, day, hod) over
+    * the events; training sums re-aggregate the O(cells) frame; the
+    * last-day join, day census and per-type MAPE are all tiny
+    * broadcast-scale frames. */
+  def q173ForecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val lastDay = cells.agg(max(col("day")).as("last_day"))
+    val withLast = cells.crossJoin(broadcast(lastDay))
+    val nTrain = withLast.filter(col("day") < col("last_day"))
+      .agg(countDistinct(col("day")).as("n_train"))
+    val train = withLast.filter(col("day") < col("last_day"))
+      .groupBy(col("event_type"), col("hod")).agg(sum(col("cnt")).as("s"))
+    val actual = withLast.filter(col("day") === col("last_day"))
+      .select(col("event_type"), col("hod"), col("cnt").as("actual"))
+    val grid = train.join(actual, Seq("event_type", "hod"), "full_outer")
+      .select(col("event_type"), col("hod"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("fc", col("s").cast("double") / col("n_train"))
+    val mape = grid.filter(col("actual") > 0)
+      .groupBy(col("event_type"))
+      .agg(avg(abs(col("actual") - col("fc")) / col("actual")).as("m"))
+    grid.join(broadcast(mape), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n_train"),
+        round(col("fc"), 6).as("forecast"), col("actual"),
+        round(abs(col("actual") - col("fc")), 6).as("abs_err"),
+        round(col("m"), 6).as("type_mape"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val q173Sql: String =
+    s"""WITH cells AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |ld AS (SELECT max(day) AS last_day FROM cells),
+      |nt AS (SELECT count(DISTINCT day) AS n_train FROM cells
+      |       WHERE day < (SELECT last_day FROM ld)),
+      |train AS (
+      |  SELECT event_type, hod, CAST(sum(cnt) AS BIGINT) AS s FROM cells
+      |  WHERE day < (SELECT last_day FROM ld) GROUP BY event_type, hod),
+      |actual AS (
+      |  SELECT event_type, hod, cnt AS actual FROM cells
+      |  WHERE day = (SELECT last_day FROM ld)),
+      |grid AS (
+      |  SELECT coalesce(t.event_type, a.event_type) AS event_type,
+      |    coalesce(t.hod, a.hod) AS hod,
+      |    CAST(coalesce(t.s, 0) AS DOUBLE) / (SELECT n_train FROM nt) AS fc,
+      |    coalesce(a.actual, 0) AS actual
+      |  FROM train t FULL OUTER JOIN actual a
+      |    ON t.event_type = a.event_type AND t.hod = a.hod),
+      |mape AS (
+      |  SELECT event_type, avg(abs(actual - fc) / actual) AS m
+      |  FROM grid WHERE actual > 0 GROUP BY event_type)
+      |SELECT g.event_type, g.hod, (SELECT n_train FROM nt) AS n_train,
+      |  round(g.fc, 6) AS forecast, g.actual,
+      |  round(abs(g.actual - g.fc), 6) AS abs_err,
+      |  round(m.m, 6) AS type_mape
+      |FROM grid g JOIN mape m ON g.event_type = m.event_type
+      |ORDER BY g.event_type, g.hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_forecast_backtest" -> q173ForecastBacktest,
     "q172_stream_trending" -> q172StreamTrending,
     "q168_waiting_suppliers" -> q168WaitingSuppliers,
     "q161_auc" -> q161Auc,
@@ -3692,6 +3773,7 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q173_forecast_backtest" -> q173Sql,
     "q172_stream_trending" -> q172Sql,
     "q168_waiting_suppliers" -> q168Sql,
     "q161_auc" -> q161Sql,
