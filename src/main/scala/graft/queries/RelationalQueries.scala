@@ -3707,7 +3707,148 @@ FROM cnt ORDER BY from_type, to_type"""
       |FROM grid g JOIN mape m ON g.event_type = m.event_type
       |ORDER BY g.event_type, g.hod""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  /** RFM segmentation — the classic customer-base census (recency /
+    * frequency / monetary quintile scores): per user, days since last
+    * event, event count, and rounded value sum; each dimension scored
+    * 1–5 against its own exact quintile thresholds; the report is the
+    * (r, f, m) segment census with per-segment means. Dimensions are
+    * put on the 1e-6 grid BEFORE thresholding and thresholds rounded
+    * too, so the boundary comparisons are exact-grid equality in both
+    * engines (q50's percentile ≡ quantile_cont identity).
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user); thresholds
+    * are ONE 12-value percentile aggregate broadcast back; the census
+    * groupBy runs on ≤125 segment keys. */
+  def q178Rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(expr("ts div 86400000000000")).as("last_day"),
+        count(lit(1)).as("freq"),
+        asD(dsum(col("value"))).as("mon"))
+    val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+    val rfm = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("rec"),
+        col("freq"), col("mon"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val th = rfm.agg(percentile(col("rec"), qs).as("tr"),
+      percentile(col("freq"), qs).as("tf"), percentile(col("mon"), qs).as("tm"))
+    def score(x: Column, t: Column): Column =
+      (1 to 4).map(i => when(x > round(t(i - 1), 6), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    rfm.crossJoin(broadcast(th))
+      .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+        score(col("rec").cast("double"), col("tr")).as("r_score"),
+        score(col("freq").cast("double"), col("tf")).as("f_score"),
+        score(col("mon"), col("tm")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("rec")), 6).as("avg_recency"),
+        round(avg(col("freq")), 6).as("avg_freq"),
+        round(avg(col("mon")), 6).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q178Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day,
+      |    count(*) AS freq,
+      |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS mon
+      |  FROM events GROUP BY user_id),
+      |rfm AS (
+      |  SELECT user_id,
+      |    (SELECT max(last_day) FROM per_user) - last_day AS rec, freq, mon
+      |  FROM per_user),
+      |th AS (
+      |  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS tr,
+      |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+      |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS tm
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT user_id, rec, freq, mon,
+      |    1 + (CASE WHEN rec > round(tr[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[4], 6) THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN freq > round(tf[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[4], 6) THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN mon > round(tm[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[4], 6) THEN 1 ELSE 0 END) AS m_score
+      |  FROM rfm CROSS JOIN th)
+      |SELECT r_score, f_score, m_score, count(*) AS n_users,
+      |  round(avg(rec), 6) AS avg_recency,
+      |  round(avg(freq), 6) AS avg_freq,
+      |  round(avg(mon), 6) AS avg_monetary
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q179
+  /** Schema-evolution merge read — the lakehouse behavior every
+    * long-lived dataset hits (a column added mid-history): the engine
+    * WRITES two deterministic parquet batches with different schemas
+    * (v1: orders without priority; v2: adds o_orderpriority) under one
+    * dataset root partitioned by batch, then reads the root back with
+    * `mergeSchema` — old files surface the new column as NULL — and
+    * reports the per-batch census (rows, priority nulls, value sum).
+    * The oracle never sees the temp files: it recomputes the merged
+    * RESULT from the source table directly (union-by-name with NULL
+    * fill), which is exactly the contract schema merge must satisfy.
+    *
+    * Shape for 100 TB: the split/write is a one-pass partitioned
+    * append; the merged scan prunes on the partition column and pays
+    * one footer-merge planning step; the census is a 2-group
+    * aggregate. */
+  def q179SchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q179_").toString
+    ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("basePath", tmp).parquet(s"$tmp/batch=1", s"$tmp/batch=2")
+    val res = merged.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("null_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        asD(dsum(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("batch"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q179Sql: String =
+    """WITH merged AS (
+      |  SELECT 1 AS batch, o_orderkey, o_totalprice,
+      |    CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT 2 AS batch, o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT batch, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_priority,
+      |  count(DISTINCT o_orderpriority) AS n_priorities,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+      |FROM merged GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_rfm" -> q178Rfm,
+    "q179_schema_merge" -> q179SchemaMerge,
     "q173_forecast_backtest" -> q173ForecastBacktest,
     "q172_stream_trending" -> q172StreamTrending,
     "q168_waiting_suppliers" -> q168WaitingSuppliers,
@@ -3773,6 +3914,8 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q178_rfm" -> q178Sql,
+    "q179_schema_merge" -> q179Sql,
     "q173_forecast_backtest" -> q173Sql,
     "q172_stream_trending" -> q172Sql,
     "q168_waiting_suppliers" -> q168Sql,

@@ -2108,7 +2108,53 @@ ORDER BY p.lang"""
       |WHERE c.cnt * $HhDen >= t.total AND c.cnt >= $HhMinCount
       |ORDER BY c.source, c.cnt DESC, c.tok""".stripMargin
 
+  // --------------------------------------------------------------- q176
+  /** DP-release privacy parameter (Laplace scale = 1/ε for count
+    * queries of sensitivity 1). */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private count release (mechanism demo) — the
+    * Laplace mechanism a stats-release pipeline applies before
+    * publishing per-cell counts: noise = Laplace(1/ε) via the inverse
+    * CDF of a per-cell DETERMINISTIC pseudo-uniform (portable hash of
+    * the cell key), so reruns and the DuckDB oracle reproduce the
+    * identical release. The true count rides along for auditability —
+    * a real release drops that column and draws real randomness; the
+    * mechanism arithmetic, sensitivity-1 scale and release shape are
+    * what this row pins.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(lang, source); noise
+    * is a per-row expression on the O(cells) aggregate. */
+  def q176DpRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("true_count"))
+    val u01 = (MF.hash32(concat(col("lang"), lit("|"), col("source")))
+      .cast("double") + 0.5) / 4294967296.0
+    val u = u01 - 0.5
+    val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) / DpEpsilon
+    cells.select(col("lang"), col("source"), col("true_count"),
+        round(noise, 6).as("noise"),
+        round(col("true_count") + noise, 6).as("released"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q176Sql: String =
+    s"""WITH cells AS (
+      |  SELECT lang, source, count(*) AS true_count
+      |  FROM documents GROUP BY lang, source),
+      |noised AS (
+      |  SELECT lang, source, true_count,
+      |    -sign(u) * ln(1.0 - 2.0 * abs(u)) / $DpEpsilon AS noise
+      |  FROM (SELECT lang, source, true_count,
+      |          (CAST(${Sql.hash32("(lang || '|' || source)")} AS DOUBLE) + 0.5)
+      |            / 4294967296.0 - 0.5 AS u
+      |        FROM cells))
+      |SELECT lang, source, true_count, round(noise, 6) AS noise,
+      |  round(true_count + noise, 6) AS released
+      |FROM noised ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_dp_release" -> q176DpRelease,
     "q167_heavy_hitters" -> q167HeavyHitters,
     "q162_zipf" -> q162Zipf,
     "q154_cls_report" -> q154ClsReport,
@@ -2147,6 +2193,7 @@ ORDER BY p.lang"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q176_dp_release" -> q176Sql,
     "q167_heavy_hitters" -> q167Sql,
     "q162_zipf" -> q162Sql,
     "q154_cls_report" -> q154Sql,
