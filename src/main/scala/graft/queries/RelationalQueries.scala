@@ -3846,7 +3846,244 @@ FROM cnt ORDER BY from_type, to_type"""
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
       |FROM merged GROUP BY batch ORDER BY batch""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  /** Per-reducer row cap the salting plan targets. */
+  val SaltCap = 1000L
+
+  /** Skew salting plan — the PLANNING step ahead of q75's salted
+    * execution: from the key histogram, which keys overflow a
+    * [[SaltCap]]-row reducer and what salt fan-out each needs
+    * (factor = ⌈n/cap⌉, the per-salt load after splitting). Emitting
+    * the plan as data is how a pipeline framework decides
+    * per-key strategy (broadcast / salt-k / leave alone) instead of
+    * hardcoding one global knob.
+    *
+    * Shape for 100 TB: ONE partial-agged groupBy(key) histogram; the
+    * plan math is per-row arithmetic on the O(keys) aggregate. */
+  def q180SaltPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("n_rows"),
+        expr(s"(n_rows + $SaltCap - 1) div $SaltCap").as("salt_factor"))
+      .withColumn("rows_per_salt",
+        expr("(n_rows + salt_factor - 1) div salt_factor"))
+      .withColumn("needs_salt", col("salt_factor") > 1)
+      .orderBy(col("event_type"))
+
+  val q180Sql: String =
+    s"""SELECT event_type, count(*) AS n_rows,
+      |  (count(*) + $SaltCap - 1) // $SaltCap AS salt_factor,
+      |  (count(*) + ((count(*) + $SaltCap - 1) // $SaltCap) - 1)
+      |    // ((count(*) + $SaltCap - 1) // $SaltCap) AS rows_per_salt,
+      |  ((count(*) + $SaltCap - 1) // $SaltCap) > 1 AS needs_salt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q181
+  /** Zone-map block width (rows of the clustered key per block) and
+    * the audited predicate range. */
+  val ZoneRows = 256L
+  val ZonePredLo = 50000.0
+  val ZonePredHi = 100000.0
+
+  /** Zone-map skipping audit — the storage-layout math behind q58's
+    * partition pruning and q86's Z-order, made explicit: blocks of
+    * [[ZoneRows]] consecutive order keys carry (min, max) of
+    * o_totalprice; a range predicate can SKIP every block whose
+    * [min, max] misses it. Emits the per-block zone map with its hit
+    * flag — the spec and any reader can compute the skip ratio and
+    * compare layouts (price is uncorrelated with key order here, so
+    * hit rates are near 1: the measured argument FOR re-clustering
+    * by the predicate column).
+    *
+    * Shape for 100 TB: one partial-agged groupBy(block) over the
+    * scan — the same pass a writer makes when it collects footer
+    * statistics. */
+  def q181Zonemaps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(expr(s"o_orderkey div $ZoneRows").as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("o_totalprice")), 6).as("min_price"),
+        round(max(col("o_totalprice")), 6).as("max_price"))
+      .withColumn("hit",
+        col("max_price") >= ZonePredLo && col("min_price") <= ZonePredHi)
+      .orderBy(col("block"))
+
+  val q181Sql: String =
+    s"""SELECT o_orderkey // $ZoneRows AS block, count(*) AS n_rows,
+      |  round(min(o_totalprice), 6) AS min_price,
+      |  round(max(o_totalprice), 6) AS max_price,
+      |  (round(max(o_totalprice), 6) >= $ZonePredLo
+      |    AND round(min(o_totalprice), 6) <= $ZonePredHi) AS hit
+      |FROM orders GROUP BY 1 ORDER BY block""".stripMargin
+
+  // --------------------------------------------------------------- q182
+  /** Touch channels (the fixture's non-purchase event types), pinned
+    * like q51's pivot values so the report schema is static. */
+  val MarkovChannels = Seq("click", "error", "signup", "view")
+  /** Power-iteration budget for the absorbing-chain solve — far past
+    * convergence for a ≤7-state chain; both engines run EXACTLY this
+    * many rounds so they compare the same partial sums, not a
+    * convergence race. */
+  val MarkovIters = 24
+
+  /** Markov removal-effect attribution — the data-driven upgrade of
+    * q125's last-touch: user journeys (touches up to the first
+    * purchase) become a first-order Markov chain over
+    * START/channels/CONV/NULL; a channel's credit is how much the
+    * chain's START→CONV probability DROPS when the channel is removed
+    * (transitions into it re-routed to NULL — the standard removal
+    * effect), normalized into shares. The absorbing-chain probability
+    * is solved by [[MarkovIters]] unrolled power-iteration rounds.
+    *
+    * Shape for 100 TB: the corpus-scale work is journeys → transition
+    * counts (two per-user windows + a groupBy(src, dst)); the chain
+    * itself is O(channels²) — a bounded enum like q171's trace — so
+    * the solve runs driver-side on the collected matrix and the
+    * oracle replays every scenario's every round as CTEs. */
+  def q182MarkovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seqd = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("seq", row_number().over(byUser))
+    val pur = seqd.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("seq")).as("pseq"))
+    val byTouch = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+    val tch = seqd.join(pur, Seq("user_id"), "left")
+      .filter(col("event_type") =!= "purchase" &&
+        (col("pseq").isNull || col("seq") < col("pseq")))
+      .withColumn("tord", row_number().over(byTouch))
+      .withColumn("nxt", lead(col("event_type"), 1).over(byTouch))
+    val lab = seqd.select(col("user_id")).distinct()
+      .join(pur.select(col("user_id"), lit(1).as("hasp")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("hasp").isNotNull, "__conv__").otherwise("__null__").as("lab"))
+    val raw = tch.filter(col("tord") === 1)
+        .select(col("user_id"), lit("__start__").as("src"),
+          col("event_type").as("dst"))
+      .unionByName(tch.filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("event_type").as("src"), col("nxt").as("dst")))
+      .unionByName(tch.filter(col("nxt").isNull).join(lab, "user_id")
+        .select(col("user_id"), col("event_type").as("src"), col("lab").as("dst")))
+      .unionByName(lab
+        .join(tch.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+        .select(col("user_id"), lit("__start__").as("src"), col("lab").as("dst")))
+    val trans = raw.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    def solve(removed: Option[String]): Double = {
+      val t = trans.toSeq.flatMap { case ((s, d), c) =>
+        if (removed.contains(s)) None
+        else Some((s, if (removed.contains(d)) "__null__" else d, c))
+      }
+      val byS = t.groupBy(_._1)
+      val outs = byS.view.mapValues(_.map(_._3).sum.toDouble).toMap
+      val states = (t.map(_._1) ++ t.map(_._2)).distinct.sorted
+      var p = states.map(s => s -> (if (s == "__conv__") 1.0 else 0.0)).toMap
+      for (_ <- 1 to MarkovIters) {
+        p = states.map { s =>
+          s -> (s match {
+            case "__conv__" => 1.0
+            case "__null__" => 0.0
+            case _ => byS.get(s)
+              .map(_.map { case (_, d, c) => c / outs(s) * p(d) }.sum)
+              .getOrElse(0.0)
+          })
+        }.toMap
+      }
+      p.getOrElse("__start__", 0.0)
+    }
+    val base = solve(None)
+    val rows = MarkovChannels.map(c => (c, base, solve(Some(c))))
+    val tot = rows.map { case (_, b, r) => b - r }.sum
+    import spark.implicits._
+    val shareCol =
+      if (tot == 0.0) lit(null).cast("double")
+      else round((col("raw_base") - col("raw_removed")) / tot, 6)
+    rows.toDF("channel", "raw_base", "raw_removed")
+      .select(col("channel"), round(col("raw_base"), 6).as("base_pconv"),
+        round(col("raw_removed"), 6).as("removed_pconv"),
+        round(col("raw_base") - col("raw_removed"), 6).as("removal_effect"),
+        shareCol.as("share"))
+      .orderBy(col("channel"))
+  }
+
+  val q182Sql: String = {
+    val scens = None +: MarkovChannels.map(Some(_))
+    val sb = new StringBuilder
+    sb ++= s"""WITH ev AS (
+  SELECT user_id, event_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events),
+seqd AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS seq
+  FROM ev),
+pur AS (SELECT user_id, min(seq) AS pseq FROM seqd
+        WHERE event_type = 'purchase' GROUP BY user_id),
+tch AS (
+  SELECT s.user_id, s.event_type,
+    row_number() OVER (PARTITION BY s.user_id ORDER BY s.seq) AS tord,
+    lead(s.event_type) OVER (PARTITION BY s.user_id ORDER BY s.seq) AS nxt
+  FROM seqd s LEFT JOIN pur p ON s.user_id = p.user_id
+  WHERE s.event_type <> 'purchase' AND (p.pseq IS NULL OR s.seq < p.pseq)),
+lab AS (
+  SELECT u.user_id,
+    CASE WHEN p.user_id IS NULL THEN '__null__' ELSE '__conv__' END AS lab
+  FROM (SELECT DISTINCT user_id FROM seqd) u
+  LEFT JOIN pur p ON u.user_id = p.user_id),
+raw AS (
+  SELECT '__start__' AS src, event_type AS dst FROM tch WHERE tord = 1
+  UNION ALL
+  SELECT event_type, nxt FROM tch WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT t.event_type, l.lab FROM tch t JOIN lab l ON t.user_id = l.user_id
+  WHERE t.nxt IS NULL
+  UNION ALL
+  SELECT '__start__', l.lab FROM lab l
+  LEFT JOIN (SELECT DISTINCT user_id FROM tch) x ON l.user_id = x.user_id
+  WHERE x.user_id IS NULL),
+trans AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM raw GROUP BY src, dst),
+"""
+    scens.zipWithIndex.foreach { case (c, i) =>
+      val redirect = c.map(ch => s"CASE WHEN dst = '$ch' THEN '__null__' ELSE dst END")
+        .getOrElse("dst")
+      val filt = c.map(ch => s"WHERE src <> '$ch'").getOrElse("")
+      sb ++= s"""t_$i AS MATERIALIZED (SELECT src, $redirect AS dst, CAST(sum(cnt) AS DOUBLE) AS cnt
+  FROM trans $filt GROUP BY 1, 2),
+o_$i AS MATERIALIZED (SELECT src, sum(cnt) AS o FROM t_$i GROUP BY src),
+s_$i AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT src AS s FROM t_$i UNION ALL SELECT dst FROM t_$i)),
+p_${i}_0 AS (SELECT s, CASE WHEN s = '__conv__' THEN 1.0 ELSE 0.0 END AS p FROM s_$i),
+"""
+      for (k <- 1 to MarkovIters) {
+        sb ++= s"""p_${i}_$k AS MATERIALIZED (
+  SELECT st.s, CASE WHEN st.s = '__conv__' THEN 1.0 WHEN st.s = '__null__' THEN 0.0
+    ELSE coalesce((SELECT sum(t.cnt / o.o * pp.p)
+      FROM t_$i t JOIN o_$i o ON o.src = t.src JOIN p_${i}_${k - 1} pp ON pp.s = t.dst
+      WHERE t.src = st.s), 0.0) END AS p
+  FROM s_$i st),
+"""
+      }
+    }
+    val resRows = MarkovChannels.zipWithIndex.map { case (ch, j) =>
+      s"""  SELECT '$ch' AS channel,
+    (SELECT p FROM p_0_$MarkovIters WHERE s = '__start__') AS rb,
+    (SELECT p FROM p_${j + 1}_$MarkovIters WHERE s = '__start__') AS rr"""
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s"""res AS (
+$resRows),
+tot AS (SELECT sum(rb - rr) AS te FROM res)
+SELECT channel, round(rb, 6) AS base_pconv, round(rr, 6) AS removed_pconv,
+  round(rb - rr, 6) AS removal_effect,
+  round((rb - rr) / nullif((SELECT te FROM tot), 0), 6) AS share
+FROM res ORDER BY channel"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_markov_attribution" -> q182MarkovAttribution,
+    "q180_salt_plan" -> q180SaltPlan,
+    "q181_zonemaps" -> q181Zonemaps,
     "q178_rfm" -> q178Rfm,
     "q179_schema_merge" -> q179SchemaMerge,
     "q173_forecast_backtest" -> q173ForecastBacktest,
@@ -3914,6 +4151,9 @@ FROM cnt ORDER BY from_type, to_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q182_markov_attribution" -> q182Sql,
+    "q180_salt_plan" -> q180Sql,
+    "q181_zonemaps" -> q181Sql,
     "q178_rfm" -> q178Sql,
     "q179_schema_merge" -> q179Sql,
     "q173_forecast_backtest" -> q173Sql,
