@@ -727,6 +727,53 @@ object Graft {
     graft.ann.AnnQueries.pqFit(
       vecs.select(id.as("vec_id"), v.as("v")), dims, nSubs, k, iters, seed)
 
+  /** Markov removal-effect attribution on a caller event log (q182's
+    * engine): journeys up to the first `convType` event become a
+    * first-order chain; each reported channel's credit is the drop in
+    * absorbing conversion probability when it is removed. Returns
+    * (channel, base_pconv, removed_pconv, removal_effect, share). */
+  def markovAttribution(events: DataFrame, user: Column, ts: Column,
+                        id: Column, channel: Column, convType: String,
+                        channels: Seq[String], iters: Int = 24): DataFrame =
+    operators.Markov.removalEffects(events, user, ts, id, channel,
+      convType, channels, iters)
+
+  /** Per-group heavy hitters on caller frames (q167's engine): items
+    * whose count clears share 1/`den` of the group's mass (integer
+    * cross-multiplication) and a `minCount` floor. */
+  def heavyHitters(df: DataFrame, group: Column, item: Column,
+                   den: Long = 100L, minCount: Long = 5L): DataFrame = {
+    val cnt = df.select(group.as("grp"), item.as("item"))
+      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("grp")).agg(sum(col("cnt")).as("total"))
+    cnt.join(broadcast(tot), "grp")
+      .filter(col("cnt") * den >= col("total") && col("cnt") >= minCount)
+      .select(col("grp"), col("item"), col("cnt"), col("total"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+  }
+
+  /** Skew salting plan on a caller frame (q180's engine): per key, its
+    * row count, the salt fan-out ⌈n/cap⌉ and post-split load. */
+  def saltPlan(df: DataFrame, key: Column, cap: Long = 1000L): DataFrame =
+    df.select(key.as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("key"), col("n_rows"),
+        expr(s"(n_rows + $cap - 1) div $cap").as("salt_factor"))
+      .withColumn("rows_per_salt",
+        expr("(n_rows + salt_factor - 1) div salt_factor"))
+      .withColumn("needs_salt", col("salt_factor") > 1)
+
+  /** Zone-map audit on a caller frame (q181's engine): per `block`,
+    * (count, min, max) of `value` and whether a [lo, hi] range
+    * predicate could skip the block. */
+  def zoneMaps(df: DataFrame, block: Column, value: Column,
+               lo: Double, hi: Double): DataFrame =
+    df.select(block.as("block"), value.as("v"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))
+      .withColumn("hit", col("max_v") >= lo && col("min_v") <= hi)
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

@@ -3940,73 +3940,10 @@ FROM cnt ORDER BY from_type, to_type"""
     * itself is O(channels²) — a bounded enum like q171's trace — so
     * the solve runs driver-side on the collected matrix and the
     * oracle replays every scenario's every round as CTEs. */
-  def q182MarkovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val seqd = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .withColumn("seq", row_number().over(byUser))
-    val pur = seqd.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("seq")).as("pseq"))
-    val byTouch = Window.partitionBy(col("user_id")).orderBy(col("seq"))
-    val tch = seqd.join(pur, Seq("user_id"), "left")
-      .filter(col("event_type") =!= "purchase" &&
-        (col("pseq").isNull || col("seq") < col("pseq")))
-      .withColumn("tord", row_number().over(byTouch))
-      .withColumn("nxt", lead(col("event_type"), 1).over(byTouch))
-    val lab = seqd.select(col("user_id")).distinct()
-      .join(pur.select(col("user_id"), lit(1).as("hasp")), Seq("user_id"), "left")
-      .select(col("user_id"),
-        when(col("hasp").isNotNull, "__conv__").otherwise("__null__").as("lab"))
-    val raw = tch.filter(col("tord") === 1)
-        .select(col("user_id"), lit("__start__").as("src"),
-          col("event_type").as("dst"))
-      .unionByName(tch.filter(col("nxt").isNotNull)
-        .select(col("user_id"), col("event_type").as("src"), col("nxt").as("dst")))
-      .unionByName(tch.filter(col("nxt").isNull).join(lab, "user_id")
-        .select(col("user_id"), col("event_type").as("src"), col("lab").as("dst")))
-      .unionByName(lab
-        .join(tch.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
-        .select(col("user_id"), lit("__start__").as("src"), col("lab").as("dst")))
-    val trans = raw.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-
-    def solve(removed: Option[String]): Double = {
-      val t = trans.toSeq.flatMap { case ((s, d), c) =>
-        if (removed.contains(s)) None
-        else Some((s, if (removed.contains(d)) "__null__" else d, c))
-      }
-      val byS = t.groupBy(_._1)
-      val outs = byS.view.mapValues(_.map(_._3).sum.toDouble).toMap
-      val states = (t.map(_._1) ++ t.map(_._2)).distinct.sorted
-      var p = states.map(s => s -> (if (s == "__conv__") 1.0 else 0.0)).toMap
-      for (_ <- 1 to MarkovIters) {
-        p = states.map { s =>
-          s -> (s match {
-            case "__conv__" => 1.0
-            case "__null__" => 0.0
-            case _ => byS.get(s)
-              .map(_.map { case (_, d, c) => c / outs(s) * p(d) }.sum)
-              .getOrElse(0.0)
-          })
-        }.toMap
-      }
-      p.getOrElse("__start__", 0.0)
-    }
-    val base = solve(None)
-    val rows = MarkovChannels.map(c => (c, base, solve(Some(c))))
-    val tot = rows.map { case (_, b, r) => b - r }.sum
-    import spark.implicits._
-    val shareCol =
-      if (tot == 0.0) lit(null).cast("double")
-      else round((col("raw_base") - col("raw_removed")) / tot, 6)
-    rows.toDF("channel", "raw_base", "raw_removed")
-      .select(col("channel"), round(col("raw_base"), 6).as("base_pconv"),
-        round(col("raw_removed"), 6).as("removed_pconv"),
-        round(col("raw_base") - col("raw_removed"), 6).as("removal_effect"),
-        shareCol.as("share"))
-      .orderBy(col("channel"))
-  }
+  def q182MarkovAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Markov.removalEffects(Tables.events(spark, sfDir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      convType = "purchase", channels = MarkovChannels, iters = MarkovIters)
 
   val q182Sql: String = {
     val scens = None +: MarkovChannels.map(Some(_))

@@ -2153,7 +2153,112 @@ ORDER BY p.lang"""
       |  round(true_count + noise, 6) AS released
       |FROM noised ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  /** BPE merge-training rounds. */
+  val BpeRounds = 3
+
+  /** Byte-pair-encoding merge training — the first [[BpeRounds]]
+    * merges of the tokenizer-training loop (Sennrich et al. 2016):
+    * count adjacent symbol pairs weighted by word frequency, adopt the
+    * most frequent pair as a merge (ties → lexicographic), apply it
+    * greedily left-to-right to the vocabulary, repeat. Emits the merge
+    * table (round, pair, count) with the post-round distinct-symbol
+    * census — the artifact a tokenizer ships.
+    *
+    * The merge application is a left fold over each word's symbol
+    * list (`aggregate` HOF): merge when the accumulator's last symbol
+    * and the incoming one form the pair — exactly greedy non-
+    * overlapping left-to-right, which the oracle replays as a
+    * scan-based recursive CTE (consume two on match, one otherwise);
+    * the two formulations decide the identical positions.
+    *
+    * Shape for 100 TB: corpus-scale work is ONE wordcount; every
+    * round then runs on the VOCAB frame (BPE's standard optimization
+    * — distinct words, not corpus tokens): a map-side pair explode,
+    * a partial-agged pair count, a 1-row TakeOrdered merge pick, and
+    * a map-only fold rewrite. */
+  def q183BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    var vocab = graft.Checkpoints.deferUnpersist(
+      Tables.documents(spark, sfDir)
+        .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("syms",
+          expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .cache())
+    val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+        .collect().head
+      val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      val next = graft.Checkpoints.deferUnpersist(vocab.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>),
+           |  (acc, x) -> case
+           |    when size(acc) > 0 and element_at(acc, -1) = '$a' and x = '$b'
+           |    then concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+           |    else concat(acc, array(x)) end)""".stripMargin)).cache())
+      val nSyms = next.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s"))).first().getLong(0)
+      merges += ((r, a, b, a + b, pc, nSyms))
+      vocab = next
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("round", "lhs", "rhs", "merged", "pair_count", "n_symbols_after")
+      .orderBy(col("round"))
+  }
+
+  val q183Sql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE vocab0 AS MATERIALIZED (
+  SELECT t.tok AS word, count(*) AS cnt,
+    list_transform(range(1, length(t.tok) + 1), i -> t.tok[i]) AS syms
+  FROM documents, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t(tok)
+  GROUP BY t.tok),
+"""
+    for (r <- 1 to BpeRounds) {
+      val v = s"vocab${r - 1}"
+      sb ++= s"""pairs$r AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $v)
+  GROUP BY 1, 2),
+m$r AS MATERIALIZED (SELECT a, b, pc FROM pairs$r ORDER BY pc DESC, a, b LIMIT 1),
+r$r AS (
+  SELECT word, cnt, syms AS rem, CAST([] AS VARCHAR[]) AS done FROM $v
+  UNION ALL
+  SELECT word, cnt,
+    CASE WHEN len(rem) >= 2 AND rem[1] = (SELECT a FROM m$r) AND rem[2] = (SELECT b FROM m$r)
+         THEN rem[3:] ELSE rem[2:] END,
+    list_append(done,
+      CASE WHEN len(rem) >= 2 AND rem[1] = (SELECT a FROM m$r) AND rem[2] = (SELECT b FROM m$r)
+           THEN rem[1] || rem[2] ELSE rem[1] END)
+  FROM r$r WHERE len(rem) > 0),
+vocab$r AS MATERIALIZED (SELECT word, cnt, done AS syms FROM r$r WHERE len(rem) = 0),
+"""
+    }
+    val rows = (1 to BpeRounds).map { r =>
+      s"""  SELECT $r AS round, (SELECT a FROM m$r) AS left_s, (SELECT b FROM m$r) AS right_s,
+    (SELECT a FROM m$r) || (SELECT b FROM m$r) AS merged,
+    (SELECT pc FROM m$r) AS pair_count,
+    (SELECT count(DISTINCT s)
+     FROM (SELECT unnest(syms) AS s FROM vocab$r)) AS n_symbols_after"""
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s"""res AS (
+$rows)
+SELECT round, left_s AS lhs, right_s AS rhs, merged, pair_count,
+  n_symbols_after
+FROM res ORDER BY round"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_bpe_merges" -> q183BpeMerges,
     "q176_dp_release" -> q176DpRelease,
     "q167_heavy_hitters" -> q167HeavyHitters,
     "q162_zipf" -> q162Zipf,
@@ -2193,6 +2298,7 @@ ORDER BY p.lang"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q183_bpe_merges" -> q183Sql,
     "q176_dp_release" -> q176Sql,
     "q167_heavy_hitters" -> q167Sql,
     "q162_zipf" -> q162Sql,

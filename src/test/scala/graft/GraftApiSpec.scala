@@ -289,6 +289,36 @@ class GraftApiSpec extends GraftSpec {
     }
   }
 
+  test("ops facade: heavyHitters, saltPlan, zoneMaps on caller frames") {
+    val df = (Seq.fill(60)(("g1", "hot")) ++ Seq(("g1", "cold"), ("g2", "x"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "y")))
+      .toDF("g", "it")
+    val hh = Graft.heavyHitters(df, col("g"), col("it"), den = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hh === Map(("g1", "hot") -> 60L, ("g2", "x") -> 5L))
+    val sp = Graft.saltPlan(df, col("g"), cap = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(sp("g1") === ((7L, true)) && sp("g2") === ((1L, false)))
+    val zm = Graft.zoneMaps(
+      (1 to 100).map(i => (i / 50, i.toDouble)).toDF("b", "v"),
+      col("b"), col("v"), lo = 60.0, hi = 80.0).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(4)).toMap
+    // block 2 holds only v=100 — outside [60, 80], so it is skippable
+    assert(zm === Map(0 -> false, 1 -> true, 2 -> false))
+  }
+
+  test("markov facade: single-channel chain gets all the credit") {
+    // u1: a -> conv ; u2: a -> null  => removing 'a' kills all conversion
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "buy"),
+      (2L, 1L, 3L, "a")).toDF("u", "t", "i", "ty")
+    val m = Graft.markovAttribution(ev, col("u"), col("t"), col("i"),
+      col("ty"), convType = "buy", channels = Seq("a"), iters = 8)
+      .collect().head
+    assert(math.abs(m.getDouble(1) - 0.5) < 1e-9) // base P(conv) = 1/2
+    assert(math.abs(m.getDouble(2)) < 1e-9) // removed -> 0
+    assert(math.abs(m.getDouble(4) - 1.0) < 1e-9) // full share
+  }
+
   test("graph facade: bowtie classifies a caller graph") {
     val edges = Seq("a" -> "b", "b" -> "a", "i" -> "a", "b" -> "o")
       .toDF("s", "d")
