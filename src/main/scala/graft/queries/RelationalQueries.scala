@@ -4017,7 +4017,136 @@ FROM res ORDER BY channel"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q184
+  /** ORC round-trip census — the second columnar format a warehouse
+    * speaks (Spark bundles native ORC vectorized read/write): events
+    * written as ORC, read back, and fingerprinted per type with the
+    * q122 checksum discipline (mod-sum timestamps, decimal value sums,
+    * hashed payloads). DuckDB cannot read ORC, so — like q179 — the
+    * oracle recomputes the census from the SOURCE table: equality
+    * proves the round trip preserved every row and value.
+    *
+    * Shape for 100 TB: one write pass, one scan + partial-agged
+    * census; ORC predicate pushdown and column pruning apply to the
+    * read-back exactly as parquet's do. */
+  def q184OrcIo(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q184_")
+    val dir = tmp.resolve("events_orc").toString
+    ev.write.mode("overwrite").orc(dir)
+    val res = spark.read.orc(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("ts % 1000000007")).as("ts_mod_sum"),
+        asD(dsum(col("value"))).as("total_value"),
+        sum(MF.hash32(col("props"))).as("props_checksum"))
+      .orderBy(col("event_type"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q184Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(epoch_ns(ts) % 1000000007) AS BIGINT) AS ts_mod_sum,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+      |  CAST(sum(${graft.oracle.Sql.hash32OfHex("md5(props)")}) AS BIGINT) AS props_checksum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q185
+  /** Distributed ordinary least squares — price ~ quantity + discount
+    * over lineitem, the regression primitive an analytics engine must
+    * run without collecting the data: ALL corpus-scale work is ONE
+    * partial-agged pass accumulating the 10 second-order moments
+    * (each per-row product rounded to the 1e-6 grid and summed as
+    * DECIMAL(38,6), so both engines hold bit-identical moments); the
+    * 3×3 normal equations then solve by Cramer's rule as scalar
+    * expressions on the 1-row moment frame — identical formula text
+    * in both engines, so the solve is deterministic too. Emits
+    * coefficients, R² and RMSE.
+    *
+    * Shape for 100 TB: one scan, one 1-row aggregate, O(k³) scalar
+    * math. The k-feature generalization keeps the same shape (k²
+    * moments, driver-bounded solve). */
+  def q185Ols(spark: SparkSession, sfDir: String): DataFrame = {
+    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      col("l_extendedprice").as("y"))
+    val m = li.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(g(col("x1"))).cast("double").as("sx1"),
+      sum(g(col("x2"))).cast("double").as("sx2"),
+      sum(g(col("y"))).cast("double").as("sy"),
+      sum(g(col("x1") * col("x1"))).cast("double").as("sx11"),
+      sum(g(col("x1") * col("x2"))).cast("double").as("sx12"),
+      sum(g(col("x2") * col("x2"))).cast("double").as("sx22"),
+      sum(g(col("x1") * col("y"))).cast("double").as("sx1y"),
+      sum(g(col("x2") * col("y"))).cast("double").as("sx2y"),
+      sum(g(col("y") * col("y"))).cast("double").as("syy"))
+    m.select(col("n").cast("long").as("n_rows"),
+        expr(OlsExprs("b0")).as("b0_raw"), expr(OlsExprs("b1")).as("b1_raw"),
+        expr(OlsExprs("b2")).as("b2_raw"),
+        col("sy"), col("sx1y"), col("sx2y"), col("syy"), col("n"))
+      .select(col("n_rows"),
+        round(col("b0_raw"), 6).as("intercept"),
+        round(col("b1_raw"), 6).as("b_quantity"),
+        round(col("b2_raw"), 6).as("b_discount"),
+        round(lit(1.0) -
+          (col("syy") - col("b0_raw") * col("sy") - col("b1_raw") * col("sx1y")
+            - col("b2_raw") * col("sx2y"))
+          / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"),
+        round(sqrt(
+          (col("syy") - col("b0_raw") * col("sy") - col("b1_raw") * col("sx1y")
+            - col("b2_raw") * col("sx2y")) / col("n")), 6).as("rmse"))
+  }
+
+  /** Cramer's-rule solve of the 3×3 normal equations, as SQL text
+    * shared verbatim by the Spark `expr` and the DuckDB oracle so both
+    * engines evaluate the identical double arithmetic. */
+  private val OlsDet =
+    "(n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2))"
+  private val OlsExprs: Map[String, String] = Map(
+    "b0" -> s"(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)) / $OlsDet",
+    "b1" -> s"(n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)) / $OlsDet",
+    "b2" -> s"(n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)) / $OlsDet")
+
+  val q185Sql: String =
+    s"""WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+      |    CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx11,
+      |    CAST(sum(CAST(round(l_quantity * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx12,
+      |    CAST(sum(CAST(round(l_discount * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx22,
+      |    CAST(sum(CAST(round(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx1y,
+      |    CAST(sum(CAST(round(l_discount * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx2y,
+      |    CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT n, sy, sx1y, sx2y, syy,
+      |    ${OlsExprs("b0")} AS b0_raw,
+      |    ${OlsExprs("b1")} AS b1_raw,
+      |    ${OlsExprs("b2")} AS b2_raw
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round(b0_raw, 6) AS intercept,
+      |  round(b1_raw, 6) AS b_quantity,
+      |  round(b2_raw, 6) AS b_discount,
+      |  round(1.0 - (syy - b0_raw * sy - b1_raw * sx1y - b2_raw * sx2y)
+      |    / (syy - sy * sy / n), 6) AS r2,
+      |  round(sqrt((syy - b0_raw * sy - b1_raw * sx1y - b2_raw * sx2y) / n), 6) AS rmse
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_orc_io" -> q184OrcIo,
+    "q185_ols" -> q185Ols,
     "q182_markov_attribution" -> q182MarkovAttribution,
     "q180_salt_plan" -> q180SaltPlan,
     "q181_zonemaps" -> q181Zonemaps,
@@ -4088,6 +4217,8 @@ FROM res ORDER BY channel"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q184_orc_io" -> q184Sql,
+    "q185_ols" -> q185Sql,
     "q182_markov_attribution" -> q182Sql,
     "q180_salt_plan" -> q180Sql,
     "q181_zonemaps" -> q181Sql,
