@@ -4144,7 +4144,228 @@ FROM res ORDER BY channel"""
       |  round(sqrt((syy - b0_raw * sy - b1_raw * sx1y - b2_raw * sx2y) / n), 6) AS rmse
       |FROM b""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  /** IRLS round budget for the logistic fit. */
+  val LogregIters = 3
+
+  /** Per-user (activity, converted) training frame shared by the
+    * q186/q187/q188 model rows — q155's outcome over q156's
+    * predictor. */
+  private def labeledUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1.0).otherwise(0.0))
+          .as("y"))
+
+  private val labeledUsersSql: String =
+    s"""per_user AS MATERIALIZED (
+       |  SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
+       |    max(CASE WHEN event_type = 'purchase'
+       |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+       |             THEN 1.0 ELSE 0.0 END) AS y
+       |  FROM events GROUP BY user_id)""".stripMargin
+
+  /** Distributed logistic regression (conversion ~ activity) by
+    * [[LogregIters]] IRLS/Newton rounds — the GLM primitive beside
+    * q185's OLS: each round is ONE partial-agged pass accumulating the
+    * five weighted working-response moments (per-row terms on the
+    * 1e-6 grid, DECIMAL(38,6) sums — bit-identical in both engines),
+    * and the 2×2 weighted normal equations solve as scalar expressions
+    * with formula text shared verbatim with the oracle. The
+    * coefficient state rides a 1-row broadcast frame — no driver
+    * round-trip inside the loop. Emits coefficients, mean log-loss and
+    * 0.5-threshold accuracy from one final scoring pass.
+    *
+    * Shape for 100 TB: iters+1 scans, each a map-side expression +
+    * 1-row aggregate; nothing else. */
+  def q186Logreg(spark: SparkSession, sfDir: String): DataFrame = {
+    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    val base = graft.Checkpoints.deferUnpersist(
+      labeledUsers(spark, sfDir).cache())
+    var coef = spark.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (_ <- 1 to LogregIters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))
+      val w = p * (lit(1.0) - p)
+      val z = (col("b0") + col("b1") * col("x")) + (col("y") - p) / w
+      val m = base.crossJoin(broadcast(coef))
+        .agg(sum(g(w)).cast("double").as("sw"),
+          sum(g(w * col("x"))).cast("double").as("swx"),
+          sum(g(w * col("x") * col("x"))).cast("double").as("swxx"),
+          sum(g(w * z)).cast("double").as("swz"),
+          sum(g(w * col("x") * z)).cast("double").as("swxz"))
+      coef = m.select(
+        expr(LogregB1).as("b1"),
+        expr(s"(swz - ($LogregB1) * swx) / sw").as("b0"))
+        .select(col("b0"), col("b1"))
+        .localCheckpoint() // 1 row; keeps the loop plan shallow
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))
+    base.crossJoin(broadcast(coef))
+      .agg(count(lit(1)).as("n_users"),
+        max(col("b0")).as("b0r"), max(col("b1")).as("b1r"),
+        sum(g(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))))
+          .cast("double").as("llsum"),
+        sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("hits"))
+      .select(col("n_users"),
+        round(col("b0r"), 6).as("intercept"),
+        round(col("b1r"), 6).as("b_activity"),
+        round(col("llsum") / col("n_users"), 6).as("mean_logloss"),
+        round(col("hits").cast("double") / col("n_users"), 6).as("accuracy"))
+  }
+
+  /** 2×2 weighted-normal-equation slope, shared verbatim with the
+    * oracle. */
+  private val LogregB1 = "(sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+
+  val q186Sql: String = {
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    val sb = new StringBuilder
+    sb ++= s"WITH $labeledUsersSql,\nc0 AS (SELECT 0.0 AS b0, 0.0 AS b1),\n"
+    for (k <- 1 to LogregIters) {
+      val p = s"(1.0 / (1.0 + exp(-(c.b0 + c.b1 * u.x))))"
+      val w = s"($p * (1.0 - $p))"
+      val z = s"((c.b0 + c.b1 * u.x) + (u.y - $p) / $w)"
+      sb ++= s"""m$k AS (
+  SELECT CAST(sum(${gs(w)}) AS DOUBLE) AS sw,
+    CAST(sum(${gs(s"$w * u.x")}) AS DOUBLE) AS swx,
+    CAST(sum(${gs(s"$w * u.x * u.x")}) AS DOUBLE) AS swxx,
+    CAST(sum(${gs(s"$w * $z")}) AS DOUBLE) AS swz,
+    CAST(sum(${gs(s"$w * u.x * $z")}) AS DOUBLE) AS swxz
+  FROM per_user u CROSS JOIN c${k - 1} c),
+c$k AS (SELECT (swz - ($LogregB1) * swx) / sw AS b0, $LogregB1 AS b1 FROM m$k),
+"""
+    }
+    val p = s"(1.0 / (1.0 + exp(-(c.b0 + c.b1 * u.x))))"
+    sb ++= s"""fin AS (
+  SELECT count(*) AS n_users, max(c.b0) AS b0r, max(c.b1) AS b1r,
+    CAST(sum(${gs(s"-(u.y * ln($p) + (1.0 - u.y) * ln(1.0 - $p))")}) AS DOUBLE) AS llsum,
+    CAST(sum(CASE WHEN ($p >= 0.5) = (u.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM per_user u CROSS JOIN c$LogregIters c)
+SELECT n_users, round(b0r, 6) AS intercept, round(b1r, 6) AS b_activity,
+  round(llsum / n_users, 6) AS mean_logloss,
+  round(CAST(hits AS DOUBLE) / n_users, 6) AS accuracy
+FROM fin"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q187
+  /** Decision-stump split finder — the inner loop of tree/GBDT
+    * training run as a distributed operator: over the (activity,
+    * converted) frame, evaluate EVERY candidate threshold's weighted
+    * Gini gain from the score histogram's cumulative sums (q161's
+    * pattern — a window over O(distinct scores) rows, never a per-row
+    * sort) and emit the best split with both leaves' statistics.
+    * Ties on gain break toward the smaller threshold; all inputs are
+    * integer counts so the gain arithmetic is exact-rational in both
+    * engines.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user), one
+    * groupBy(score) histogram, a tiny cumulative window, a 1-row
+    * TakeOrdered. */
+  def q187Stump(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = labeledUsers(spark, sfDir)
+      .groupBy(col("x")).agg(sum(col("y")).cast("long").as("pos"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    val cum = hist
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // a split must leave both sides non-empty
+    def gini(p: Column, n: Column): Column =
+      lit(2.0) * (p.cast("double") / n) * (lit(1.0) - p.cast("double") / n)
+    val gainCol = gini(col("pt"), col("nt")) -
+      (col("nl").cast("double") / col("nt")) * gini(col("pl"), col("nl")) -
+      ((col("nt") - col("nl")).cast("double") / col("nt")) *
+        gini(col("pt") - col("pl"), col("nt") - col("nl"))
+    cum.select(col("x").as("split_x"), col("nl").as("n_left"),
+        (col("nt") - col("nl")).as("n_right"), col("pl").as("pos_left"),
+        (col("pt") - col("pl")).as("pos_right"),
+        round(gainCol, 6).as("gini_gain"),
+        round(col("pl").cast("double") / col("nl"), 6).as("rate_left"),
+        round((col("pt") - col("pl")).cast("double") / (col("nt") - col("nl")), 6)
+          .as("rate_right"))
+      .orderBy(col("gini_gain").desc, col("split_x")).limit(1)
+  }
+
+  val q187Sql: String =
+    s"""WITH $labeledUsersSql,
+      |hist AS (
+      |  SELECT x, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+      |  FROM per_user GROUP BY x),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM hist),
+      |cum AS (
+      |  SELECT x, CAST(sum(n) OVER win AS BIGINT) AS nl,
+      |    CAST(sum(pos) OVER win AS BIGINT) AS pl, nt, pt
+      |  FROM hist CROSS JOIN tot
+      |  WINDOW win AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT x AS split_x, nl AS n_left, nt - nl AS n_right,
+      |  pl AS pos_left, pt - pl AS pos_right,
+      |  round((2.0 * (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt))
+      |    - (CAST(nl AS DOUBLE) / nt) * (2.0 * (CAST(pl AS DOUBLE) / nl) * (1.0 - CAST(pl AS DOUBLE) / nl))
+      |    - (CAST(nt - nl AS DOUBLE) / nt) * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))), 6) AS gini_gain,
+      |  round(CAST(pl AS DOUBLE) / nl, 6) AS rate_left,
+      |  round(CAST(pt - pl AS DOUBLE) / (nt - nl), 6) AS rate_right
+      |FROM cum WHERE nl < nt
+      |ORDER BY gini_gain DESC, split_x LIMIT 1""".stripMargin
+
+  // --------------------------------------------------------------- q188
+  /** Precision-recall sweep — the threshold-tuning curve for the
+    * activity predictor (predict positive when x > t): one row per
+    * candidate threshold with tp/fp/fn, precision, recall and F1, all
+    * from the score histogram's from-the-top cumulative sums (exact
+    * integers; q161's no-global-sort shape). The consumer picks an
+    * operating point (max F1, precision floor, …) from the curve —
+    * the spec asserts the max-F1 point as the canonical read. */
+  def q188PrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = labeledUsers(spark, sfDir)
+      .groupBy(col("x")).agg(sum(col("y")).cast("long").as("pos"),
+        count(lit(1)).as("n"))
+    val above = Window.orderBy(col("x"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tot = hist.agg(sum(col("pos")).as("pt"))
+    hist
+      .withColumn("tp", coalesce(sum(col("pos")).over(above), lit(0L)))
+      .withColumn("pp", coalesce(sum(col("n")).over(above), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("x").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"), (col("pt") - col("tp")).as("fn"),
+        when(col("pp") > 0, round(col("tp").cast("double") / col("pp"), 6))
+          .as("precision"),
+        round(col("tp").cast("double") / col("pt"), 6).as("recall"),
+        when(col("tp") > 0, round(
+          lit(2.0) * col("tp") / (lit(2.0) * col("tp") + (col("pp") - col("tp"))
+            + (col("pt") - col("tp"))), 6)).otherwise(0.0).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  val q188Sql: String =
+    s"""WITH $labeledUsersSql,
+      |hist AS (
+      |  SELECT x, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+      |  FROM per_user GROUP BY x),
+      |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pt FROM hist),
+      |cum AS (
+      |  SELECT x, CAST(coalesce(sum(pos) OVER above, 0) AS BIGINT) AS tp,
+      |    CAST(coalesce(sum(n) OVER above, 0) AS BIGINT) AS pp, pt
+      |  FROM hist CROSS JOIN tot
+      |  WINDOW above AS (ORDER BY x ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT x AS threshold, tp, pp - tp AS fp, pt - tp AS fn,
+      |  (CASE WHEN pp > 0 THEN round(CAST(tp AS DOUBLE) / pp, 6) END) AS precision,
+      |  round(CAST(tp AS DOUBLE) / pt, 6) AS recall,
+      |  (CASE WHEN tp > 0
+      |        THEN round(2.0 * tp / (2.0 * tp + (pp - tp) + (pt - tp)), 6)
+      |        ELSE 0.0 END) AS f1
+      |FROM cum ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_logreg" -> q186Logreg,
+    "q187_stump" -> q187Stump,
+    "q188_pr_curve" -> q188PrCurve,
     "q184_orc_io" -> q184OrcIo,
     "q185_ols" -> q185Ols,
     "q182_markov_attribution" -> q182MarkovAttribution,
@@ -4217,6 +4438,9 @@ FROM res ORDER BY channel"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q186_logreg" -> q186Sql,
+    "q187_stump" -> q187Sql,
+    "q188_pr_curve" -> q188Sql,
     "q184_orc_io" -> q184Sql,
     "q185_ols" -> q185Sql,
     "q182_markov_attribution" -> q182Sql,
