@@ -866,7 +866,84 @@ FROM a${PqIters + 1} GROUP BY m, cid ORDER BY m, cid"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q190
+  /** Embedding-space class separability — the representation-quality
+    * report run before training on (or retrieving with) an embedding
+    * column: per label, the mean cosine of members to their OWN
+    * centroid (cohesion) vs the mean pairwise cosine between DISTINCT
+    * centroids (global confusion), and the margin between the two. A
+    * collapsing embedding (margin → 0) fails retrieval and triplet
+    * mining no matter how good the downstream model is — this row is
+    * the early warning. Centroid components land on the 1e-6 grid
+    * (q36's fence) and member cosines are grid-rounded before the
+    * decimal mean, so both engines agree exactly.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(label) with 64
+    * algebraic sums builds the centroids; members join them broadcast;
+    * the inter-centroid pass is O(labels²) on a tiny frame. */
+  def q190ClassSeparability(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), VF.toDouble(col("embedding")).as("v"))
+    val cents = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (1 to Dims).map(i => sum(element_at(col("v"), i)).as(s"s$i")): _*)
+      .select(col("label"), col("n_vecs"),
+        array((1 to Dims).map(i => round(col(s"s$i") / col("n_vecs"), 6)): _*)
+          .as("cv"))
+      .withColumn("cn", VF.norm(col("cv")))
+    intraFrame(e, cents)
+  }
+
+  /** Cohesion/confusion aggregation of q190 (split out for
+    * readability). */
+  private def intraFrame(e: DataFrame, cents: DataFrame): DataFrame = {
+    def gd(c: Column) = round(c, 6).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val intra = e.join(broadcast(cents), "label")
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        sum(gd(VF.cosineByNorm(col("v"), col("cv"), VF.norm(col("v")), col("cn"))))
+          .cast("double").as("cs"))
+      .select(col("label"), col("n_vecs"),
+        round(col("cs") / col("n_vecs"), 6).as("intra_cos"))
+    val pairs = cents.select(col("label").as("la"), col("cv").as("ca"), col("cn").as("na"))
+      .crossJoin(broadcast(cents.select(col("label").as("lb"), col("cv").as("cb"),
+        col("cn").as("nb"))))
+      .filter(col("la") < col("lb"))
+      .agg(sum(gd(VF.cosineByNorm(col("ca"), col("cb"), col("na"), col("nb"))))
+        .cast("double").as("ss"), count(lit(1)).as("np"))
+      .select(round(col("ss") / col("np"), 6).as("inter_cos"))
+    intra.crossJoin(broadcast(pairs))
+      .select(col("label"), col("n_vecs"), col("intra_cos"), col("inter_cos"),
+        round(col("intra_cos") - col("inter_cos"), 6).as("margin"))
+      .orderBy(col("label"))
+  }
+
+  val q190Sql: String = {
+    val meanList = (1 to Dims).map(i => s"round(sum(v[$i]) / count(*), 6)")
+      .mkString("[", ", ", "]")
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    s"""WITH $vecsCte,
+el AS (SELECT e.vec_id, e.v, e.nrm, m.label FROM ed e JOIN embeddings m USING (vec_id)),
+cents AS MATERIALIZED (
+  SELECT label, count(*) AS n_vecs, $meanList AS cv
+  FROM el GROUP BY label),
+cn AS MATERIALIZED (SELECT label, n_vecs, cv, ${Sql.listNorm("cv")} AS cnn FROM cents),
+intra AS (
+  SELECT e.label, max(c.n_vecs) AS n_vecs,
+    CAST(sum(${gs(Sql.listCosineByNorm("e.v", "c.cv", "e.nrm", "c.cnn"))}) AS DOUBLE) AS cs
+  FROM el e JOIN cn c ON e.label = c.label GROUP BY e.label),
+inter AS (
+  SELECT CAST(sum(${gs(Sql.listCosineByNorm("a.cv", "b.cv", "a.cnn", "b.cnn"))}) AS DOUBLE) AS ss,
+    count(*) AS np
+  FROM cn a JOIN cn b ON a.label < b.label)
+SELECT i.label, i.n_vecs, round(i.cs / i.n_vecs, 6) AS intra_cos,
+  round(x.ss / x.np, 6) AS inter_cos,
+  round(round(i.cs / i.n_vecs, 6) - round(x.ss / x.np, 6), 6) AS margin
+FROM intra i CROSS JOIN inter x ORDER BY i.label"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_class_separability" -> q190ClassSeparability,
     "q166_pq" -> q166Pq,
     "q160_ndcg" -> q160Ndcg,
     "q131_triplets" -> q131Triplets,
@@ -879,6 +956,7 @@ FROM a${PqIters + 1} GROUP BY m, cid ORDER BY m, cid"""
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q190_class_separability" -> q190Sql,
     "q166_pq" -> q166Sql,
     "q160_ndcg" -> q160Sql,
     "q131_triplets" -> q131Sql,

@@ -4362,7 +4362,217 @@ FROM fin"""
       |        ELSE 0.0 END) AS f1
       |FROM cum ORDER BY threshold""".stripMargin
 
+  // --------------------------------------------------------------- q189
+  /** ALS geometry: rank-2 factors, ridge λ, deterministic hash init. */
+  val AlsLambda = 0.1
+  val AlsSeedA = 11
+  val AlsSeedB = 12
+
+  /** ALS matrix-factorization sweep — one full alternating round of
+    * the classic recommender factorization (Koren et al.; Spark's own
+    * mllib ALS is this loop at rank 10–200) over the (customer, part,
+    * quantity) interaction matrix, rank 2: with item factors fixed,
+    * every user's ridge normal equations solve in CLOSED FORM (2×2
+    * Cramer as expressions — per-row outer-product terms on the 1e-6
+    * grid, DECIMAL sums per user, formula text shared verbatim with
+    * the oracle); then the symmetric item update against the new user
+    * factors; finally the fit report (n, entities, RMSE after the
+    * user half-step and after the full sweep).
+    *
+    * Shape for 100 TB: two shuffle-on-key aggregations (by user, then
+    * by item) and two scoring joins — exactly the data movement one
+    * distributed ALS round costs; factors are (entity, f1, f2) rows,
+    * never a dense matrix. */
+  def q189AlsSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    def asDbl(c: Column) = c.cast("double")
+    val inter = graft.Checkpoints.deferUnpersist(
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").as("r"))
+        .cache())
+    def initF(id: Column, seed: Int): Column =
+      lit(0.5) + pmod(graft.functions.MathFunctions.universalHash(id, seed),
+        lit(1000L)).cast("double") / 2000.0
+    val vi = inter.select(col("i")).distinct()
+      .select(col("i"), initF(col("i"), AlsSeedA).as("f1"),
+        initF(col("i"), AlsSeedB).as("f2"))
+    // half-step 1: users from fixed items
+    def solveSide(joined: DataFrame, key: String): DataFrame =
+      joined
+        .groupBy(col(key))
+        .agg(sum(g(col("f1") * col("f1"))).as("a11d"),
+          sum(g(col("f1") * col("f2"))).as("a12d"),
+          sum(g(col("f2") * col("f2"))).as("a22d"),
+          sum(g(col("r") * col("f1"))).as("b1d"),
+          sum(g(col("r") * col("f2"))).as("b2d"))
+        .select(col(key), asDbl(col("a11d")).as("a11"),
+          asDbl(col("a12d")).as("a12"), asDbl(col("a22d")).as("a22"),
+          asDbl(col("b1d")).as("b1"), asDbl(col("b2d")).as("b2"))
+        .select(col(key), expr(AlsF1).as("f1"), expr(AlsF2).as("f2"))
+    val uf = graft.Checkpoints.deferUnpersist(
+      solveSide(inter.join(vi, "i"), "u").cache())
+    // half-step 2: items from the new users
+    val vf = graft.Checkpoints.deferUnpersist(solveSide(
+      inter.join(uf.select(col("u"), col("f1"), col("f2")), "u"), "i").cache())
+    val half = inter
+      .join(uf.select(col("u"), col("f1").as("uf1"), col("f2").as("uf2")), "u")
+      .join(vi.select(col("i"), col("f1").as("if1"), col("f2").as("if2")), "i")
+      .agg(sum(g((col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))
+        * (col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))))
+        .cast("double").as("se_half"), count(lit(1)).as("n1"))
+    val full = inter
+      .join(uf.select(col("u"), col("f1").as("uf1"), col("f2").as("uf2")), "u")
+      .join(vf.select(col("i"), col("f1").as("if1"), col("f2").as("if2")), "i")
+      .agg(sum(g((col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))
+        * (col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))))
+        .cast("double").as("se_full"), count(lit(1)).as("n2"))
+    val cnts = inter.agg(count(lit(1)).as("n_interactions"),
+      countDistinct(col("u")).as("n_users"), countDistinct(col("i")).as("n_items"))
+    cnts.crossJoin(half).crossJoin(full)
+      .select(col("n_interactions"), col("n_users"), col("n_items"),
+        round(sqrt(col("se_half") / col("n1")), 6).as("rmse_half"),
+        round(sqrt(col("se_full") / col("n2")), 6).as("rmse_full"))
+  }
+
+  /** Ridge 2×2 closed form, shared verbatim with the oracle:
+    * (λI + A) f = b. */
+  private val AlsDet =
+    s"((${AlsLambda} + a11) * (${AlsLambda} + a22) - a12 * a12)"
+  private val AlsF1 = s"((${AlsLambda} + a22) * b1 - a12 * b2) / $AlsDet"
+  private val AlsF2 = s"((${AlsLambda} + a11) * b2 - a12 * b1) / $AlsDet"
+
+  val q189Sql: String = {
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    def initF(id: String, seed: Int) =
+      s"(0.5 + CAST(${graft.oracle.Sql.universalHash(id, seed)} % 1000 AS DOUBLE) / 2000.0)"
+    def solve(src: String, key: String) =
+      s"""SELECT $key,
+  ($AlsF1) AS f1, ($AlsF2) AS f2 FROM (
+  SELECT $key,
+    CAST(sum(${gs("f1 * f1")}) AS DOUBLE) AS a11,
+    CAST(sum(${gs("f1 * f2")}) AS DOUBLE) AS a12,
+    CAST(sum(${gs("f2 * f2")}) AS DOUBLE) AS a22,
+    CAST(sum(${gs("r * f1")}) AS DOUBLE) AS b1,
+    CAST(sum(${gs("r * f2")}) AS DOUBLE) AS b2
+  FROM $src GROUP BY $key)"""
+    s"""WITH inter AS MATERIALIZED (
+  SELECT o.o_custkey AS u, l.l_partkey AS i, l.l_quantity AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+vi AS MATERIALIZED (
+  SELECT i, ${initF("i", AlsSeedA)} AS f1, ${initF("i", AlsSeedB)} AS f2
+  FROM (SELECT DISTINCT i FROM inter)),
+uf AS MATERIALIZED (
+  ${solve("(SELECT t.u, t.r, v.f1, v.f2 FROM inter t JOIN vi v ON t.i = v.i)", "u")}),
+vf AS MATERIALIZED (
+  ${solve("(SELECT t.i, t.r, x.f1, x.f2 FROM inter t JOIN uf x ON t.u = x.u)", "i")}),
+half AS (
+  SELECT CAST(sum(${gs("(t.r - (x.f1 * v.f1 + x.f2 * v.f2)) * (t.r - (x.f1 * v.f1 + x.f2 * v.f2))")}) AS DOUBLE) AS se, count(*) AS n
+  FROM inter t JOIN uf x ON t.u = x.u JOIN vi v ON t.i = v.i),
+me AS (
+  SELECT CAST(sum(${gs("(t.r - (x.f1 * v.f1 + x.f2 * v.f2)) * (t.r - (x.f1 * v.f1 + x.f2 * v.f2))")}) AS DOUBLE) AS se, count(*) AS n
+  FROM inter t JOIN uf x ON t.u = x.u JOIN vf v ON t.i = v.i),
+cnts AS (
+  SELECT count(*) AS n_interactions, count(DISTINCT u) AS n_users,
+    count(DISTINCT i) AS n_items FROM inter)
+SELECT c.n_interactions, c.n_users, c.n_items,
+  round(sqrt(h.se / h.n), 6) AS rmse_half,
+  round(sqrt(m.se / m.n), 6) AS rmse_full
+FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q191
+  /** Centered moving-average half-width for the trend pass (±12 h
+    * around each hour — one diurnal period of smoothing). */
+  val StlHalf = 12
+
+  /** STL-lite seasonal decomposition — the hourly event series split
+    * into trend + seasonal + residual the classical way: trend = the
+    * centered ±[[StlHalf]]-hour moving average (only hours with a FULL
+    * window keep a trend — edge hours are excluded, the textbook
+    * rule); seasonal = the per-hour-of-day mean of the detrended
+    * series; residual = what remains. Emits the 24-row seasonal
+    * profile with the shared variance split (detrended vs residual)
+    * and seasonal strength 1 − var(resid)/var(detrended) — q121
+    * reports the strength METRIC, this exposes the decomposition
+    * itself (what a forecaster or anomaly detector consumes).
+    *
+    * Shape for 100 TB: one partial-agged groupBy(hour) collapses the
+    * corpus; every window/mean after that runs on the O(hours)
+    * series. */
+  def q191StlLite(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = Tables.events(spark, sfDir)
+      .select(expr("ts div 3600000000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("double").as("y"))
+    val w = Window.orderBy(col("h")).rowsBetween(-StlHalf, StlHalf)
+    val trended = series
+      .withColumn("trend", round(avg(col("y")).over(w), 6))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 2 * StlHalf + 1)
+      .withColumn("det", col("y") - col("trend"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val seasonal = trended.groupBy(col("hod"))
+      .agg(round(avg(col("det")), 6).as("seasonal"), count(lit(1)).as("n_obs"))
+    def gq(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    val stats = trended.join(broadcast(seasonal), "hod")
+      .withColumn("resid", col("det") - col("seasonal"))
+      .agg(count(lit(1)).as("n"), sum(gq(col("det"))).cast("double").as("sd"),
+        sum(gq(col("det") * col("det"))).cast("double").as("sdd"),
+        sum(gq(col("resid"))).cast("double").as("sr"),
+        sum(gq(col("resid") * col("resid"))).cast("double").as("srr"))
+      .select(
+        round((col("sdd") - col("sd") * col("sd") / col("n")) / col("n"), 6)
+          .as("var_detrended"),
+        round((col("srr") - col("sr") * col("sr") / col("n")) / col("n"), 6)
+          .as("var_residual"),
+        round(lit(1.0) -
+          ((col("srr") - col("sr") * col("sr") / col("n")) / col("n"))
+          / ((col("sdd") - col("sd") * col("sd") / col("n")) / col("n")), 6)
+          .as("seasonal_strength"))
+    seasonal.crossJoin(broadcast(stats))
+      .select(col("hod"), col("n_obs"), col("seasonal"),
+        col("var_detrended"), col("var_residual"), col("seasonal_strength"))
+      .orderBy(col("hod"))
+  }
+
+  val q191Sql: String =
+    s"""WITH series AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1),
+      |trended AS (
+      |  SELECT h, y, round(avg(y) OVER win, 6) AS trend,
+      |    count(*) OVER win AS nw
+      |  FROM series
+      |  WINDOW win AS (ORDER BY h ROWS BETWEEN $StlHalf PRECEDING AND $StlHalf FOLLOWING)),
+      |det AS (
+      |  SELECT h, h % 24 AS hod, y - trend AS det FROM trended
+      |  WHERE nw = ${2 * StlHalf + 1}),
+      |seasonal AS (
+      |  SELECT hod, round(avg(det), 6) AS seasonal, count(*) AS n_obs
+      |  FROM det GROUP BY hod),
+      |resid AS (
+      |  SELECT d.det, d.det - s.seasonal AS resid
+      |  FROM det d JOIN seasonal s ON d.hod = s.hod),
+      |stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(round(det, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+      |    CAST(sum(CAST(round(det * det, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+      |    CAST(sum(CAST(round(resid, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sr,
+      |    CAST(sum(CAST(round(resid * resid, 6) AS DECIMAL(38,6))) AS DOUBLE) AS srr
+      |  FROM resid)
+      |SELECT s.hod, s.n_obs, s.seasonal,
+      |  round((t.sdd - t.sd * t.sd / t.n) / t.n, 6) AS var_detrended,
+      |  round((t.srr - t.sr * t.sr / t.n) / t.n, 6) AS var_residual,
+      |  round(1.0 - ((t.srr - t.sr * t.sr / t.n) / t.n)
+      |    / ((t.sdd - t.sd * t.sd / t.n) / t.n), 6) AS seasonal_strength
+      |FROM seasonal s CROSS JOIN stats t ORDER BY s.hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_stl_lite" -> q191StlLite,
+    "q189_als_sweep" -> q189AlsSweep,
     "q186_logreg" -> q186Logreg,
     "q187_stump" -> q187Stump,
     "q188_pr_curve" -> q188PrCurve,
@@ -4438,6 +4648,8 @@ FROM fin"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q191_stl_lite" -> q191Sql,
+    "q189_als_sweep" -> q189Sql,
     "q186_logreg" -> q186Sql,
     "q187_stump" -> q187Sql,
     "q188_pr_curve" -> q188Sql,
