@@ -4570,7 +4570,221 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
       |    / ((t.sdd - t.sd * t.sd / t.n) / t.n), 6) AS seasonal_strength
       |FROM seasonal s CROSS JOIN stats t ORDER BY s.hod""".stripMargin
 
+  // --------------------------------------------------------------- q192
+  /** PSI smoothing pseudo-count (per bin per period, kills ln(0)). */
+  val PsiSmooth = 0.5
+
+  /** Population stability index — THE model-monitoring drift metric
+    * (banking/ML-ops standard): the per-user activity feature is
+    * binned by the FIRST period's deciles (the trained reference), the
+    * second period's population is scored against those frozen bins,
+    * and PSI = Σ (p−q)·ln(p/q) with [[PsiSmooth]] pseudo-counts.
+    * PSI < 0.1 is calm, 0.1–0.25 drifting, > 0.25 retrain. q82 tracks
+    * token-distribution KL per source; this is its numeric-feature,
+    * frozen-reference sibling. The time split is the day-range
+    * midpoint — a pure function of the data both engines compute.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user, period), one
+    * 9-value percentile aggregate broadcast back (q178's identity),
+    * per-bin census over 10 keys. */
+  def q192Psi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val split = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(split))
+      .select(col("user_id"), when(col("day") < col("mid"), "a").otherwise("b")
+        .as("period"))
+      .groupBy(col("user_id"), col("period"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val th = perUser.filter(col("period") === "a")
+      .agg(percentile(col("x"), qs).as("t"))
+    val binned = perUser.crossJoin(broadcast(th))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("x") > round(col("t")(i - 1), 6), 1)
+          .otherwise(0)).reduce(_ + _) + 1)
+    val census = binned.groupBy(col("bin"))
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = census.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      count(lit(1)).as("nb"))
+    val p = (col("n_a") + PsiSmooth) / (col("ta") + lit(PsiSmooth) * col("nb"))
+    val q = (col("n_b") + PsiSmooth) / (col("tb") + lit(PsiSmooth) * col("nb"))
+    val term = (p - q) * log(p / q)
+    val terms = census.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"), round(term, 6).as("psi_term"))
+    val psi = terms.agg(round(sum(col("psi_term")), 6).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi_term"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
+  val q192Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |split AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |per_user AS (
+      |  SELECT user_id,
+      |    CASE WHEN day < (SELECT mid FROM split) THEN 'a' ELSE 'b' END AS period,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |th AS (
+      |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      |  FROM per_user WHERE period = 'a'),
+      |binned AS (
+      |  SELECT period,
+      |    1 + (CASE WHEN x > round(t[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[4], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[5], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[6], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[7], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[8], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[9], 6) THEN 1 ELSE 0 END) AS bin
+      |  FROM per_user CROSS JOIN th),
+      |census AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+      |  count(*) AS nb FROM census),
+      |terms AS (
+      |  SELECT bin, n_a, n_b,
+      |    round(((n_a + $PsiSmooth) / (ta + $PsiSmooth * nb)
+      |      - (n_b + $PsiSmooth) / (tb + $PsiSmooth * nb))
+      |      * ln(((n_a + $PsiSmooth) / (ta + $PsiSmooth * nb))
+      |        / ((n_b + $PsiSmooth) / (tb + $PsiSmooth * nb))), 6) AS psi_term
+      |  FROM census CROSS JOIN tot),
+      |psi AS (SELECT round(sum(psi_term), 6) AS psi FROM terms)
+      |SELECT bin, n_a, n_b, psi_term, (SELECT psi FROM psi) AS psi
+      |FROM terms ORDER BY bin""".stripMargin
+
+  // --------------------------------------------------------------- q193
+  /** TPC-H Q3 cutoff date (both filters pivot on it). */
+  val ShipPrioDate = "1998-06-01"
+
+  /** Shipping-priority query — TPC-H Q3 on this schema: revenue of
+    * not-yet-shipped lineitems of BUILDING-segment orders placed
+    * before [[ShipPrioDate]], grouped per order, top 10 by revenue.
+    * The canonical 3-way join + filter + aggregate + TakeOrdered every
+    * SQL engine is graded on; revenue sums are DECIMAL(38,6)-exact.
+    *
+    * Shape for 100 TB: customer⋈orders broadcasts the filtered
+    * segment dimension; orders⋈lineitem shuffles on the order key
+    * with both date filters PUSHED to the scans; the top 10 is a
+    * TakeOrdered, never a global sort. */
+  def q193ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(expr(s"o_orderdate < TIMESTAMP_NTZ '$ShipPrioDate'"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(expr(s"l_shipdate > TIMESTAMP_NTZ '$ShipPrioDate'"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev_dec"))
+      .select(col("l_orderkey"), asD(col("rev_dec")).as("revenue"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  val q193Sql: String =
+    s"""SELECT l.l_orderkey,
+      |  round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
+      |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+      |  o.o_orderpriority
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '$ShipPrioDate'
+      |  AND l.l_shipdate > TIMESTAMP '$ShipPrioDate'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- q194
+  /** Every k-th CSV line is deliberately corrupted in the round trip. */
+  val CsvCorruptMod = 7
+
+  /** Malformed-input audit — the ingestion-robustness behavior every
+    * production loader needs: the engine writes a CSV export in which
+    * every [[CsvCorruptMod]]-th row is DELIBERATELY mangled (a
+    * non-numeric key), reads it back PERMISSIVE with a
+    * `_corrupt_record` rescue column (the malformed row survives as
+    * raw text instead of killing the job or silently vanishing), and
+    * reports the per-status census: parsed vs rescued rows and the
+    * value mass that survived. The oracle recomputes the expected
+    * census from the source and the deterministic corruption rule —
+    * the contract a rescue column must satisfy.
+    *
+    * Shape for 100 TB: one export pass, one PERMISSIVE scan, a 2-row
+    * census; the rescue column costs nothing on well-formed rows. */
+  def q194MalformedCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q194_")
+    val dir = tmp.resolve("orders_csv").toString
+    // the corruption must be STRUCTURAL (wrong token count): a mere
+    // type-cast failure nulls the field without flagging the record
+    ord.select(
+        when(pmod(col("o_orderkey"), lit(CsvCorruptMod)) === 0,
+          concat_ws(",", col("o_orderkey"), col("o_totalprice"),
+            lit("UNEXPECTED_TRAILING_FIELD")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_totalprice")))
+          .as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // reference EVERY schema column: CSV column pruning skips token
+    // parsing for unused columns, and unparsed tokens can't flag the
+    // record — a pruned read would report everything as clean
+    val res = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .select(when(col("_corrupt_record").isNull, "parsed").otherwise("rescued")
+        .as("status"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(pmod(col("o_orderkey"), lit(97L))).as("key_checksum"),
+        asD(dsum(coalesce(col("o_totalprice"), lit(0.0)))).as("value_mass"))
+      .orderBy(col("status"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q194Sql: String =
+    s"""SELECT (CASE WHEN o_orderkey % $CsvCorruptMod = 0 THEN 'rescued'
+      |              ELSE 'parsed' END) AS status,
+      |  count(*) AS n_rows,
+      |  CAST(sum(o_orderkey % 97) AS BIGINT) AS key_checksum,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_mass
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_psi" -> q192Psi,
+    "q193_shipping_priority" -> q193ShippingPriority,
+    "q194_malformed_csv" -> q194MalformedCsv,
     "q191_stl_lite" -> q191StlLite,
     "q189_als_sweep" -> q189AlsSweep,
     "q186_logreg" -> q186Logreg,
@@ -4648,6 +4862,9 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q192_psi" -> q192Sql,
+    "q193_shipping_priority" -> q193Sql,
+    "q194_malformed_csv" -> q194Sql,
     "q191_stl_lite" -> q191Sql,
     "q189_als_sweep" -> q189Sql,
     "q186_logreg" -> q186Sql,
