@@ -45,4 +45,14 @@ class SurveySyncSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("every oracle-gated key is documented and vice versa (oracleSql ⊆ queries)") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("the README operator count matches the driver surface") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      "UTF-8")
+    val m = "(\\d+) named operators".r.findFirstMatchIn(text)
+    assert(m.isDefined, "README must state the operator count")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      "update the 'N named operators' count in README.md")
+  }
 }
