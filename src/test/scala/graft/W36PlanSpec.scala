@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.{GraphQueries, RelationalQueries}
+import graft.text.TextQueries
+
+/** Physical-plan assertions for the r8 wave operators — the 100 TB
+  * posture checked against the OPTIMIZER'S OUTPUT, not the code's
+  * intent: pushed filters reach the parquet scans, small dimensions
+  * broadcast, aggregations keep their map-side partial step, and no
+  * operator regresses into a cartesian product.
+  */
+class W36PlanSpec extends GraftSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q193 pushes all three filters to the scans and broadcasts the dim") {
+    val plan = formatted(
+      RelationalQueries.q193ShippingPriority(spark, sfDir))
+    assert(plan.contains("GreaterThan(l_shipdate"), "lineitem date filter pushed")
+    assert(plan.contains("LessThan(o_orderdate"), "orders date filter pushed")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), "segment pushed")
+    assert(plan.contains("BroadcastHashJoin"), "dim join broadcasts")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+  }
+
+  test("histogram operators keep map-side partial aggregation") {
+    Seq(
+      RelationalQueries.q180SaltPlan(spark, sfDir),
+      RelationalQueries.q181Zonemaps(spark, sfDir),
+      TextQueries.q167HeavyHitters(spark, sfDir)
+    ).foreach { df =>
+      val plan = formatted(df)
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        "aggregation must have a partial (map-side) step")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q185 OLS is one scan into one global aggregate") {
+    val plan = formatted(RelationalQueries.q185Ols(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(plan).length <= 2,
+      "a single lineitem scan feeds the moment aggregate")
+    assert(plan.contains("partial_"), "moments partial-aggregate map-side")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "a global 1-row aggregate needs no hash exchange, only the final single partition")
+  }
+
+  test("q164/q169 graph composites never regress to a cartesian product") {
+    Seq(
+      GraphQueries.q164Bowtie(spark, sfDir),
+      GraphQueries.q169CrawlFrontier(spark, sfDir)
+    ).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), "no unbounded cartesian")
+    }
+  }
+}
