@@ -774,6 +774,19 @@ object Graft {
         round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))
       .withColumn("hit", col("max_v") >= lo && col("min_v") <= hi)
 
+  /** Two-feature OLS on a caller frame (q185's engine): one 10-moment
+    * aggregate pass + Cramer solve. Returns one row
+    * (n_rows, intercept, b_x1, b_x2, r2, rmse). */
+  def olsFit2(df: DataFrame, x1: Column, x2: Column, y: Column): DataFrame =
+    operators.Glm.olsFit2(df, x1, x2, y)
+
+  /** Logistic regression on a caller frame (q186's engine): `iters`
+    * IRLS rounds, one moment pass each. Returns one row
+    * (n_rows, intercept, b_x, mean_logloss, accuracy). */
+  def logregFit(df: DataFrame, x: Column, y: Column,
+                iters: Int = 3): DataFrame =
+    operators.Glm.logregFit(df, x, y, iters)
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

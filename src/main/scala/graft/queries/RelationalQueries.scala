@@ -4073,48 +4073,15 @@ FROM res ORDER BY channel"""
     * Shape for 100 TB: one scan, one 1-row aggregate, O(k³) scalar
     * math. The k-feature generalization keeps the same shape (k²
     * moments, driver-bounded solve). */
-  def q185Ols(spark: SparkSession, sfDir: String): DataFrame = {
-    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
-    val li = Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").as("x1"), col("l_discount").as("x2"),
-      col("l_extendedprice").as("y"))
-    val m = li.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(g(col("x1"))).cast("double").as("sx1"),
-      sum(g(col("x2"))).cast("double").as("sx2"),
-      sum(g(col("y"))).cast("double").as("sy"),
-      sum(g(col("x1") * col("x1"))).cast("double").as("sx11"),
-      sum(g(col("x1") * col("x2"))).cast("double").as("sx12"),
-      sum(g(col("x2") * col("x2"))).cast("double").as("sx22"),
-      sum(g(col("x1") * col("y"))).cast("double").as("sx1y"),
-      sum(g(col("x2") * col("y"))).cast("double").as("sx2y"),
-      sum(g(col("y") * col("y"))).cast("double").as("syy"))
-    m.select(col("n").cast("long").as("n_rows"),
-        expr(OlsExprs("b0")).as("b0_raw"), expr(OlsExprs("b1")).as("b1_raw"),
-        expr(OlsExprs("b2")).as("b2_raw"),
-        col("sy"), col("sx1y"), col("sx2y"), col("syy"), col("n"))
-      .select(col("n_rows"),
-        round(col("b0_raw"), 6).as("intercept"),
-        round(col("b1_raw"), 6).as("b_quantity"),
-        round(col("b2_raw"), 6).as("b_discount"),
-        round(lit(1.0) -
-          (col("syy") - col("b0_raw") * col("sy") - col("b1_raw") * col("sx1y")
-            - col("b2_raw") * col("sx2y"))
-          / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"),
-        round(sqrt(
-          (col("syy") - col("b0_raw") * col("sy") - col("b1_raw") * col("sx1y")
-            - col("b2_raw") * col("sx2y")) / col("n")), 6).as("rmse"))
-  }
+  def q185Ols(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Glm.olsFit2(Tables.lineitem(spark, sfDir),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      .withColumnRenamed("b_x1", "b_quantity")
+      .withColumnRenamed("b_x2", "b_discount")
 
-  /** Cramer's-rule solve of the 3×3 normal equations, as SQL text
-    * shared verbatim by the Spark `expr` and the DuckDB oracle so both
-    * engines evaluate the identical double arithmetic. */
-  private val OlsDet =
-    "(n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2))"
-  private val OlsExprs: Map[String, String] = Map(
-    "b0" -> s"(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)) / $OlsDet",
-    "b1" -> s"(n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)) / $OlsDet",
-    "b2" -> s"(n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)) / $OlsDet")
+  /** Formula text shared with the oracle; lives in operators.Glm. */
+  private def OlsExprs = graft.operators.Glm.OlsExprs
+  private def OlsDet = graft.operators.Glm.OlsDet
 
   val q185Sql: String =
     s"""WITH m AS (
@@ -4180,44 +4147,14 @@ FROM res ORDER BY channel"""
     *
     * Shape for 100 TB: iters+1 scans, each a map-side expression +
     * 1-row aggregate; nothing else. */
-  def q186Logreg(spark: SparkSession, sfDir: String): DataFrame = {
-    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
-    val base = graft.Checkpoints.deferUnpersist(
-      labeledUsers(spark, sfDir).cache())
-    var coef = spark.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"))
-    for (_ <- 1 to LogregIters) {
-      val p = lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))
-      val w = p * (lit(1.0) - p)
-      val z = (col("b0") + col("b1") * col("x")) + (col("y") - p) / w
-      val m = base.crossJoin(broadcast(coef))
-        .agg(sum(g(w)).cast("double").as("sw"),
-          sum(g(w * col("x"))).cast("double").as("swx"),
-          sum(g(w * col("x") * col("x"))).cast("double").as("swxx"),
-          sum(g(w * z)).cast("double").as("swz"),
-          sum(g(w * col("x") * z)).cast("double").as("swxz"))
-      coef = m.select(
-        expr(LogregB1).as("b1"),
-        expr(s"(swz - ($LogregB1) * swx) / sw").as("b0"))
-        .select(col("b0"), col("b1"))
-        .localCheckpoint() // 1 row; keeps the loop plan shallow
-    }
-    val p = lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))
-    base.crossJoin(broadcast(coef))
-      .agg(count(lit(1)).as("n_users"),
-        max(col("b0")).as("b0r"), max(col("b1")).as("b1r"),
-        sum(g(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))))
-          .cast("double").as("llsum"),
-        sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("hits"))
-      .select(col("n_users"),
-        round(col("b0r"), 6).as("intercept"),
-        round(col("b1r"), 6).as("b_activity"),
-        round(col("llsum") / col("n_users"), 6).as("mean_logloss"),
-        round(col("hits").cast("double") / col("n_users"), 6).as("accuracy"))
-  }
+  def q186Logreg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Glm.logregFit(labeledUsers(spark, sfDir),
+        col("x"), col("y"), LogregIters)
+      .withColumnRenamed("n_rows", "n_users")
+      .withColumnRenamed("b_x", "b_activity")
 
-  /** 2×2 weighted-normal-equation slope, shared verbatim with the
-    * oracle. */
-  private val LogregB1 = "(sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+  /** Shared with the oracle; lives in operators.Glm. */
+  private def LogregB1 = graft.operators.Glm.LogregB1
 
   val q186Sql: String = {
     def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"

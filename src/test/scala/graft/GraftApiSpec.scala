@@ -319,6 +319,24 @@ class GraftApiSpec extends GraftSpec {
     assert(math.abs(m.getDouble(4) - 1.0) < 1e-9) // full share
   }
 
+  test("glm facade: olsFit2 recovers exact coefficients, logregFit separates") {
+    // y = 3 + 2·x1 − 1·x2, noiseless -> R² = 1, rmse = 0
+    val pts = for (i <- 1 to 50; j <- 1 to 4)
+      yield (i.toDouble, j.toDouble, 3.0 + 2.0 * i - 1.0 * j)
+    val ols = Graft.olsFit2(pts.toDF("x1", "x2", "y"),
+      col("x1"), col("x2"), col("y")).first()
+    assert(math.abs(ols.getDouble(1) - 3.0) < 1e-3)
+    assert(math.abs(ols.getDouble(2) - 2.0) < 1e-4)
+    assert(math.abs(ols.getDouble(3) - (-1.0)) < 1e-3)
+    assert(ols.getDouble(4) > 0.999999 && ols.getDouble(5) < 1e-2)
+    // perfectly separable at x = 5: the fit must classify cleanly
+    val lr = Graft.logregFit(
+      (1 to 100).map(i => (i.toDouble, if (i > 50) 1.0 else 0.0)).toDF("x", "y"),
+      col("x"), col("y"), iters = 4).first()
+    assert(lr.getDouble(2) > 0.0, "positive slope")
+    assert(lr.getDouble(4) === 1.0, "separable data classifies perfectly")
+  }
+
   test("graph facade: bowtie classifies a caller graph") {
     val edges = Seq("a" -> "b", "b" -> "a", "i" -> "a", "b" -> "o")
       .toDF("s", "d")
