@@ -11,14 +11,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ UrlQueries.queries ++ GraphQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries ++ UrlQueries.queries ++
+      GraphQueries.queries ++ SpectralQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.ann.AnnQueries.queries ++
-      graft.text.TextQueries.queries ++ graft.multimodal.MultimodalQueries.queries
+      graft.text.TextQueries.queries ++ graft.text.FeatureQueries.queries ++
+      graft.text.PipelineQueries.queries ++
+      graft.multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ UrlQueries.oracles ++ GraphQueries.oracles ++
+    RelationalQueries.oracles ++ TpchQueries.oracles ++ UrlQueries.oracles ++
+      GraphQueries.oracles ++ SpectralQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
-      graft.text.TextQueries.oracles ++ graft.multimodal.MultimodalQueries.oracles
+      graft.text.TextQueries.oracles ++ graft.text.FeatureQueries.oracles ++
+      graft.text.PipelineQueries.oracles ++
+      graft.multimodal.MultimodalQueries.oracles
 }

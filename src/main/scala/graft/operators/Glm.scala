@@ -71,8 +71,14 @@ object Glm {
     * (n_rows, intercept, b_x, mean_logloss, accuracy). */
   def logregFit(df: DataFrame, x: Column, y: Column, iters: Int): DataFrame = {
     val spark = df.sparkSession
-    val base = graft.Checkpoints.deferUnpersist(
-      df.select(x.cast("double").as("x"), y.cast("double").as("y")).cache())
+    // localCheckpoint, not cache(): the IRLS rounds re-read this frame
+    // iters+1 times, and a cached plan can lose blocks under memory
+    // pressure and RE-EXECUTE its upstream shuffle per round (seen as
+    // a 3× shuffle-budget breach inside the full suite). Truncating
+    // the lineage makes recomputation impossible — the per-row frame
+    // is materialized once, disk-backed, and freed at drain.
+    val base = graft.Checkpoints.deferFree(
+      df.select(x.cast("double").as("x"), y.cast("double").as("y")).localCheckpoint())
     var coef = spark.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"))
     for (_ <- 1 to iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x"))))

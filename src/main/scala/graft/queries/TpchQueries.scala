@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The remaining canonical TPC-H join shapes (SURVEY §2.B): Q5 local
+  * supplier volume, Q10 returned-item report, Q14 promotion effect,
+  * Q18 large-volume orders. Together with q11 (Q1), q193 (Q3) and
+  * q168 (Q21) they cover the benchmark's signature physical plans —
+  * the multi-way snowflake join with a colocation predicate, the
+  * filtered fact→dim top-K report, the fact⋈fact ratio, and the
+  * agg-then-self-semijoin — each with the plan a 100 TB cluster
+  * wants: filters pushed to the scans, bounded dims broadcast,
+  * partial aggregation map-side, top-K as TakeOrdered (never a
+  * global sort).
+  *
+  * Oracle-fidelity rules are RelationalQueries' (SURVEY §4): money
+  * through DECIMAL(38,6), timestamps emitted as epoch-µs integers,
+  * every result totally ordered.
+  */
+object TpchQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+  private def asD(c: Column): Column = round(c.cast("double"), 6)
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q5 window + region (both sides of every predicate are lit here so
+    * the spec and the oracle share them). */
+  val Q5Region = "ASIA"
+  val Q5From = "1996-01-01"
+  val Q5Until = "1998-01-01"
+
+  // --------------------------------------------------------------- q195
+  /** TPC-H Q5 — revenue by nation where the ordering customer and the
+    * line's supplier are in the SAME nation of one region (the
+    * benchmark's "local supplier volume" colocation join).
+    *
+    * Plan for 100 TB: region⋈nation collapses to a ≤25-row nation
+    * allowlist; supplier joins it and the joined (s_suppkey,
+    * s_nationkey, n_name) frame is BROADCAST (TPC-H supplier is
+    * SF·10k — the smallest non-constant table; at SF where it
+    * outgrows the broadcast ceiling AQE falls back to a shuffle join
+    * without a plan rewrite). The fact side joins orders (date filter
+    * pushed to the scan) on l_orderkey, customer on o_custkey — the
+    * only two shuffles — and the colocation predicate
+    * c_nationkey = s_nationkey rides the broadcast join as a second
+    * equi-key, never a post-filter on a wider join. */
+  def q195LocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === Q5Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q5From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q5Until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("line_rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(asD(dsum(col("line_rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q195Sql: String =
+    s"""SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = '$Q5Region'
+      |  AND o_orderdate >= TIMESTAMP '$Q5From 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '$Q5Until 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Q10 quarter (6 months in this fixture's 6.5-year span so the
+    * report is non-degenerate at sf0.001). */
+  val Q10From = "1996-01-01"
+  val Q10Until = "1996-07-01"
+  val Q10TopK = 20
+
+  // --------------------------------------------------------------- q196
+  /** TPC-H Q10 — top-20 customers by revenue lost to returned items in
+    * one window (the churn-triage report).
+    *
+    * Plan for 100 TB: BOTH filters (l_returnflag = 'R', the order-date
+    * window) are pushed to their parquet scans; the orderkey join and
+    * the custkey aggregation are the only corpus-scale shuffles; the
+    * aggregated O(customers-with-returns) frame joins customer and the
+    * broadcast 25-row nation dim; top-20 is a TakeOrdered, never a
+    * global sort. */
+  def q196ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ret = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("line_rev"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q10From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q10Until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("line_rev")).as("lost_dec"), count(lit(1)).as("n_returns"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("lost_dec").desc, col("c_custkey"))
+      .limit(Q10TopK)
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        asD(col("lost_dec")).as("lost_revenue"), col("n_returns"),
+        round(col("c_acctbal"), 6).as("acctbal"))
+  }
+
+  val q196Sql: String =
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+      |  round(CAST(lost_dec AS DOUBLE), 6) AS lost_revenue, n_returns,
+      |  round(c_acctbal, 6) AS acctbal
+      |FROM (
+      |  SELECT o_custkey,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS lost_dec,
+      |    count(*) AS n_returns
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '$Q10From 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '$Q10Until 00:00:00'
+      |  GROUP BY o_custkey) r
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY lost_dec DESC, c_custkey LIMIT $Q10TopK""".stripMargin
+
+  /** Q14 month. */
+  val Q14From = "1996-03-01"
+  val Q14Until = "1996-04-01"
+
+  // --------------------------------------------------------------- q197
+  /** TPC-H Q14 — promotion effect: the share of one month's revenue
+    * earned by PROMO-type parts.
+    *
+    * Plan for 100 TB: the ship-date window is pushed to the lineitem
+    * scan (a month of a multi-year corpus — partition pruning
+    * territory on a date-partitioned layout, cf. q58); part joins on
+    * partkey projected to 2 columns. part is SF·200k — too big to
+    * force-broadcast at every SF, so the join is left to
+    * AQE/autoBroadcastJoinThreshold; with the window filter applied
+    * first the fact side is already a month, not the corpus. The
+    * conditional sum folds into the SAME partial aggregate as the
+    * total — one pass, one 1-row result, no second scan. */
+  def q197PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val month = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(Q14From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q14Until).cast("timestamp"))
+      .select(col("l_partkey"), rev.as("line_rev"))
+    month
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", col("line_rev")).otherwise(lit(0.0)))
+          .as("promo_dec"),
+        dsum(col("line_rev")).as("total_dec"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        round(lit(100.0) * col("promo_dec").cast("double") /
+          col("total_dec").cast("double"), 6).as("promo_pct"),
+        asD(col("promo_dec")).as("promo_revenue"),
+        asD(col("total_dec")).as("total_revenue"),
+        col("n_lines"))
+  }
+
+  val q197Sql: String =
+    s"""SELECT
+      |  round(100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS promo_pct,
+      |  round(CAST(promo_dec AS DOUBLE), 6) AS promo_revenue,
+      |  round(CAST(total_dec AS DOUBLE), 6) AS total_revenue,
+      |  n_lines
+      |FROM (
+      |  SELECT
+      |    sum(CAST(CASE WHEN p_type = 'PROMO'
+      |          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS promo_dec,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_dec,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '$Q14From 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '$Q14Until 00:00:00') t""".stripMargin
+
+  /** Q18 quantity threshold (509 qualifying orders at sf0.001 — deep
+    * enough for a meaningful top-100, sparse enough that the semijoin
+    * side is genuinely small). */
+  val Q18MinQty = 120.0
+  val Q18TopK = 100
+
+  // --------------------------------------------------------------- q198
+  /** TPC-H Q18 — large-volume orders: orders whose total line quantity
+    * exceeds a threshold, with their customer and value (the
+    * aggregate-then-semijoin benchmark shape).
+    *
+    * Plan for 100 TB: ONE partial-agged groupBy(l_orderkey) computes
+    * total quantity; the HAVING filter shrinks it to the rare heavy
+    * tail BEFORE any join, so the joins back to orders and customer
+    * move only qualifying keys (AQE broadcasts the filtered side when
+    * it fits — the optimizer's call, not a hardcoded hint, since the
+    * tail's size is threshold-dependent). Top-100 is a TakeOrdered. */
+  def q198BigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("qty_dec"))
+      .filter(col("qty_dec") > lit(Q18MinQty))
+    heavy
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("qty_dec").desc, col("l_orderkey"))
+      .limit(Q18TopK)
+      .select(col("l_orderkey").as("o_orderkey"), col("c_custkey"), col("c_name"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        round(col("o_totalprice"), 6).as("o_totalprice"),
+        asD(col("qty_dec")).as("total_qty"))
+  }
+
+  val q198Sql: String =
+    s"""SELECT o_orderkey, c_custkey, c_name,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+      |  round(o_totalprice, 6) AS o_totalprice,
+      |  round(CAST(qty_dec AS DOUBLE), 6) AS total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > $Q18MinQty) h
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY qty_dec DESC, o_orderkey LIMIT $Q18TopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_local_volume" -> q195LocalVolume,
+    "q196_returned_items" -> q196ReturnedItems,
+    "q197_promo_share" -> q197PromoShare,
+    "q198_big_orders" -> q198BigOrders)
+
+  val oracles: Map[String, String] = Map(
+    "q195_local_volume" -> q195Sql,
+    "q196_returned_items" -> q196Sql,
+    "q197_promo_share" -> q197Sql,
+    "q198_big_orders" -> q198Sql)
+}

@@ -1,0 +1,401 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{MathFunctions => MF}
+import graft.oracle.Sql
+
+/** Feature-engineering operators for LLM training pipelines (SURVEY
+  * §2.E): chi-squared feature selection, a trained-and-scored naive
+  * Bayes classifier, the hashing-trick featurizer, and n-gram novelty
+  * scoring for dataset curation.
+  *
+  * Discipline shared with TextQueries: ONE whitespace tokenization per
+  * operator, integer counts end-to-end until a final per-row division,
+  * log terms rounded to the 1e-6 grid and summed as DECIMAL(38,6) so
+  * float-summation order can never move a result, and every constant /
+  * formula shared verbatim with the DuckDB oracle.
+  */
+object FeatureQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+
+  /** Features reported per class. */
+  val Chi2TopK = 10
+
+  // --------------------------------------------------------------- q199
+  /** Chi-squared (token, class) association — the classic supervised
+    * feature-selection ranking (Yang & Pedersen 1997 shape): for every
+    * (term, lang) the 2×2 presence/class contingency table, its chi²
+    * statistic, and the per-class top-K features.
+    *
+    * Shape for 100 TB: one tokenize+distinct collapses the corpus to
+    * (doc, term, lang) presence; ONE partial-agged groupBy(term, lang)
+    * is the only corpus-scale aggregation; term document-frequency
+    * derives from that same aggregate (no second pass); class totals
+    * are an O(classes) broadcast. The contingency arithmetic is exact
+    * int64 (pairwise products ≤ N² stay in-range; the final chi² casts
+    * to double BEFORE squaring so nothing overflows at any SF), and
+    * the top-K per class is a window over the O(terms × classes)
+    * aggregate, never the corpus. */
+  def q199Chi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    val present = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val byTermLang = present.groupBy(col("term"), col("lang"))
+      .agg(count(lit(1)).as("a"))
+    val byTerm = byTermLang.groupBy(col("term"))
+      .agg(sum(col("a")).as("t_df"))
+    val langTotals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cells = byTermLang
+      .join(byTerm, "term")
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("term"), col("a"), col("t_df"),
+        (col("t_df") - col("a")).as("b"),
+        (col("n_lang") - col("a")).as("c"),
+        (col("n_docs") - col("n_lang") - col("t_df") + col("a")).as("d"),
+        col("n_docs"))
+    val chi2 = cells.select(col("lang"), col("term"), col("a").as("df_in_class"),
+      col("t_df").as("df_total"),
+      round(col("n_docs").cast("double") *
+        ((col("a") * col("d") - col("b") * col("c")).cast("double") *
+          (col("a") * col("d") - col("b") * col("c")).cast("double")) /
+        (((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+          ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")), 6)
+        .as("chi2"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("chi2").desc, col("term"))
+    chi2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Chi2TopK)
+      .select(col("lang"), col("rank"), col("term"), col("df_in_class"),
+        col("df_total"), col("chi2"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q199Sql: String =
+    s"""WITH present AS (
+      |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |btl AS (SELECT term, lang, count(*) AS a FROM present GROUP BY 1, 2),
+      |bt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t_df FROM btl GROUP BY 1),
+      |lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |cells AS (
+      |  SELECT btl.lang, btl.term, a, t_df,
+      |    t_df - a AS b, n_lang - a AS c, n_docs - n_lang - t_df + a AS d, n_docs
+      |  FROM btl JOIN bt USING (term) JOIN lt ON btl.lang = lt.lang CROSS JOIN n),
+      |chi AS (
+      |  SELECT lang, term, a AS df_in_class, t_df AS df_total,
+      |    round(CAST(n_docs AS DOUBLE) * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)) /
+      |      (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6) AS chi2
+      |  FROM cells),
+      |ranked AS (
+      |  SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rank,
+      |    term, df_in_class, df_total, chi2
+      |  FROM chi)
+      |SELECT lang, rank, term, df_in_class, df_total, chi2
+      |FROM ranked WHERE rank <= $Chi2TopK ORDER BY lang, rank""".stripMargin
+
+  // --------------------------------------------------------------- q200
+  /** Multinomial naive Bayes language classifier, trained and scored
+    * in one job (resubstitution — the labeled corpus is both train and
+    * eval, the standard smoke test of a text-classification pipeline):
+    * add-1-smoothed per-class token log-likelihoods + log priors,
+    * argmax over classes per document, and the class confusion matrix
+    * with per-true-class recall.
+    *
+    * Shape for 100 TB: the model is (vocab × classes) — model-sized,
+    * not corpus-sized — built from ONE tokenize via a partial-agged
+    * groupBy(lang, term); the smoothed grid (distinct terms × class
+    * totals) is a bounded frame that BROADCASTS into the scoring join
+    * against per-doc term frequencies (tf join fans out ×classes, the
+    * unavoidable NB scoring cost); per-(doc, class) scores are 1e-6
+    * log terms × integer tf summed as DECIMAL — order-independent and
+    * engine-exact; the argmax is a window over classes per doc, ties
+    * broken by class name; output is the O(classes²) confusion. */
+  def q200NbLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    // model: smoothed log P(term | class) over the full vocab × class grid
+    val counts = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_lt"))
+    val classTotals = counts.groupBy(col("lang")).agg(sum(col("n_lt")).as("t_l"))
+    val vocab = counts.select(col("term")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(classTotals))
+      .join(counts, Seq("term", "lang"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("term"), col("lang").as("cls"),
+        round(log((coalesce(col("n_lt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_l") + col("v")).cast("double")), 6)
+          .cast(DecimalType(38, 6)).as("log_lik"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang").as("cls"),
+        round(log(col("n_l").cast("double") / col("n_docs").cast("double")), 6)
+          .cast(DecimalType(38, 6)).as("log_prior"))
+    // scoring: per-doc tf ⋈ broadcast model, decimal-summed per class
+    val tf = tok.groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = tf.join(broadcast(grid), "term")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("tf") * col("log_lik")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("ll") + col("log_prior")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    val predicted = scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("predicted"))
+    predicted.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(Tables.documents(spark, sfDir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))), "lang")
+      .select(col("lang"), col("predicted"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_lang"), 6).as("share"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q200Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |counts AS (SELECT lang, term, count(*) AS n_lt FROM tok GROUP BY 1, 2),
+      |class_totals AS (SELECT lang, sum(n_lt) AS t_l FROM counts GROUP BY 1),
+      |vocab AS (SELECT DISTINCT term FROM counts),
+      |v AS (SELECT count(*) AS v FROM vocab),
+      |grid AS (
+      |  SELECT vocab.term, ct.lang AS cls,
+      |    CAST(round(ln(CAST(coalesce(n_lt, 0) + 1 AS DOUBLE) /
+      |      CAST(t_l + v AS DOUBLE)), 6) AS DECIMAL(38,6)) AS log_lik
+      |  FROM vocab CROSS JOIN class_totals ct CROSS JOIN v
+      |  LEFT JOIN counts ON counts.term = vocab.term AND counts.lang = ct.lang),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |priors AS (
+      |  SELECT lang AS cls,
+      |    CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS log_prior
+      |  FROM documents CROSS JOIN n GROUP BY lang),
+      |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |scores AS (
+      |  SELECT tf.doc_id, tf.lang, grid.cls,
+      |    sum(tf * log_lik) + any_value(log_prior) AS score
+      |  FROM tf JOIN grid ON tf.term = grid.term
+      |  JOIN priors ON priors.cls = grid.cls
+      |  GROUP BY 1, 2, 3),
+      |predicted AS (
+      |  SELECT doc_id, lang, cls AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+      |  FROM scores),
+      |lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1)
+      |SELECT p.lang, p.predicted, count(*) AS n_docs,
+      |  round(CAST(count(*) AS DOUBLE) / any_value(lt.n_lang), 6) AS share
+      |FROM predicted p JOIN lt ON p.lang = lt.lang
+      |WHERE rk = 1
+      |GROUP BY p.lang, p.predicted
+      |ORDER BY p.lang, p.predicted""".stripMargin
+
+  /** Hashing-trick dimensionality. */
+  val HashDim = 256
+
+  // --------------------------------------------------------------- q201
+  /** Hashing-trick featurizer census (Weinberger et al. 2009): every
+    * token maps to bucket hash32(term) mod D with a ±1 sign from an
+    * independent second hash, and the operator reports the per-bucket
+    * collision census — distinct terms, docs touched, signed mass, and
+    * the signed per-(doc,bucket) value's sum of squares (the energy the
+    * downstream linear model actually sees).
+    *
+    * Shape for 100 TB: bucket/sign are per-row codegen'd md5 arithmetic
+    * (the same portable-hash discipline as q21/q43 — replayable in the
+    * oracle digit-for-digit); two partial-agged aggregations (doc ×
+    * bucket, then bucket) collapse the corpus; the output is O(D) —
+    * model-sized. All values are exact integers. */
+  def q201FeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val hashed = tok.select(col("doc_id"), col("term"),
+      pmod(MF.hash32(col("term")), lit(HashDim.toLong)).as("bucket"),
+      (lit(1L) - lit(2L) * pmod(MF.hash32b(col("term")), lit(2L))).as("sign"))
+    val perDoc = hashed.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"),
+        // distinct terms per (doc,bucket) would need a wider state;
+        // the census needs per-BUCKET distincts, collected below
+        count(lit(1)).as("n_tok"))
+    val census = perDoc.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("v")).as("signed_mass"),
+        sum(col("v") * col("v")).as("energy"))
+    val termsPerBucket = hashed.select(col("bucket"), col("term")).distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_terms"))
+    census.join(termsPerBucket, "bucket")
+      .select(col("bucket"), col("n_terms"), col("n_docs"), col("n_tokens"),
+        col("signed_mass"), col("energy"))
+      .orderBy(col("bucket"))
+  }
+
+  val q201Sql: String = {
+    val h = Sql.hash32("term")
+    val h2 = Sql.hash32OfHexAt("md5(term)", 9)
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, term, $h % $HashDim AS bucket,
+      |    1 - 2 * ($h2 % 2) AS sign
+      |  FROM tok),
+      |per_doc AS (
+      |  SELECT doc_id, bucket, sum(sign) AS v, count(*) AS n_tok
+      |  FROM hashed GROUP BY 1, 2),
+      |census AS (
+      |  SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(v) AS BIGINT) AS signed_mass, CAST(sum(v * v) AS BIGINT) AS energy
+      |  FROM per_doc GROUP BY 1),
+      |tpb AS (
+      |  SELECT bucket, count(DISTINCT term) AS n_terms FROM hashed GROUP BY 1)
+      |SELECT bucket, n_terms, n_docs, n_tokens, signed_mass, energy
+      |FROM census JOIN tpb USING (bucket) ORDER BY bucket""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q202
+  /** N-gram novelty scoring — the dataset-curation "contribution"
+    * metric: what fraction of a document's distinct 3-gram shingles
+    * appear in NO earlier document (by doc_id — ingestion order)? Late
+    * near-copies of earlier content score ≈0 and are the first
+    * candidates to drop when packing a training mix; the score is also
+    * the streaming-dedup admission rate in batch form.
+    *
+    * Shape for 100 TB: shingle hashes are per-row md5 arithmetic
+    * behind a parallelism-rebalancing exchange (q43's discipline); the
+    * corpus collapses to distinct (gram, doc); gram first-appearance is
+    * ONE partial-agged min; the join back is gram-keyed, never
+    * all-pairs; output is one row per document. */
+  def q202Novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val shingles = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array(col("text")))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), MF.hash32(col("s")).as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q202Sql: String = {
+    val w = "string_split(text, ' ')"
+    val shingles = s"""(CASE WHEN len($w) >= 3
+      THEN list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+      ELSE [text] END)"""
+    s"""WITH posed AS MATERIALIZED (
+      |  SELECT doc_id, unnest($shingles) AS s FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, ${Sql.hash32("s")} AS g FROM posed),
+      |first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+      |FROM grams JOIN first_seen USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Co-occurrence window radius and report size. */
+  val CoocWindow = 3
+  val CoocTopK = 30
+  /** Vocabulary cap (q90's discipline — the pair space must be bounded
+    * by construction, not by fixture luck). */
+  val CoocVocab = 40
+
+  // --------------------------------------------------------------- q207
+  /** GloVe-style windowed co-occurrence counts — the X matrix build
+    * feeding word-vector training (Pennington et al.): for each
+    * unordered token pair within a ±[[CoocWindow]] window, the
+    * distance-weighted count Σ 1/k and the raw pair count; top
+    * [[CoocTopK]] pairs. q90's PMI asks "associated at the DOCUMENT
+    * level?"; this is the positional statistic embedding training
+    * actually consumes.
+    *
+    * Shape for 100 TB: NEVER a positional self-join — each token
+    * map-side emits [[CoocWindow]] probe rows keyed (doc, pos+k) with
+    * weight 1/k, and ONE equi-join on (doc, pos) lands them on their
+    * right neighbor (linear in corpus × window, no range join, no
+    * skew); the vocabulary is capped to the [[CoocVocab]] most
+    * frequent tokens via a TakeOrdered broadcast (q90's discipline) so
+    * the pair aggregate is ≤V² whatever the corpus; weights are
+    * 1e-6-gridded decimal sums. */
+  def q207Cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val vocab = broadcast(toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(CoocVocab)
+      .select(col("term")))
+    val inVocab = toks.join(vocab, "term")
+      .select(col("doc_id"), col("pos"), col("term"))
+    val probes = inVocab.select(col("doc_id"), col("term").as("a"),
+        explode(sequence(lit(1), lit(CoocWindow))).as("k"),
+        col("pos"))
+      .select(col("doc_id"), col("a"), (col("pos") + col("k")).as("pos"),
+        round(lit(1.0) / col("k"), 6).as("w"))
+    probes.join(inVocab.withColumnRenamed("term", "b"), Seq("doc_id", "pos"))
+      .select(least(col("a"), col("b")).as("t1"),
+        greatest(col("a"), col("b")).as("t2"), col("w"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("w")).cast("double").as("wsum"))
+      .select(col("t1"), col("t2"), col("n_pairs"), round(col("wsum"), 6).as("weight"))
+      .orderBy(col("weight").desc, col("t1"), col("t2"))
+      .limit(CoocTopK)
+  }
+
+  val q207Sql: String =
+    s"""WITH posed AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER) - 1 AS pos
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, count(*) AS cnt FROM posed GROUP BY 1
+      |    ORDER BY cnt DESC, term LIMIT $CoocVocab)),
+      |iv AS MATERIALIZED (
+      |  SELECT doc_id, pos, term FROM posed JOIN vocab USING (term)),
+      |probes AS (
+      |  SELECT doc_id, term AS a, pos + k AS pos,
+      |    round(CAST(1.0 AS DOUBLE) / k, 6) AS w
+      |  FROM iv CROSS JOIN (SELECT unnest(${(1 to CoocWindow).mkString("[", ", ", "]")}) AS k)),
+      |pairs AS (
+      |  SELECT least(a, iv.term) AS t1, greatest(a, iv.term) AS t2, w
+      |  FROM probes JOIN iv USING (doc_id, pos))
+      |SELECT t1, t2, count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE), 6) AS weight
+      |FROM pairs GROUP BY t1, t2
+      |ORDER BY weight DESC, t1, t2 LIMIT $CoocTopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_chi2" -> q199Chi2,
+    "q200_nb_langid" -> q200NbLangid,
+    "q201_feature_hash" -> q201FeatureHash,
+    "q202_novelty" -> q202Novelty,
+    "q207_cooccurrence" -> q207Cooccurrence)
+
+  val oracles: Map[String, String] = Map(
+    "q199_chi2" -> q199Sql,
+    "q200_nb_langid" -> q200Sql,
+    "q201_feature_hash" -> q201Sql,
+    "q202_novelty" -> q202Sql,
+    "q207_cooccurrence" -> q207Sql)
+}

@@ -1,0 +1,406 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{MathFunctions => MF}
+import graft.oracle.Sql
+
+/** Training-pipeline assembly operators (SURVEY §2.E): sequence
+  * packing, the composed quality gate, distributed PCA by power
+  * iteration, and dataloader shard-parity auditing — the steps between
+  * a filtered corpus and a training run.
+  */
+object PipelineQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+
+  /** Tokens per training sequence (context window). */
+  val PackLen = 2048
+
+  // --------------------------------------------------------------- q203
+  /** Sequence-packing census — GPT-style concat-and-cut: within each
+    * source shard, documents are concatenated in doc_id order and the
+    * token stream is cut every [[PackLen]] tokens. Per document: its
+    * first/last pack, how many packs it spans, and whether a cut falls
+    * inside it (the attention-masking / document-bleed accounting a
+    * pretraining dataloader needs).
+    *
+    * Shape for 100 TB: packing is PER SOURCE SHARD (the realistic
+    * layout — a global concat order would serialize ingestion), so the
+    * running offset is a window partitioned by source: parallel across
+    * shards, one shuffle on source. Token counts are in-row; nothing
+    * corpus-scale crosses the exchange twice. */
+  def q203SeqPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / lit(PackLen.toLong)).cast("long").as("first_pack"),
+        ((col("cum") - 1L) / lit(PackLen.toLong)).cast("long").as("last_pack"))
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1L)
+      .withColumn("is_split", (col("last_pack") > col("first_pack")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q203Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM docs)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST((cum - n_tokens) // $PackLen AS BIGINT) AS first_pack,
+      |  CAST((cum - 1) // $PackLen AS BIGINT) AS last_pack,
+      |  CAST((cum - 1) // $PackLen - (cum - n_tokens) // $PackLen + 1 AS BIGINT) AS n_packs,
+      |  CAST(CASE WHEN (cum - 1) // $PackLen > (cum - n_tokens) // $PackLen
+      |       THEN 1 ELSE 0 END AS INTEGER) AS is_split
+      |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** Quality-gate thresholds (shared with the oracle text). */
+  val GateMinWords = 50
+  val GateMaxWords = 1000
+  val GateMinStop = 0.04
+  val GateMinWl = 3.0
+  val GateMaxWl = 8.0
+  val GateMinDistinct = 0.3
+
+  // --------------------------------------------------------------- q204
+  /** Composed quality gate — the C4/FineWeb-style keep/drop decision
+    * assembled from four independent rules (length band, stopword
+    * floor over the union stop list, word-length band, lexical
+    * diversity floor), reported as a per-source funnel: how many docs
+    * pass each rule, how many pass ALL, and the final keep rate. The
+    * per-rule counts are what a curation run tunes against — a single
+    * combined boolean would hide which rule is doing the cutting.
+    *
+    * Shape for 100 TB: every rule is an in-row expression over ONE
+    * tokenization; the only exchange is the partial-agged
+    * groupBy(source) census — map-only otherwise. */
+  def q204QualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopAll = TextQueries.StopEn ++ TextQueries.StopEs ++
+      TextQueries.StopFr ++ TextQueries.StopDe
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val avgWl = (length(col("text")) - (size(w) - 1)).cast("double") / nWords.cast("double")
+    val stopR = TextQueries.hitRatio(w, stopAll)
+    val distinctR = size(array_distinct(w)).cast("double") / nWords.cast("double")
+    val rLen = nWords >= GateMinWords && nWords <= GateMaxWords
+    val rStop = stopR >= GateMinStop
+    val rWl = avgWl >= GateMinWl && avgWl <= GateMaxWl
+    val rDiv = distinctR >= GateMinDistinct
+    Tables.documents(spark, sfDir)
+      .select(col("source"), rLen.as("r_len"), rStop.as("r_stop"),
+        rWl.as("r_wl"), rDiv.as("r_div"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_len").cast("long")).as("pass_len"),
+        sum(col("r_stop").cast("long")).as("pass_stop"),
+        sum(col("r_wl").cast("long")).as("pass_wl"),
+        sum(col("r_div").cast("long")).as("pass_div"),
+        sum((col("r_len") && col("r_stop") && col("r_wl") && col("r_div"))
+          .cast("long")).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val q204Sql: String = {
+    val stopAll = TextQueries.StopEn ++ TextQueries.StopEs ++
+      TextQueries.StopFr ++ TextQueries.StopDe
+    val w = "string_split(text, ' ')"
+    val stopR = TextQueries.hitRatioSql(w, stopAll)
+    s"""WITH scored AS (
+      |  SELECT source,
+      |    (len($w) >= $GateMinWords AND len($w) <= $GateMaxWords) AS r_len,
+      |    ($stopR >= $GateMinStop) AS r_stop,
+      |    (CAST(length(text) - (len($w) - 1) AS DOUBLE) / len($w) >= $GateMinWl
+      |     AND CAST(length(text) - (len($w) - 1) AS DOUBLE) / len($w) <= $GateMaxWl) AS r_wl,
+      |    (CAST(len(list_distinct($w)) AS DOUBLE) / len($w) >= $GateMinDistinct) AS r_div
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+      |  CAST(sum(CASE WHEN r_wl THEN 1 ELSE 0 END) AS BIGINT) AS pass_wl,
+      |  CAST(sum(CASE WHEN r_div THEN 1 ELSE 0 END) AS BIGINT) AS pass_div,
+      |  CAST(sum(CASE WHEN r_len AND r_stop AND r_wl AND r_div THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(CAST(sum(CASE WHEN r_len AND r_stop AND r_wl AND r_div THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS keep_rate
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Power-iteration rounds. */
+  val PcaRounds = 3
+  /** Embedding dimensionality (the fixture's; a caller passes its own
+    * via the facade). */
+  val PcaDim = 64
+
+  // --------------------------------------------------------------- q205
+  /** Distributed PCA by power iteration — the top principal component
+    * of the (uncentered) embedding second-moment matrix, with the
+    * Rayleigh-quotient eigenvalue estimate and the variance share it
+    * explains, per round (the convergence trace).
+    *
+    * The 100 TB-correct matvec: y = Σᵢ xᵢ(xᵢᵀv) never materializes the
+    * d×d moment matrix — each round the corpus explodes to (row, dim,
+    * value), the per-row dot joins the BROADCAST O(d) vector frame and
+    * partial-aggs per row, and y partial-aggs per dim; the state that
+    * crosses rounds is a d-row frame, localCheckpoint'ed so the loop
+    * plan stays shallow (LinkRank's discipline). Every per-row term is
+    * 1e-6-gridded and decimal-summed — bit-identical in any partition
+    * order, so the oracle replays all rounds exactly. */
+  def q205PcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = graft.Checkpoints.deferFree(
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"), col("x").cast("double").as("x"))
+        .localCheckpoint())
+    // trace of the second-moment matrix: Σ x² (1-row, broadcast)
+    val trace = exploded.agg(
+      dsum(round(col("x") * col("x"), 6)).cast("double").as("trace"))
+    // v₀ = uniform unit vector (1/√d = 0.125 exactly for d = 64)
+    val v0 = 1.0 / math.sqrt(PcaDim.toDouble)
+    var v = spark.range(PcaDim).select(col("id").cast("int").as("j"),
+      lit(math.rint(v0 * 1e6) / 1e6).as("v"))
+    var out: Seq[DataFrame] = Nil
+    for (r <- 1 to PcaRounds) {
+      val dots = exploded.join(broadcast(v), "j")
+        .groupBy(col("vec_id"))
+        .agg(dsum(round(col("x") * col("v"), 6)).cast("double").as("dot"))
+      val y = exploded.join(dots, "vec_id")
+        .groupBy(col("j"))
+        .agg(dsum(round(col("x") * col("dot"), 6)).cast("double").as("y"))
+      // λ (Rayleigh, v unit): vᵀy; ‖y‖ for the renormalization
+      val lamNorm = y.join(broadcast(v), "j")
+        .agg(dsum(round(col("v") * col("y"), 6)).cast("double").as("lambda"),
+          dsum(round(col("y") * col("y"), 6)).cast("double").as("ynorm2"))
+      out = out :+ lamNorm.crossJoin(broadcast(trace))
+        .select(lit(r).as("round"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("lambda") / col("trace"), 6).as("explained_share"))
+      v = y.crossJoin(broadcast(lamNorm))
+        .select(col("j"), round(col("y") / sqrt(col("ynorm2")), 6).as("v"))
+        .localCheckpoint()
+    }
+    graft.Checkpoints.deferFree(v)
+    out.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val q205Sql: String = {
+    val v0 = s"round(1.0 / sqrt($PcaDim.0), 6)"
+    def round_(r: Int, prevV: String): String =
+      s"""dots$r AS (
+         |  SELECT vec_id, CAST(sum(CAST(round(x * v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS dot
+         |  FROM exploded JOIN $prevV USING (j) GROUP BY vec_id),
+         |y$r AS (
+         |  SELECT j, CAST(sum(CAST(round(x * dot, 6) AS DECIMAL(38,6))) AS DOUBLE) AS y
+         |  FROM exploded JOIN dots$r USING (vec_id) GROUP BY j),
+         |ln$r AS (
+         |  SELECT CAST(sum(CAST(round(v * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS lambda,
+         |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ynorm2
+         |  FROM y$r JOIN $prevV USING (j)),
+         |v$r AS (SELECT j, round(y / sqrt((SELECT ynorm2 FROM ln$r)), 6) AS v FROM y$r)""".stripMargin
+    s"""WITH pos AS (
+      |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS j
+      |  FROM embeddings),
+      |exploded AS MATERIALIZED (
+      |  SELECT vec_id, CAST(j - 1 AS INTEGER) AS j, CAST(embedding[j] AS DOUBLE) AS x
+      |  FROM pos),
+      |trace AS (
+      |  SELECT CAST(sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS trace
+      |  FROM exploded),
+      |v0 AS (SELECT j, $v0 AS v FROM (SELECT DISTINCT j FROM exploded)),
+      |${round_(1, "v0")},
+      |${round_(2, "v1")},
+      |${round_(3, "v2")}
+      |SELECT r AS round, round(lambda, 6) AS lambda,
+      |  round(lambda / (SELECT trace FROM trace), 6) AS explained_share
+      |FROM (
+      |  SELECT 1 AS r, lambda FROM ln1
+      |  UNION ALL SELECT 2, lambda FROM ln2
+      |  UNION ALL SELECT 3, lambda FROM ln3)
+      |ORDER BY round""".stripMargin
+  }
+
+  /** Dataloader shard count. */
+  val NShards = 16
+
+  // --------------------------------------------------------------- q206
+  /** Dataloader shard-parity audit — documents hash-assigned to
+    * [[NShards]] shards (content-id hash, the q43 portable-md5
+    * discipline), with the per-shard balance statistics verified
+    * before a distributed training run: doc count, token mass, distinct
+    * languages, and the heaviest language's share (a skewed shard
+    * starves or biases its data-parallel rank).
+    *
+    * Shape for 100 TB: shard id is per-row arithmetic; two partial-
+    * agged aggregations ((shard, lang), then shard) produce the O(S)
+    * report. */
+  def q206ShardParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(pmod(MF.hash32(col("doc_id").cast("string")), lit(NShards.toLong))
+          .as("shard"),
+        col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byShardLang = docs.groupBy(col("shard"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+    byShardLang.groupBy(col("shard"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        count(lit(1)).as("n_langs"),
+        max(col("n")).as("top_lang_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        round(col("top_lang_docs").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"))
+      .orderBy(col("shard"))
+  }
+
+  val q206Sql: String =
+    s"""WITH docs AS (
+      |  SELECT ${Sql.hash32("CAST(doc_id AS VARCHAR)")} % $NShards AS shard,
+      |    lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |bsl AS (
+      |  SELECT shard, lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tok
+      |  FROM docs GROUP BY 1, 2)
+      |SELECT shard, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_langs,
+      |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_lang_share
+      |FROM bsl GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Target-encoding folds and smoothing mass. */
+  val TeFolds = 5
+  val TeSmooth = 10
+
+  // --------------------------------------------------------------- q208
+  /** Leakage-safe target encoding — the categorical featurizer of
+    * every tabular-ML pipeline: each (category, fold) gets the
+    * smoothed mean target of the category computed over the OTHER
+    * folds only (K-fold out-of-fold encoding — a row never sees its
+    * own target), with m-estimate shrinkage toward the global mean.
+    * Encodes order priority by order value, folds by orderkey mod K.
+    *
+    * Shape for 100 TB: ONE partial-agged groupBy(category, fold)
+    * collapses the corpus; per-category totals re-aggregate that O(C·K)
+    * frame; "other folds" = total − own (no second pass, no K-way
+    * self-join); the global mean is a 1-row broadcast. Sums are
+    * DECIMAL(38,6) end-to-end — one double division per output row. */
+  def q208TargetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("category"),
+        pmod(col("o_orderkey"), lit(TeFolds.toLong)).as("fold"),
+        col("o_totalprice").as("y"))
+    val byCatFold = rows.groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n"), dsum(col("y")).as("s"))
+    val byCat = byCatFold.groupBy(col("category"))
+      .agg(sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"))
+    val global = rows.agg(
+      (dsum(col("y")).cast("double") / count(lit(1))).as("gmean"))
+    byCatFold.join(byCat, "category")
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("fold"), col("n").as("n_rows"),
+        round(((col("s_tot") - col("s")).cast("double")
+            + lit(TeSmooth.toDouble) * col("gmean"))
+          / ((col("n_tot") - col("n")).cast("double") + lit(TeSmooth.toDouble)), 6)
+          .as("encoding"))
+      .orderBy(col("category"), col("fold"))
+  }
+
+  val q208Sql: String =
+    s"""WITH rows_ AS (
+      |  SELECT o_orderpriority AS category, o_orderkey % $TeFolds AS fold,
+      |    o_totalprice AS y
+      |  FROM orders),
+      |bcf AS (
+      |  SELECT category, fold, count(*) AS n,
+      |    sum(CAST(y AS DECIMAL(38,6))) AS s
+      |  FROM rows_ GROUP BY 1, 2),
+      |bc AS (
+      |  SELECT category, CAST(sum(n) AS BIGINT) AS n_tot, sum(s) AS s_tot
+      |  FROM bcf GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS gmean
+      |  FROM rows_)
+      |SELECT category, fold, n AS n_rows,
+      |  round((CAST(s_tot - s AS DOUBLE) + $TeSmooth.0 * gmean)
+      |    / (CAST(n_tot - n AS DOUBLE) + $TeSmooth.0), 6) AS encoding
+      |FROM bcf JOIN bc USING (category) CROSS JOIN g
+      |ORDER BY category, fold""".stripMargin
+
+  /** Token budget per padded batch. */
+  val BatchBudget = 8192
+
+  // --------------------------------------------------------------- q210
+  /** Pad-batching waste census — the OTHER batching strategy beside
+    * q203's concat-packing: documents are bucketed to the next power
+    * of two of their token count, batches of a fixed token budget are
+    * filled with same-bucket sequences (uniform shape → no cross-doc
+    * attention bleed), and the report quantifies what that costs:
+    * per-bucket doc count, real vs padded token mass, batch count, and
+    * padding-waste ratio — the utilization tradeoff a training
+    * framework weighs against packing.
+    *
+    * Shape for 100 TB: the bucket id is in-row integer/log2 math
+    * (exact at power-of-two boundaries); ONE partial-agged
+    * groupBy(bucket) produces the O(log max-length) report. */
+  def q210PadBatching(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("n_tokens"),
+        pow(lit(2.0), ceil(log2(col("n_tokens").cast("double")))).cast("long")
+          .as("bucket"))
+    val perSeq = lit(BatchBudget.toLong)
+    docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        // sequences per batch = budget / bucket; batches = ceil(docs / that)
+        ceil(col("n_docs").cast("double") /
+          greatest(floor(perSeq.cast("double") / col("bucket")), lit(1.0)))
+          .cast("long").as("n_batches"),
+        round(lit(1.0) - col("real_tokens").cast("double")
+          / (col("n_docs") * col("bucket")).cast("double"), 6).as("pad_waste"))
+      .orderBy(col("bucket"))
+  }
+
+  val q210Sql: String =
+    s"""WITH docs AS (
+      |  SELECT n_tokens,
+      |    CAST(power(2.0, ceil(log2(CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS bucket
+      |  FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents)),
+      |agg AS (
+      |  SELECT bucket, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+      |  FROM docs GROUP BY 1)
+      |SELECT bucket, n_docs, real_tokens,
+      |  CAST(n_docs * bucket AS BIGINT) AS padded_tokens,
+      |  CAST(ceil(CAST(n_docs AS DOUBLE) /
+      |    greatest(floor(CAST($BatchBudget AS DOUBLE) / bucket), 1.0)) AS BIGINT) AS n_batches,
+      |  round(1.0 - CAST(real_tokens AS DOUBLE) / CAST(n_docs * bucket AS DOUBLE), 6) AS pad_waste
+      |FROM agg ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_seq_packing" -> q203SeqPacking,
+    "q204_quality_gate" -> q204QualityGate,
+    "q205_pca_power" -> q205PcaPower,
+    "q206_shard_parity" -> q206ShardParity,
+    "q208_target_encoding" -> q208TargetEncoding,
+    "q210_pad_batching" -> q210PadBatching)
+
+  val oracles: Map[String, String] = Map(
+    "q203_seq_packing" -> q203Sql,
+    "q204_quality_gate" -> q204Sql,
+    "q205_pca_power" -> q205Sql,
+    "q206_shard_parity" -> q206Sql,
+    "q208_target_encoding" -> q208Sql,
+    "q210_pad_batching" -> q210Sql)
+}

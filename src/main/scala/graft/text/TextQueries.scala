@@ -13,17 +13,17 @@ import graft.oracle.Sql
   */
 object TextQueries {
 
-  private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
-  private val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
-  private val StopFr = Seq("le", "la", "de", "et", "les", "des", "une")
-  private val StopDe = Seq("der", "die", "und", "das", "von", "ein", "zu")
+  private[graft] val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private[graft] val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private[graft] val StopFr = Seq("le", "la", "de", "et", "les", "des", "une")
+  private[graft] val StopDe = Seq("der", "die", "und", "das", "von", "ein", "zu")
 
-  private def hitRatio(w: Column, stop: Seq[String]): Column = {
+  private[graft] def hitRatio(w: Column, stop: Seq[String]): Column = {
     val stopArr = array(stop.map(lit): _*)
     size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w)
   }
 
-  private def hitRatioSql(w: String, stop: Seq[String]): String = {
+  private[graft] def hitRatioSql(w: String, stop: Seq[String]): String = {
     val lst = stop.map(s => s"'$s'").mkString("[", ", ", "]")
     s"(CAST(len(list_filter($w, x -> list_contains($lst, x))) AS DOUBLE) / len($w))"
   }
