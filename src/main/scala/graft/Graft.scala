@@ -787,6 +787,76 @@ object Graft {
                 iters: Int = 3): DataFrame =
     operators.Glm.logregFit(df, x, y, iters)
 
+  // -------------------------------------------------- featurization
+  /** Chi-squared (token, class) feature ranking on a labeled text
+    * frame (q199's engine): top-K features per class with their exact
+    * contingency counts. */
+  def chi2Features(df: DataFrame, id: Column, label: Column, text: Column,
+                   topK: Int = 10): DataFrame =
+    operators.Featurize.chi2Features(df, id, label, text, topK)
+
+  /** Multinomial naive Bayes trained and scored on a labeled text
+    * frame (q200's engine): resubstitution confusion matrix with
+    * per-class shares. */
+  def naiveBayes(df: DataFrame, id: Column, label: Column, text: Column): DataFrame =
+    operators.Featurize.naiveBayes(df, id, label, text)
+
+  /** Hashing-trick featurizer collision census (q201's engine). */
+  def featureHash(df: DataFrame, id: Column, text: Column,
+                  dim: Int = 256): DataFrame =
+    operators.Featurize.featureHash(df, id, text, dim)
+
+  /** N-gram novelty scores in id order (q202's engine) — the
+    * dataset-curation contribution metric. */
+  def noveltyScores(df: DataFrame, id: Column, text: Column): DataFrame =
+    operators.Featurize.noveltyScores(df, id, text)
+
+  /** Windowed distance-weighted co-occurrence counts over the capped
+    * vocabulary (q207's engine) — the GloVe X-matrix build. */
+  def cooccurrence(df: DataFrame, id: Column, text: Column,
+                   window: Int = 3, vocabCap: Int = 40,
+                   topK: Int = 30): DataFrame =
+    operators.Featurize.cooccurrence(df, id, text, window, vocabCap, topK)
+
+  /** Leakage-safe K-fold target encoding with m-estimate shrinkage
+    * (q208's engine). The caller supplies the fold column. */
+  def targetEncoding(df: DataFrame, category: Column, fold: Column,
+                     target: Column, smooth: Double = 10.0): DataFrame =
+    operators.Assemble.targetEncoding(df, category, fold, target, smooth)
+
+  // -------------------------------------------------- training assembly
+  /** Concat-and-cut sequence-packing census per shard (q203's
+    * engine). `nTokens` is the caller's token count column. */
+  def seqPacking(df: DataFrame, id: Column, shard: Column, nTokens: Column,
+                 packLen: Long = 2048L): DataFrame =
+    operators.Assemble.seqPacking(df, id, shard, nTokens, packLen)
+
+  /** Hash shard-parity audit (q206's engine): per-shard doc count,
+    * token mass, group diversity. */
+  def shardParity(df: DataFrame, id: Column, group: Column, nTokens: Column,
+                  nShards: Int = 16): DataFrame =
+    operators.Assemble.shardParity(df, id, group, nTokens, nShards)
+
+  /** Pad-batching waste census at a fixed token budget (q210's
+    * engine). */
+  def padBatching(df: DataFrame, nTokens: Column,
+                  budget: Long = 8192L): DataFrame =
+    operators.Assemble.padBatching(df, nTokens, budget)
+
+  /** Top principal component of an (id, vector) frame by `rounds`
+    * power iterations (q205's engine): per-round Rayleigh eigenvalue +
+    * explained-variance share. */
+  def pcaTopComponent(vecs: DataFrame, id: Column, vec: Column,
+                      dim: Int, rounds: Int = 3): DataFrame =
+    operators.Spectral.pcaTopComponent(vecs, id, vec, dim, rounds)
+
+  /** Fiedler-vector spectral bipartition of a bounded edge frame
+    * (q209's engine): per-round algebraic-connectivity estimate and
+    * sign-cut census. */
+  def fiedler(edges: DataFrame, src: Column, dst: Column,
+              rounds: Int = 4): DataFrame =
+    graph.Fiedler.run(edges, src, dst, rounds)
+
   // -------------------------------------------------- streaming
   /** Streaming exact dedup with bounded state (watermark horizon). */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =

@@ -23,8 +23,8 @@ object SpectralQueries {
   // --------------------------------------------------------------- q209
   /** Fiedler bipartition: approximate the second-smallest eigenvector
     * of the host graph's Laplacian L = D − A by power iteration on the
-    * shifted operator M = cI − L (c = max degree + 1, so all of M's
-    * eigenvalues are positive and L's smallest become M's largest),
+    * shifted operator M = cI − L (c = 2·max-degree + 1 ≥ λ_max by
+    * Gershgorin, so L's smallest eigenvalues become M's largest),
     * deflating the trivial all-ones eigenvector by re-centering each
     * round. Emits, per round: the Rayleigh estimate of the algebraic
     * connectivity λ₂(L) and the sign-cut census (partition sizes, cut
@@ -38,92 +38,12 @@ object SpectralQueries {
     * frame, localCheckpoint'ed so the loop plan stays shallow. Every
     * per-row term is 1e-6-gridded and decimal-summed — the oracle
     * replays all rounds exactly. The deterministic start vector is
-    * hash-signed (±1, centered), so no global ordering or window is
-    * ever needed. */
-  def q209Fiedler(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = graft.SessionCache.cached(spark, s"undhost:$sfDir")(
-      WebGraph.cachedHostEdges(spark, sfDir)
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct())
-    val deg = und.select(col("u").as("id"))
-      .unionAll(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val cRow = deg.agg((max(col("d")) + lit(1L)).cast("double").as("c"))
-    // v₀: hash-signed ±1, centered and unit-normalized below
-    var v = deg.select(col("id"), col("d"),
-      (lit(1L) - lit(2L) * pmod(graft.functions.MathFunctions.hash32(col("id")), lit(2L)))
-        .cast("double").as("raw"))
-    v = normalized(centered(v)).localCheckpoint()
-    var out: Seq[DataFrame] = Nil
-    for (r <- 1 to FiedlerRounds) {
-      // A·v over the undirected edges: each edge contributes both ways
-      // the score frame is O(hosts) — broadcast both attach joins so
-      // the edge side never shuffles (the Triangles broadcastEdges
-      // argument: this operator is defined on the bounded host graph)
-      val av = und.join(broadcast(v.select(col("id").as("u"), col("x").as("xu"))), "u")
-        .join(broadcast(v.select(col("id").as("v"), col("x").as("xv"))), "v")
-        .select(explode(array(
-          struct(col("u").as("id"), col("xv").as("nx")),
-          struct(col("v").as("id"), col("xu").as("nx")))).as("e"))
-        .select(col("e.id").as("id"), col("e.nx").as("nx"))
-        .groupBy(col("id"))
-        .agg(dsum(round(col("nx"), 6)).cast("double").as("av"))
-      // y = c·v − d·v + A·v (M·v). Checkpointed immediately: the
-      // round's mean/norm/Rayleigh/census jobs are each a separate
-      // 1-row-aggregate action, and an unmaterialized y would re-run
-      // the matvec (edge join + shuffle) once PER job — measured 5×
-      // the shuffle budget. One matvec per round, read four times.
-      val y = graft.Checkpoints.deferFree(v.join(av, Seq("id"), "left")
-        .crossJoin(broadcast(cRow))
-        .select(col("id"), col("d"),
-          round((col("c") - col("d")) * col("x") + coalesce(col("av"), lit(0.0)), 6)
-            .as("raw"))
-        .localCheckpoint())
-      // Rayleigh: λ_M = vᵀy (v unit) → λ₂(L) ≈ c − λ_M
-      val lam = v.join(broadcast(y.select(col("id"), col("raw").as("y"))), "id")
-        .agg(dsum(round(col("x") * col("y"), 6)).cast("double").as("lam_m"))
-        .crossJoin(broadcast(cRow))
-        .select((col("c") - col("lam_m")).as("lambda2"))
-      // checkpoint BEFORE the census reads so the round's vector is
-      // materialized once (census + next round share the blocks)
-      val vNext = normalized(centered(y)).localCheckpoint()
-      // sign-cut census of the round's resulting vector
-      val cut = und
-        .join(broadcast(vNext.select(col("id").as("u"), col("x").as("xu"))), "u")
-        .join(broadcast(vNext.select(col("id").as("v"), col("x").as("xv"))), "v")
-        .agg(count(lit(1)).as("n_edges"),
-          sum(when((col("xu") >= 0) =!= (col("xv") >= 0), 1L).otherwise(0L))
-            .as("cut_edges"))
-      val sizes = vNext.agg(
-        sum(when(col("x") >= 0, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("x") < 0, 1L).otherwise(0L)).as("n_neg"))
-      out = out :+ lam.crossJoin(broadcast(sizes)).crossJoin(broadcast(cut))
-        .select(lit(r).as("round"), round(col("lambda2"), 6).as("lambda2"),
-          col("n_pos"), col("n_neg"), col("cut_edges"), col("n_edges"))
-      graft.Checkpoints.deferFree(v)
-      v = vNext
-    }
-    graft.Checkpoints.deferFree(v)
-    out.reduce(_ unionAll _).orderBy(col("round"))
-  }
-
-  /** Center to mean zero (deflate the all-ones eigenvector). Input
-    * column `raw`, output keeps (id, d, raw). */
-  private def centered(v: DataFrame): DataFrame = {
-    val mean = v.agg(
-      (dsum(round(col("raw"), 6)).cast("double") / count(lit(1))).as("m"))
-    v.crossJoin(broadcast(mean))
-      .select(col("id"), col("d"), round(col("raw") - col("m"), 6).as("raw"))
-  }
-
-  /** Unit-normalize `raw` into `x` (1e-6 grid). */
-  private def normalized(v: DataFrame): DataFrame = {
-    val norm = v.agg(
-      sqrt(dsum(round(col("raw") * col("raw"), 6)).cast("double")).as("nrm"))
-    v.crossJoin(broadcast(norm))
-      .select(col("id"), col("d"), round(col("raw") / col("nrm"), 6).as("x"))
-  }
+    * hash-VALUED per vertex (centered; not ±1 signs — a sign vector
+    * can sit inside a symmetric eigenspace orthogonal to the Fiedler
+    * vector), so no global ordering or window is ever needed. */
+  def q209Fiedler(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Fiedler.run(WebGraph.cachedHostEdges(spark, sfDir),
+      col("src"), col("dst"), FiedlerRounds)
 
   val q209Sql: String = {
     def round_(r: Int, prevV: String): String =
@@ -169,9 +89,9 @@ und AS MATERIALIZED (
 deg AS MATERIALIZED (
   SELECT id, count(*) AS d FROM (
     SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
-crow AS MATERIALIZED (SELECT CAST(max(d) + 1 AS DOUBLE) AS c FROM deg),
+crow AS MATERIALIZED (SELECT CAST(2 * max(d) + 1 AS DOUBLE) AS c FROM deg),
 raw0 AS MATERIALIZED (
-  SELECT id, d, CAST(1 - 2 * (${Sql.hash32("id")} % 2) AS DOUBLE) AS raw FROM deg),
+  SELECT id, d, CAST(${Sql.hash32("id")} % 1000 AS DOUBLE) / 1000.0 - 0.5 AS raw FROM deg),
 rc0 AS MATERIALIZED (
   SELECT id, d, round(raw - (
     SELECT CAST(sum(CAST(round(raw, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*)

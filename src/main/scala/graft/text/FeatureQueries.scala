@@ -41,42 +41,10 @@ object FeatureQueries {
     * to double BEFORE squaring so nothing overflows at any SF), and
     * the top-K per class is a window over the O(terms × classes)
     * aggregate, never the corpus. */
-  def q199Chi2(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
-    val present = docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
-      .distinct()
-    val byTermLang = present.groupBy(col("term"), col("lang"))
-      .agg(count(lit(1)).as("a"))
-    val byTerm = byTermLang.groupBy(col("term"))
-      .agg(sum(col("a")).as("t_df"))
-    val langTotals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val cells = byTermLang
-      .join(byTerm, "term")
-      .join(broadcast(langTotals), "lang")
-      .crossJoin(broadcast(n))
-      .select(col("lang"), col("term"), col("a"), col("t_df"),
-        (col("t_df") - col("a")).as("b"),
-        (col("n_lang") - col("a")).as("c"),
-        (col("n_docs") - col("n_lang") - col("t_df") + col("a")).as("d"),
-        col("n_docs"))
-    val chi2 = cells.select(col("lang"), col("term"), col("a").as("df_in_class"),
-      col("t_df").as("df_total"),
-      round(col("n_docs").cast("double") *
-        ((col("a") * col("d") - col("b") * col("c")).cast("double") *
-          (col("a") * col("d") - col("b") * col("c")).cast("double")) /
-        (((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
-          ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")), 6)
-        .as("chi2"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("chi2").desc, col("term"))
-    chi2.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Chi2TopK)
-      .select(col("lang"), col("rank"), col("term"), col("df_in_class"),
-        col("df_total"), col("chi2"))
-      .orderBy(col("lang"), col("rank"))
-  }
+  def q199Chi2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Featurize.chi2Features(Tables.documents(spark, sfDir),
+        col("doc_id"), col("lang"), col("text"), Chi2TopK)
+      .withColumnRenamed("label", "lang")
 
   val q199Sql: String =
     s"""WITH present AS (
@@ -92,8 +60,10 @@ object FeatureQueries {
       |  FROM btl JOIN bt USING (term) JOIN lt ON btl.lang = lt.lang CROSS JOIN n),
       |chi AS (
       |  SELECT lang, term, a AS df_in_class, t_df AS df_total,
-      |    round(CAST(n_docs AS DOUBLE) * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)) /
-      |      (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6) AS chi2
+      |    (CASE WHEN CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE) = 0.0
+      |          THEN 0.0
+      |          ELSE round(CAST(n_docs AS DOUBLE) * (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)) /
+      |            (CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)), 6) END) AS chi2
       |  FROM cells),
       |ranked AS (
       |  SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rank,
@@ -119,50 +89,10 @@ object FeatureQueries {
     * log terms × integer tf summed as DECIMAL — order-independent and
     * engine-exact; the argmax is a window over classes per doc, ties
     * broken by class name; output is the O(classes²) confusion. */
-  def q200NbLangid(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("term"))
-    // model: smoothed log P(term | class) over the full vocab × class grid
-    val counts = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_lt"))
-    val classTotals = counts.groupBy(col("lang")).agg(sum(col("n_lt")).as("t_l"))
-    val vocab = counts.select(col("term")).distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v"))
-    val grid = vocab.crossJoin(broadcast(classTotals))
-      .join(counts, Seq("term", "lang"), "left")
-      .crossJoin(broadcast(vSize))
-      .select(col("term"), col("lang").as("cls"),
-        round(log((coalesce(col("n_lt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("t_l") + col("v")).cast("double")), 6)
-          .cast(DecimalType(38, 6)).as("log_lik"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("lang").as("cls"),
-        round(log(col("n_l").cast("double") / col("n_docs").cast("double")), 6)
-          .cast(DecimalType(38, 6)).as("log_prior"))
-    // scoring: per-doc tf ⋈ broadcast model, decimal-summed per class
-    val tf = tok.groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val scores = tf.join(broadcast(grid), "term")
-      .groupBy(col("doc_id"), col("lang"), col("cls"))
-      .agg(sum(col("tf") * col("log_lik")).as("ll"))
-      .join(broadcast(priors), "cls")
-      .select(col("doc_id"), col("lang"), col("cls"),
-        (col("ll") + col("log_prior")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cls"))
-    val predicted = scores.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("cls").as("predicted"))
-    predicted.groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(Tables.documents(spark, sfDir)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))), "lang")
-      .select(col("lang"), col("predicted"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_lang"), 6).as("share"))
-      .orderBy(col("lang"), col("predicted"))
-  }
+  def q200NbLangid(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Featurize.naiveBayes(Tables.documents(spark, sfDir),
+        col("doc_id"), col("lang"), col("text"))
+      .withColumnRenamed("label", "lang")
 
   val q200Sql: String =
     """WITH tok AS (
@@ -217,29 +147,9 @@ object FeatureQueries {
     * oracle digit-for-digit); two partial-agged aggregations (doc ×
     * bucket, then bucket) collapse the corpus; the output is O(D) —
     * model-sized. All values are exact integers. */
-  def q201FeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val hashed = tok.select(col("doc_id"), col("term"),
-      pmod(MF.hash32(col("term")), lit(HashDim.toLong)).as("bucket"),
-      (lit(1L) - lit(2L) * pmod(MF.hash32b(col("term")), lit(2L))).as("sign"))
-    val perDoc = hashed.groupBy(col("doc_id"), col("bucket"))
-      .agg(sum(col("sign")).as("v"),
-        // distinct terms per (doc,bucket) would need a wider state;
-        // the census needs per-BUCKET distincts, collected below
-        count(lit(1)).as("n_tok"))
-    val census = perDoc.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(col("v")).as("signed_mass"),
-        sum(col("v") * col("v")).as("energy"))
-    val termsPerBucket = hashed.select(col("bucket"), col("term")).distinct()
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_terms"))
-    census.join(termsPerBucket, "bucket")
-      .select(col("bucket"), col("n_terms"), col("n_docs"), col("n_tokens"),
-        col("signed_mass"), col("energy"))
-      .orderBy(col("bucket"))
-  }
+  def q201FeatureHash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Featurize.featureHash(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), HashDim)
 
   val q201Sql: String = {
     val h = Sql.hash32("term")
@@ -276,27 +186,9 @@ object FeatureQueries {
     * corpus collapses to distinct (gram, doc); gram first-appearance is
     * ONE partial-agged min; the join back is gram-keyed, never
     * all-pairs; output is one row per document. */
-  def q202Novelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val shingles = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array(col("text")))
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles.as("sh"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), MF.hash32(col("s")).as("g"))
-      .distinct()
-    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstSeen, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
-      .orderBy(col("doc_id"))
-  }
+  def q202Novelty(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Featurize.noveltyScores(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"))
 
   val q202Sql: String = {
     val w = "string_split(text, ' ')"
@@ -338,29 +230,9 @@ object FeatureQueries {
     * frequent tokens via a TakeOrdered broadcast (q90's discipline) so
     * the pair aggregate is ≤V² whatever the corpus; weights are
     * 1e-6-gridded decimal sums. */
-  def q207Cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-    val vocab = broadcast(toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term")).limit(CoocVocab)
-      .select(col("term")))
-    val inVocab = toks.join(vocab, "term")
-      .select(col("doc_id"), col("pos"), col("term"))
-    val probes = inVocab.select(col("doc_id"), col("term").as("a"),
-        explode(sequence(lit(1), lit(CoocWindow))).as("k"),
-        col("pos"))
-      .select(col("doc_id"), col("a"), (col("pos") + col("k")).as("pos"),
-        round(lit(1.0) / col("k"), 6).as("w"))
-    probes.join(inVocab.withColumnRenamed("term", "b"), Seq("doc_id", "pos"))
-      .select(least(col("a"), col("b")).as("t1"),
-        greatest(col("a"), col("b")).as("t2"), col("w"))
-      .groupBy(col("t1"), col("t2"))
-      .agg(count(lit(1)).as("n_pairs"),
-        dsum(col("w")).cast("double").as("wsum"))
-      .select(col("t1"), col("t2"), col("n_pairs"), round(col("wsum"), 6).as("weight"))
-      .orderBy(col("weight").desc, col("t1"), col("t2"))
-      .limit(CoocTopK)
-  }
+  def q207Cooccurrence(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Featurize.cooccurrence(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), CoocWindow, CoocVocab, CoocTopK)
 
   val q207Sql: String =
     s"""WITH posed AS (

@@ -33,20 +33,13 @@ object PipelineQueries {
     * running offset is a window partitioned by source: parallel across
     * shards, one shuffle on source. Token counts are in-row; nothing
     * corpus-scale crosses the exchange twice. */
-  def q203SeqPacking(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    docs
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / lit(PackLen.toLong)).cast("long").as("first_pack"),
-        ((col("cum") - 1L) / lit(PackLen.toLong)).cast("long").as("last_pack"))
-      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1L)
-      .withColumn("is_split", (col("last_pack") > col("first_pack")).cast("int"))
-      .orderBy(col("doc_id"))
-  }
+  def q203SeqPacking(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Assemble.seqPacking(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("nt")),
+        col("doc_id"), col("source"), col("nt"), PackLen.toLong)
+      .withColumnRenamed("shard", "source")
 
   val q203Sql: String =
     s"""WITH docs AS (
@@ -157,42 +150,10 @@ object PipelineQueries {
     * plan stays shallow (LinkRank's discipline). Every per-row term is
     * 1e-6-gridded and decimal-summed — bit-identical in any partition
     * order, so the oracle replays all rounds exactly. */
-  def q205PcaPower(spark: SparkSession, sfDir: String): DataFrame = {
-    val exploded = graft.Checkpoints.deferFree(
-      Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
-        .select(col("vec_id"), col("j"), col("x").cast("double").as("x"))
-        .localCheckpoint())
-    // trace of the second-moment matrix: Σ x² (1-row, broadcast)
-    val trace = exploded.agg(
-      dsum(round(col("x") * col("x"), 6)).cast("double").as("trace"))
-    // v₀ = uniform unit vector (1/√d = 0.125 exactly for d = 64)
-    val v0 = 1.0 / math.sqrt(PcaDim.toDouble)
-    var v = spark.range(PcaDim).select(col("id").cast("int").as("j"),
-      lit(math.rint(v0 * 1e6) / 1e6).as("v"))
-    var out: Seq[DataFrame] = Nil
-    for (r <- 1 to PcaRounds) {
-      val dots = exploded.join(broadcast(v), "j")
-        .groupBy(col("vec_id"))
-        .agg(dsum(round(col("x") * col("v"), 6)).cast("double").as("dot"))
-      val y = exploded.join(dots, "vec_id")
-        .groupBy(col("j"))
-        .agg(dsum(round(col("x") * col("dot"), 6)).cast("double").as("y"))
-      // λ (Rayleigh, v unit): vᵀy; ‖y‖ for the renormalization
-      val lamNorm = y.join(broadcast(v), "j")
-        .agg(dsum(round(col("v") * col("y"), 6)).cast("double").as("lambda"),
-          dsum(round(col("y") * col("y"), 6)).cast("double").as("ynorm2"))
-      out = out :+ lamNorm.crossJoin(broadcast(trace))
-        .select(lit(r).as("round"),
-          round(col("lambda"), 6).as("lambda"),
-          round(col("lambda") / col("trace"), 6).as("explained_share"))
-      v = y.crossJoin(broadcast(lamNorm))
-        .select(col("j"), round(col("y") / sqrt(col("ynorm2")), 6).as("v"))
-        .localCheckpoint()
-    }
-    graft.Checkpoints.deferFree(v)
-    out.reduce(_ unionAll _).orderBy(col("round"))
-  }
+  def q205PcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Spectral.pcaTopComponent(
+      Tables.load(spark, sfDir, "embeddings"),
+      col("vec_id"), col("embedding"), PcaDim, PcaRounds)
 
   val q205Sql: String = {
     val v0 = s"round(1.0 / sqrt($PcaDim.0), 6)"
@@ -244,23 +205,14 @@ object PipelineQueries {
     * Shape for 100 TB: shard id is per-row arithmetic; two partial-
     * agged aggregations ((shard, lang), then shard) produce the O(S)
     * report. */
-  def q206ShardParity(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(pmod(MF.hash32(col("doc_id").cast("string")), lit(NShards.toLong))
-          .as("shard"),
-        col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val byShardLang = docs.groupBy(col("shard"), col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
-    byShardLang.groupBy(col("shard"))
-      .agg(sum(col("n")).as("n_docs"),
-        sum(col("tok")).as("n_tokens"),
-        count(lit(1)).as("n_langs"),
-        max(col("n")).as("top_lang_docs"))
-      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_langs"),
-        round(col("top_lang_docs").cast("double") / col("n_docs"), 6)
-          .as("top_lang_share"))
-      .orderBy(col("shard"))
-  }
+  def q206ShardParity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Assemble.shardParity(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("nt")),
+        col("doc_id"), col("lang"), col("nt"), NShards)
+      .withColumnRenamed("n_groups", "n_langs")
+      .withColumnRenamed("top_group_share", "top_lang_share")
 
   val q206Sql: String =
     s"""WITH docs AS (
@@ -293,26 +245,10 @@ object PipelineQueries {
     * frame; "other folds" = total − own (no second pass, no K-way
     * self-join); the global mean is a 1-row broadcast. Sums are
     * DECIMAL(38,6) end-to-end — one double division per output row. */
-  def q208TargetEncoding(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = Tables.orders(spark, sfDir)
-      .select(col("o_orderpriority").as("category"),
-        pmod(col("o_orderkey"), lit(TeFolds.toLong)).as("fold"),
-        col("o_totalprice").as("y"))
-    val byCatFold = rows.groupBy(col("category"), col("fold"))
-      .agg(count(lit(1)).as("n"), dsum(col("y")).as("s"))
-    val byCat = byCatFold.groupBy(col("category"))
-      .agg(sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"))
-    val global = rows.agg(
-      (dsum(col("y")).cast("double") / count(lit(1))).as("gmean"))
-    byCatFold.join(byCat, "category")
-      .crossJoin(broadcast(global))
-      .select(col("category"), col("fold"), col("n").as("n_rows"),
-        round(((col("s_tot") - col("s")).cast("double")
-            + lit(TeSmooth.toDouble) * col("gmean"))
-          / ((col("n_tot") - col("n")).cast("double") + lit(TeSmooth.toDouble)), 6)
-          .as("encoding"))
-      .orderBy(col("category"), col("fold"))
-  }
+  def q208TargetEncoding(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Assemble.targetEncoding(Tables.orders(spark, sfDir),
+      col("o_orderpriority"), pmod(col("o_orderkey"), lit(TeFolds.toLong)),
+      col("o_totalprice"), TeSmooth.toDouble)
 
   val q208Sql: String =
     s"""WITH rows_ AS (
@@ -351,25 +287,11 @@ object PipelineQueries {
     * Shape for 100 TB: the bucket id is in-row integer/log2 math
     * (exact at power-of-two boundaries); ONE partial-agged
     * groupBy(bucket) produces the O(log max-length) report. */
-  def q210PadBatching(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .select(col("n_tokens"),
-        pow(lit(2.0), ceil(log2(col("n_tokens").cast("double")))).cast("long")
-          .as("bucket"))
-    val perSeq = lit(BatchBudget.toLong)
-    docs.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("real_tokens"))
-      .select(col("bucket"), col("n_docs"), col("real_tokens"),
-        (col("n_docs") * col("bucket")).as("padded_tokens"),
-        // sequences per batch = budget / bucket; batches = ceil(docs / that)
-        ceil(col("n_docs").cast("double") /
-          greatest(floor(perSeq.cast("double") / col("bucket")), lit(1.0)))
-          .cast("long").as("n_batches"),
-        round(lit(1.0) - col("real_tokens").cast("double")
-          / (col("n_docs") * col("bucket")).cast("double"), 6).as("pad_waste"))
-      .orderBy(col("bucket"))
-  }
+  def q210PadBatching(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Assemble.padBatching(
+      Tables.documents(spark, sfDir)
+        .select(size(split(col("text"), " ")).as("nt")),
+      col("nt"), BatchBudget.toLong)
 
   val q210Sql: String =
     s"""WITH docs AS (

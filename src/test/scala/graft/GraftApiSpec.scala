@@ -344,4 +344,93 @@ class GraftApiSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(cls === Map("a" -> "core", "b" -> "core", "i" -> "in", "o" -> "out"))
   }
+
+  test("chi2 ranks a perfectly class-separating token first") {
+    val df = Seq(
+      (1L, "pos", "alpha alpha common"), (2L, "pos", "alpha common"),
+      (3L, "neg", "beta common"), (4L, "neg", "beta beta common"))
+      .toDF("id", "y", "t")
+    val top = Graft.chi2Features(df, col("id"), col("y"), col("t"), 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // alpha only in pos, beta only in neg — each class's top feature
+    assert(top("pos") == "alpha" || top("pos") == "beta")
+    assert(top("neg") == "alpha" || top("neg") == "beta")
+    // 'common' (in every doc) has chi2 = 0 and can never rank first
+  }
+
+  test("naive Bayes attains 100% on separable classes") {
+    val df = Seq(
+      (1L, "a", "xx xx yy"), (2L, "a", "xx yy"), (3L, "a", "xx xx"),
+      (4L, "b", "zz ww"), (5L, "b", "zz zz ww"), (6L, "b", "ww zz"))
+      .toDF("id", "y", "t")
+    val conf = Graft.naiveBayes(df, col("id"), col("y"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf === Map(("a", "a") -> 3L, ("b", "b") -> 3L))
+  }
+
+  test("novelty: an exact late duplicate scores zero") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "totally different words in this document here"),
+      (3L, "one two three four five six"))
+      .toDF("id", "t")
+    val nov = Graft.noveltyScores(df, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) === 1.0 && nov(2L) === 1.0 && nov(3L) === 0.0)
+  }
+
+  test("target encoding never sees its own fold") {
+    // category 'c': fold 0 has y=1000 (an outlier), folds 1/2 have y=10
+    val df = Seq(
+      ("c", 0L, 1000.0), ("c", 1L, 10.0), ("c", 2L, 10.0),
+      ("d", 0L, 20.0), ("d", 1L, 20.0), ("d", 2L, 20.0))
+      .toDF("cat", "f", "y")
+    val enc = Graft.targetEncoding(df, col("cat"), col("f"), col("y"), 0.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // fold 0's encoding excludes the outlier entirely
+    assert(enc(("c", 0L)) === 10.0)
+    // folds 1/2 include it: (1000 + 10) / 2
+    assert(enc(("c", 1L)) === 505.0 && enc(("c", 2L)) === 505.0)
+  }
+
+  test("pcaTopComponent recovers the dominant axis of rank-1 data") {
+    // vectors all along e1 (dim 4): top eigenvalue = Σ‖x‖², share ≈ 1
+    val vecs = Seq(
+      (1L, Array(2.0f, 0f, 0f, 0f)), (2L, Array(-3.0f, 0f, 0f, 0f)),
+      (3L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("id", "v")
+    val rows = Graft.pcaTopComponent(vecs, col("id"), col("v"), 4, 2)
+      .collect().sortBy(_.getInt(0))
+    assert(math.abs(rows.last.getDouble(2) - 1.0) < 1e-4,
+      "explained share of rank-1 data must be ~1")
+    assert(math.abs(rows.last.getDouble(1) - 14.0) < 1e-3,
+      "eigenvalue = 4+9+1")
+    Checkpoints.drain(spark)
+  }
+
+  test("fiedler cleanly separates two cliques joined by one bridge") {
+    val clique1 = for { a <- Seq("a1", "a2", "a3"); b <- Seq("a1", "a2", "a3") if a < b } yield (a, b)
+    val clique2 = for { a <- Seq("b1", "b2", "b3"); b <- Seq("b1", "b2", "b3") if a < b } yield (a, b)
+    val edges = (clique1 ++ clique2 :+ ("a1" -> "b1")).toDF("s", "d")
+    val last = Graft.fiedler(edges, col("s"), col("d"), 6)
+      .collect().maxBy(_.getInt(0))
+    assert(last.getLong(2) === 3L && last.getLong(3) === 3L,
+      s"3/3 split expected, got ${last.getLong(2)}/${last.getLong(3)}")
+    assert(last.getLong(4) === 1L, "exactly the bridge is cut")
+    Checkpoints.drain(spark)
+  }
+
+  test("packing + batching census on a caller frame") {
+    val df = Seq((1L, "s", 10L), (2L, "s", 10L), (3L, "s", 10L))
+      .toDF("id", "sh", "nt")
+    val packed = Graft.seqPacking(df, col("id"), col("sh"), col("nt"), 16L)
+      .collect().sortBy(_.getLong(0))
+    // stream offsets 0/10/20 with cut at 16: doc 2 straddles packs 0-1
+    assert(packed.map(_.getInt(6)).toSeq === Seq(0, 1, 0))
+    val batched = Graft.padBatching(df.select(col("nt")), col("nt"), 32L)
+      .collect()
+    // all three docs bucket to 16; 2 sequences per 32-token batch → 2 batches
+    assert(batched.length === 1 && batched.head.getLong(4) === 2L)
+    assert(math.abs(batched.head.getDouble(5) - (1.0 - 30.0 / 48.0)) < 1e-6)
+  }
 }
