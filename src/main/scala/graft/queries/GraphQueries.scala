@@ -1606,7 +1606,71 @@ $rounds
 ) ORDER BY round"""
   }
 
+  // --------------------------------------------------------------- q214
+  /** Matching round budget (shared with the oracle: the unrolled CTE
+    * chain replays exactly this many rounds). */
+  val MatchRounds = 5
+
+  /** Distributed greedy maximal matching of the undirected host graph
+    * (`graph/Matching` — the Israeli–Itai local-minimum-edge rule):
+    * each round every free vertex nominates its min-hash incident
+    * edge, mutually-nominated edges enter the matching, matched
+    * vertices leave; per-round census (selected, total matched,
+    * remaining candidate edges — 0 proves maximality). The matching
+    * primitive behind conflict-free pair scheduling (crawl
+    * politeness pairs, A/B partner assignment, graph coarsening for
+    * multilevel partitioners).
+    *
+    * Shape for 100 TB: edge priorities are per-row md5 arithmetic;
+    * each round is two broadcast anti-joins (matched vertices are
+    * vertex-scale, bounded here) + ONE partial-agged min per vertex +
+    * a broadcast nomination join; state crossing rounds is the
+    * localCheckpoint'ed matched-vertex frame. Pure-hash determinism:
+    * the oracle replays the identical matching. */
+  def q214Matching(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Matching.run(WebGraph.cachedHostEdges(spark, sfDir),
+      col("src"), col("dst"), MatchRounds)
+
+  val q214Sql: String = {
+    def rnd(r: Int): String = {
+      val prev = s"m${r - 1}"
+      s"""free$r AS MATERIALIZED (
+  SELECT e.u, e.v, e.eh FROM e0 e
+  WHERE e.u NOT IN (SELECT u FROM $prev UNION ALL SELECT v FROM $prev)
+    AND e.v NOT IN (SELECT u FROM $prev UNION ALL SELECT v FROM $prev)),
+vm$r AS MATERIALIZED (
+  SELECT id, min(eh) AS me FROM (
+    SELECT u AS id, eh FROM free$r UNION ALL SELECT v AS id, eh FROM free$r) GROUP BY id),
+sel$r AS MATERIALIZED (
+  SELECT f.u, f.v FROM free$r f
+  JOIN vm$r a ON a.id = f.u AND a.me = f.eh
+  JOIN vm$r b ON b.id = f.v AND b.me = f.eh),
+m$r AS MATERIALIZED (
+  SELECT u, v FROM $prev UNION ALL SELECT u, v FROM sel$r),
+c$r AS MATERIALIZED (
+  SELECT $r AS round,
+    (SELECT count(*) FROM sel$r) AS n_selected,
+    (SELECT count(*) FROM m$r) AS n_matched,
+    (SELECT count(*) FROM free$r) AS candidate_edges)"""
+    }
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+e0 AS MATERIALIZED (
+  SELECT u, v, ${Sql.hash32("u || '|' || v")} AS eh FROM (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM hedges
+    WHERE least(src, dst) <> greatest(src, dst))),
+m0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS u, CAST(NULL AS VARCHAR) AS v WHERE 1=0),
+${(1 to MatchRounds).map(rnd).mkString(",\n")}
+SELECT * FROM (
+${(1 to MatchRounds).map(r => s"SELECT * FROM c$r").mkString("\nUNION ALL\n")}
+) ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_matching" -> q214Matching,
     "q170_mirror_hosts" -> q170MirrorHosts,
     "q171_rank_trace" -> q171RankTrace,
     "q169_crawl_frontier" -> q169CrawlFrontier,
@@ -1642,6 +1706,7 @@ $rounds
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q214_matching" -> q214Sql,
     "q170_mirror_hosts" -> q170Sql,
     "q171_rank_trace" -> q171Sql,
     "q169_crawl_frontier" -> q169Sql,

@@ -245,15 +245,57 @@ object TpchQueries {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY qty_dec DESC, o_orderkey LIMIT $Q18TopK""".stripMargin
 
+  /** Q6 window and band (shared with the oracle text). */
+  val Q6From = "1996-01-01"
+  val Q6Until = "1997-01-01"
+  val Q6MinDisc = 0.05
+  val Q6MaxDisc = 0.07
+  val Q6MaxQty = 24.0
+
+  // --------------------------------------------------------------- q211
+  /** TPC-H Q6 — forecasting revenue change: the revenue that would
+    * have been kept by eliminating small discounts on low-quantity
+    * lines in one year (the canonical single-table selective scan).
+    *
+    * Plan for 100 TB: ALL THREE predicates (date window, discount
+    * band, quantity cap) push to the parquet scan — on a
+    * date-partitioned layout this is partition pruning plus row-group
+    * skipping via min/max stats (the q181 zone-map math); what
+    * survives feeds ONE map-side partial aggregate into a 1-row
+    * result. No join, no wide shuffle — the cheapest possible shape,
+    * and the benchmark's test that an engine doesn't pay for what it
+    * doesn't read. */
+  def q211RevenueChange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(Q6From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q6Until).cast("timestamp") &&
+        col("l_discount") >= Q6MinDisc && col("l_discount") <= Q6MaxDisc &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(asD(dsum(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_effect"),
+        count(lit(1)).as("n_lines"))
+
+  val q211Sql: String =
+    s"""SELECT
+      |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue_effect,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '$Q6From 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '$Q6Until 00:00:00'
+      |  AND l_discount >= $Q6MinDisc AND l_discount <= $Q6MaxDisc
+      |  AND l_quantity < $Q6MaxQty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q195_local_volume" -> q195LocalVolume,
     "q196_returned_items" -> q196ReturnedItems,
     "q197_promo_share" -> q197PromoShare,
-    "q198_big_orders" -> q198BigOrders)
+    "q198_big_orders" -> q198BigOrders,
+    "q211_tpch_q6" -> q211RevenueChange)
 
   val oracles: Map[String, String] = Map(
     "q195_local_volume" -> q195Sql,
     "q196_returned_items" -> q196Sql,
     "q197_promo_share" -> q197Sql,
-    "q198_big_orders" -> q198Sql)
+    "q198_big_orders" -> q198Sql,
+    "q211_tpch_q6" -> q211Sql)
 }

@@ -257,17 +257,73 @@ object FeatureQueries {
       |FROM pairs GROUP BY t1, t2
       |ORDER BY weight DESC, t1, t2 LIMIT $CoocTopK""".stripMargin
 
+  // --------------------------------------------------------------- q212
+  /** Word2vec negative-sampling table — the unigram^0.75 partition of
+    * [0, W) that skip-gram training draws negatives from (Mikolov et
+    * al.'s smoothing: the 3/4 power lifts rare words): per token its
+    * count, smoothed weight, half-open [lo, hi) range on the
+    * cumulative-weight axis, and normalized probability. A sampler
+    * draws u ∈ [0, W) and binary-searches the ranges — the table IS
+    * the artifact.
+    *
+    * Shape for 100 TB: ONE partial-agged token count collapses the
+    * corpus; the weight/cumsum math runs on the O(vocab) aggregate
+    * (the window is vocab-sized, never corpus-sized); weights are
+    * 1e-6-gridded and the cumsum is a DECIMAL running sum — exact in
+    * both engines. */
+  def q212NegativeTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val weighted = counts.select(col("term"), col("cnt"),
+      round(pow(col("cnt").cast("double"), 0.75), 6)
+        .cast(DecimalType(38, 6)).as("w"))
+    val win = Window.orderBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = weighted.agg(sum(col("w")).cast("double").as("wtot"))
+    weighted
+      .withColumn("hi_dec", sum(col("w")).over(win))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"),
+        col("w").cast("double").as("weight"),
+        (col("hi_dec") - col("w")).cast("double").as("lo"),
+        col("hi_dec").cast("double").as("hi"),
+        round(col("w").cast("double") / col("wtot"), 6).as("prob"))
+      .orderBy(col("term"))
+  }
+
+  val q212Sql: String =
+    """WITH counts AS (
+      |  SELECT term, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |weighted AS (
+      |  SELECT term, cnt,
+      |    CAST(round(power(CAST(cnt AS DOUBLE), 0.75), 6) AS DECIMAL(38,6)) AS w
+      |  FROM counts),
+      |total AS (SELECT CAST(sum(w) AS DOUBLE) AS wtot FROM weighted),
+      |cum AS (
+      |  SELECT term, cnt, w,
+      |    sum(w) OVER (ORDER BY term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi_dec
+      |  FROM weighted)
+      |SELECT term, cnt, CAST(w AS DOUBLE) AS weight,
+      |  CAST(hi_dec - w AS DOUBLE) AS lo, CAST(hi_dec AS DOUBLE) AS hi,
+      |  round(CAST(w AS DOUBLE) / wtot, 6) AS prob
+      |FROM cum CROSS JOIN total ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_chi2" -> q199Chi2,
     "q200_nb_langid" -> q200NbLangid,
     "q201_feature_hash" -> q201FeatureHash,
     "q202_novelty" -> q202Novelty,
-    "q207_cooccurrence" -> q207Cooccurrence)
+    "q207_cooccurrence" -> q207Cooccurrence,
+    "q212_negative_table" -> q212NegativeTable)
 
   val oracles: Map[String, String] = Map(
     "q199_chi2" -> q199Sql,
     "q200_nb_langid" -> q200Sql,
     "q201_feature_hash" -> q201Sql,
     "q202_novelty" -> q202Sql,
-    "q207_cooccurrence" -> q207Sql)
+    "q207_cooccurrence" -> q207Sql,
+    "q212_negative_table" -> q212Sql)
 }

@@ -310,12 +310,90 @@ object PipelineQueries {
       |  round(1.0 - CAST(real_tokens AS DOUBLE) / CAST(n_docs * bucket AS DOUBLE), 6) AS pad_waste
       |FROM agg ORDER BY bucket""".stripMargin
 
+  /** Ring geometry (shared with the oracle text). */
+  val RingNodes = 16
+  val RingVnodes = 8
+
+  // --------------------------------------------------------------- q213
+  /** Consistent-hashing ring census — the data-placement primitive
+    * behind shard maps, caches, and crawler work assignment: documents
+    * hash onto a ring of [[RingNodes]] nodes × [[RingVnodes]] virtual
+    * nodes (clockwise-successor rule), and the census reports, per
+    * node, its load AND how many of its documents move when one node
+    * is added — measuring the 1/(n+1) minimal-disruption property
+    * instead of asserting it. q206 shows mod-hash balance; this is the
+    * scheme that stays balanced when the cluster RESIZES (mod-hash
+    * remaps ~all keys; the ring remaps ~1/n).
+    *
+    * Shape for 100 TB: the ring is an O(nodes·vnodes) broadcast; each
+    * doc meets it in a BroadcastNestedLoopJoin whose 128-row fan-out
+    * collapses map-side in the partial aggregate (successor = min
+    * vnode-hash ≥ h, wraparound = global min); per-row md5 arithmetic
+    * is the q43 portable discipline, so the oracle replays the exact
+    * assignment. */
+  def q213ConsistentHash(spark: SparkSession, sfDir: String): DataFrame = {
+    def ring(nNodes: Int): DataFrame =
+      spark.range(nNodes.toLong).select(col("id").as("n"))
+        .crossJoin(spark.range(RingVnodes.toLong).select(col("id").as("v")))
+        .select(col("n"),
+          MF.hash32(concat(lit("n"), col("n").cast("string"),
+            lit("#v"), col("v").cast("string"))).as("vh"))
+    def assign(docs: DataFrame, ringDf: DataFrame, outCol: String): DataFrame = {
+      val sel = docs.crossJoin(broadcast(ringDf))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(min(when(col("vh") >= col("h"), col("vh"))).as("ge"),
+          min(col("vh")).as("wrap"))
+        .select(col("doc_id"), coalesce(col("ge"), col("wrap")).as("vh"))
+      sel.join(broadcast(ringDf), "vh")
+        .select(col("doc_id"), col("n").as(outCol))
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), MF.hash32(col("doc_id").cast("string")).as("h"))
+    val a16 = assign(docs, ring(RingNodes), "node")
+    val a17 = assign(docs, ring(RingNodes + 1), "node17")
+    a16.join(a17, "doc_id")
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("node") =!= col("node17"), 1L).otherwise(0L)).as("n_remapped"))
+      .select(col("node"), col("n_docs"), col("n_remapped"),
+        round(col("n_remapped").cast("double") / col("n_docs"), 6).as("remap_rate"))
+      .orderBy(col("node"))
+  }
+
+  val q213Sql: String = {
+    def ringCte(name: String, nNodes: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT n, ${Sql.hash32("'n' || n || '#v' || v")} AS vh
+         |  FROM (SELECT unnest(range(0, $nNodes)) AS n)
+         |  CROSS JOIN (SELECT unnest(range(0, $RingVnodes)) AS v))""".stripMargin
+    def assignCte(name: String, ring: String, outCol: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT doc_id, r.n AS $outCol
+         |  FROM (
+         |    SELECT doc_id,
+         |      coalesce(min(CASE WHEN vh >= h THEN vh END), min(vh)) AS vh
+         |    FROM docs CROSS JOIN $ring GROUP BY doc_id) s
+         |  JOIN $ring r USING (vh))""".stripMargin
+    s"""WITH ${ringCte("ring16", RingNodes)},
+      |${ringCte("ring17", RingNodes + 1)},
+      |docs AS MATERIALIZED (
+      |  SELECT doc_id, ${Sql.hash32("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+      |${assignCte("a16", "ring16", "node")},
+      |${assignCte("a17", "ring17", "node17")}
+      |SELECT node, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN node <> node17 THEN 1 ELSE 0 END) AS BIGINT) AS n_remapped,
+      |  round(CAST(sum(CASE WHEN node <> node17 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS remap_rate
+      |FROM a16 JOIN a17 USING (doc_id)
+      |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_seq_packing" -> q203SeqPacking,
     "q204_quality_gate" -> q204QualityGate,
     "q205_pca_power" -> q205PcaPower,
     "q206_shard_parity" -> q206ShardParity,
     "q208_target_encoding" -> q208TargetEncoding,
+    "q213_consistent_hash" -> q213ConsistentHash,
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +402,6 @@ object PipelineQueries {
     "q205_pca_power" -> q205Sql,
     "q206_shard_parity" -> q206Sql,
     "q208_target_encoding" -> q208Sql,
+    "q213_consistent_hash" -> q213Sql,
     "q210_pad_batching" -> q210Sql)
 }
