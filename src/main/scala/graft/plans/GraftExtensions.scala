@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
       (args: Seq[Expression]) => CharEntropy(Cast(args.head, StringType))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(Cast(args.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PhashExpr].getName, "graft_phash"),
       (args: Seq[Expression]) => PhashExpr(Cast(args.head, StringType))))

@@ -285,17 +285,295 @@ object TpchQueries {
       |  AND l_discount >= $Q6MinDisc AND l_discount <= $Q6MaxDisc
       |  AND l_quantity < $Q6MaxQty""".stripMargin
 
+  /** Q4 window and lateness threshold (days). */
+  val Q4From = "1996-01-01"
+  val Q4Until = "1996-07-01"
+  val Q4LateDays = 60
+
+  // --------------------------------------------------------------- q215
+  /** TPC-H Q4 — order priority checking: per priority, how many of a
+    * window's orders had at least one LATE line (shipped more than
+    * [[Q4LateDays]] days after the order date; the fixture has no
+    * commit/receipt dates, so lateness is ship-vs-order — same
+    * correlated-EXISTS shape as the original).
+    *
+    * Plan for 100 TB: the EXISTS compiles to a LEFT SEMI join on
+    * orderkey whose extra condition (l_shipdate > o_orderdate + 60d)
+    * rides the join — each order is emitted AT MOST ONCE no matter how
+    * many late lines it has, so no distinct and no fan-out ever
+    * reaches the aggregate; the date window is pushed to the orders
+    * scan; the census is an O(priorities) partial-agg. */
+  def q215PriorityCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q4From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q4Until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q4LateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q215Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '$Q4From 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '$Q4Until 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL $Q4LateDays DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7 window and report size. */
+  val Q7From = "1996-01-01"
+  val Q7Until = "1998-01-01"
+  val Q7TopK = 10
+
+  // --------------------------------------------------------------- q217
+  /** TPC-H Q7 shape — cross-nation trade flows: revenue shipped from a
+    * supplier nation to a DIFFERENT customer nation per year, top-K
+    * flows (the original fixes one nation pair; ranking all pairs
+    * keeps the identical join tree and is scale-factor-robust — the
+    * fixed pair can be empty at small SF).
+    *
+    * Plan for 100 TB: the two nation attaches are ONE broadcast dim
+    * joined twice under different aliases; supplier broadcasts (SF·10k
+    * — the Q5 argument); the fact side shuffles only on orderkey and
+    * custkey; the pair aggregate is O(nations²·years); top-K is a
+    * TakeOrdered. */
+  def q217TradeFlows(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables.nation(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(Q7From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q7Until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("timestamp")).as("yr"), rev.as("line_rev"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(dsum(col("line_rev")).as("rev_dec"), count(lit(1)).as("n_lines"))
+      .orderBy(col("rev_dec").desc, col("supp_nation"), col("cust_nation"), col("yr"))
+      .limit(Q7TopK)
+      .select(col("supp_nation"), col("cust_nation"), col("yr"),
+        asD(col("rev_dec")).as("revenue"), col("n_lines"))
+  }
+
+  val q217Sql: String =
+    s"""SELECT supp_nation, cust_nation, yr,
+      |  round(CAST(rev_dec AS DOUBLE), 6) AS revenue, n_lines
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev_dec,
+      |    count(*) AS n_lines
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name <> n2.n_name
+      |    AND l_shipdate >= TIMESTAMP '$Q7From 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '$Q7Until 00:00:00'
+      |  GROUP BY 1, 2, 3) t
+      |ORDER BY rev_dec DESC, supp_nation, cust_nation, yr LIMIT $Q7TopK""".stripMargin
+
+  // --------------------------------------------------------------- q219
+  /** TPC-H Q13 — customer order-count distribution: how many customers
+    * placed exactly k orders, INCLUDING the zero-order customers only
+    * an OUTER join can see (the benchmark's outer-join + double
+    * aggregation shape).
+    *
+    * Plan for 100 TB: orders partial-aggs to per-customer counts
+    * FIRST (never a row-level outer join of two fact tables), the
+    * customer LEFT join fills the zeros, and the second aggregate runs
+    * on the O(distinct counts) frame. */
+  def q219CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q219Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q22 dormancy cutoff: a customer is dormant if they have placed no
+    * order since this date (the fixture's every-customer-orders density
+    * makes the original's "never ordered" empty at every SF). */
+  val Q22Cutoff = "2000-01-01"
+
+  // --------------------------------------------------------------- q220
+  /** TPC-H Q22 shape — dormant high-value accounts: customers with an
+    * above-average positive balance and NO order since [[Q22Cutoff]]
+    * (the anti-join + scalar-average-subquery shape), reported per
+    * nation.
+    *
+    * Plan for 100 TB: the balance average is a 1-row broadcast; the
+    * NOT EXISTS is a LEFT ANTI join against the date-filtered (pushed)
+    * orders projection; nation is a broadcast dim; the census is an
+    * O(nations) partial-agg. */
+  def q220Dormant(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    // decimal-exact mean: a float avg is partition-order-dependent in
+    // the last ulp and the > comparison sits right on it
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")).cast("double") / count(lit(1))).as("abar"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abar"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_custs"),
+        asD(dsum(col("c_acctbal"))).as("total_bal"))
+      .orderBy(col("nation"))
+  }
+
+  val q220Sql: String =
+    s"""SELECT n_name AS nation, count(*) AS n_custs,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_bal
+      |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c.c_custkey
+      |      AND o_orderdate >= TIMESTAMP '$Q22Cutoff 00:00:00')
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
+  /** Q15 quarter. */
+  val Q15From = "1996-01-01"
+  val Q15Until = "1996-04-01"
+
+  // --------------------------------------------------------------- q221
+  /** TPC-H Q15 — top supplier(s): the supplier(s) whose quarterly
+    * shipped revenue equals the maximum (the scalar-max-subquery
+    * shape; emitting ALL argmax rows, not top-1, is the point of the
+    * original's view formulation).
+    *
+    * Plan for 100 TB: revenue partial-aggs per supplier; the max is a
+    * 1-row broadcast re-joined to the same O(suppliers) aggregate —
+    * the fact is scanned ONCE; the supplier dim attaches by broadcast. */
+  def q221TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint: the aggregate feeds BOTH the max subquery and
+    // the argmax filter — without materialization each branch re-scans
+    // the fact (2 lineitem scans; the plan spec pins 1)
+    val bySupp = graft.Checkpoints.deferFree(Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(Q15From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q15Until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(rev).as("rev_dec"))
+      .localCheckpoint())
+    val maxRev = bySupp.agg(max(col("rev_dec")).as("rmax"))
+    bySupp.crossJoin(broadcast(maxRev))
+      .filter(col("rev_dec") === col("rmax"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        asD(col("rev_dec")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q221Sql: String =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '$Q15From 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '$Q15Until 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(rev_dec AS DOUBLE), 6) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 small-quantity fraction of the per-part average. */
+  val Q17Frac = 0.2
+
+  // --------------------------------------------------------------- q222
+  /** TPC-H Q17 — small-quantity-order revenue: revenue of lines whose
+    * quantity is below [[Q17Frac]]× their part's average quantity (the
+    * correlated-scalar-aggregate shape: "compared to ITS OWN part's
+    * average").
+    *
+    * Plan for 100 TB: the correlated subquery decorrelates into ONE
+    * partial-agged per-part average joined back on partkey — the fact
+    * is scanned twice (avg pass + filter pass), never once per part;
+    * the threshold comparison is in-row after the join; the result is
+    * a 1-row aggregate. */
+  def q222SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li.groupBy(col("l_partkey"))
+      .agg((dsum(col("l_quantity")).cast("double") / count(lit(1))).as("qbar"))
+    li.join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(Q17Frac) * col("qbar"))
+      .agg(asD(dsum(col("l_extendedprice"))).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q222Sql: String =
+    s"""SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS small_qty_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS qbar
+      |  FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
+      |WHERE l.l_quantity < $Q17Frac * qbar""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q195_local_volume" -> q195LocalVolume,
     "q196_returned_items" -> q196ReturnedItems,
     "q197_promo_share" -> q197PromoShare,
     "q198_big_orders" -> q198BigOrders,
-    "q211_tpch_q6" -> q211RevenueChange)
+    "q211_tpch_q6" -> q211RevenueChange,
+    "q215_priority_check" -> q215PriorityCheck,
+    "q217_trade_flows" -> q217TradeFlows,
+    "q219_custdist" -> q219CustDist,
+    "q220_dormant" -> q220Dormant,
+    "q221_top_supplier" -> q221TopSupplier,
+    "q222_small_qty" -> q222SmallQty)
 
   val oracles: Map[String, String] = Map(
     "q195_local_volume" -> q195Sql,
     "q196_returned_items" -> q196Sql,
     "q197_promo_share" -> q197Sql,
     "q198_big_orders" -> q198Sql,
-    "q211_tpch_q6" -> q211Sql)
+    "q211_tpch_q6" -> q211Sql,
+    "q215_priority_check" -> q215Sql,
+    "q217_trade_flows" -> q217Sql,
+    "q219_custdist" -> q219Sql,
+    "q220_dormant" -> q220Sql,
+    "q221_top_supplier" -> q221Sql,
+    "q222_small_qty" -> q222Sql)
 }

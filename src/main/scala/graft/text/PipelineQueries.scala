@@ -387,6 +387,135 @@ object PipelineQueries {
       |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q216
+  /** Unicode-normalization audit — the text-hygiene step before any
+    * hash-based dedup: visually identical strings in composed (NFC)
+    * vs decomposed (NFD) form hash DIFFERENTLY, so un-normalized text
+    * silently defeats q20/q21/q130. The corpus is ASCII, so docs with
+    * doc_id%9==0 get a deterministic decomposed-accent suffix appended
+    * (the q44 injection convention), then `graft_nfc` — a native
+    * codegen'd Catalyst expression wrapping the same Unicode NFC that
+    * DuckDB's nfc_normalize implements — normalizes, and the census
+    * reports per source: docs touched, code points saved by
+    * composition, and the normalized share.
+    *
+    * Shape for 100 TB: normalization is per-row compiled work inside
+    * whole-stage codegen (a UDF would break the codegen span); ONE
+    * partial-agged groupBy(source). */
+  def q216UnicodeNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    // decomposed (NFD) accents — combining marks U+0301/U+0308, NOT
+    // precomposed letters, or there would be nothing to normalize
+    val injected = when(pmod(col("doc_id"), lit(9)) === 0,
+      concat(col("text"), lit(" cafe\u0301 nai\u0308ve Zu\u0308rich")))
+      .otherwise(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), injected.as("raw"))
+      .select(col("source"), col("raw"),
+        call_function("graft_nfc", col("raw")).as("norm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L))
+          .as("n_denormalized"),
+        sum(length(col("raw")) - length(col("norm"))).as("cp_saved"))
+      .select(col("source"), col("n_docs"), col("n_denormalized"),
+        col("cp_saved"),
+        round(col("n_denormalized").cast("double") / col("n_docs"), 6)
+          .as("denorm_share"))
+      .orderBy(col("source"))
+  }
+
+  val q216Sql: String =
+    """WITH injected AS (
+      |  SELECT source,
+      |    (CASE WHEN doc_id % 9 = 0
+      |          THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've Zu' || chr(776) || 'rich'
+      |          ELSE text END) AS raw
+      |  FROM documents),
+      |normed AS (
+      |  SELECT source, raw, nfc_normalize(raw) AS norm FROM injected)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+      |  CAST(sum(length(raw) - length(norm)) AS BIGINT) AS cp_saved,
+      |  round(CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS denorm_share
+      |FROM normed GROUP BY source ORDER BY source""".stripMargin
+
+  /** Lateness bucket edges in seconds (shared with the oracle). */
+  val LateBuckets: Seq[Long] = Seq(0L, 60L, 600L, 3600L)
+
+  // --------------------------------------------------------------- q218
+  /** Out-of-orderness / watermark audit — the measurement that SETS a
+    * streaming watermark instead of guessing it: per user stream (in
+    * event_id arrival order), an event's lateness is how far its
+    * timestamp lags the maximum timestamp already seen; the census
+    * buckets lateness (on-time, <1m, <10m, <1h, ≥1h) with cumulative
+    * shares — the p99 bucket edge IS the watermark to configure, and
+    * everything past it is the data a tighter watermark would drop.
+    *
+    * Shape for 100 TB: the running max is a window PARTITIONED BY
+    * user (parallel across streams — a global arrival order would
+    * serialize, and real watermarks are per-partition anyway); the
+    * census is an O(buckets) partial-agg. */
+  def q218WatermarkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    // the fixture's event_id order IS timestamp order (zero lateness
+    // everywhere) — a deterministic hash permutation of the ids stands
+    // in for the arrival log of a distributed collector (the q44/q216
+    // injection convention: synthesize the phenomenon, audit it for real)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        MF.hash32(col("event_id").cast("string")).as("arr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev
+      .withColumn("run_max", max(col("ts")).over(w))
+      // integer div: an ns delta can exceed 2^53, where double
+      // division would round before the floor
+      .select(expr("(run_max - ts) div 1000000000").as("late_s"))
+    // fold ASCENDING so the largest edge's test ends up outermost —
+    // a descending fold would wrap `>= 0` around everything and send
+    // every event to bucket 0
+    val bucket = LateBuckets.foldLeft(lit(-1)) { (acc, edge) =>
+      when(col("late_s") >= edge, lit(LateBuckets.indexOf(edge))).otherwise(acc)
+    }
+    val census = late.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"))
+    val total = census.agg(sum(col("n_events")).as("n_total"))
+    val cw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("n_events")).over(cw))
+      .select(col("bucket"),
+        element_at(lit(LateBuckets.toArray), col("bucket") + 1).as("edge_s"),
+        col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6).as("share"),
+        round(col("cum").cast("double") / col("n_total"), 6).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val q218Sql: String = {
+    val edges = LateBuckets
+    val bucketExpr = edges.zipWithIndex.reverse
+      .map { case (e, i) => s"WHEN late_s >= $e THEN $i" }
+      .mkString("(CASE ", " ", " ELSE -1 END)")
+    val edgeList = edges.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, ${Sql.hash32("CAST(event_id AS VARCHAR)")} AS arr,
+      |    epoch_ns(CAST(ts AS TIMESTAMP)) AS tsn FROM events),
+      |late AS (
+      |  SELECT CAST((max(tsn) OVER (PARTITION BY user_id ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tsn)
+      |    // 1000000000 AS BIGINT) AS late_s
+      |  FROM ev),
+      |census AS (
+      |  SELECT $bucketExpr AS bucket, count(*) AS n_events
+      |  FROM late GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM census)
+      |SELECT bucket, CAST($edgeList[bucket + 1] AS BIGINT) AS edge_s, n_events,
+      |  round(CAST(n_events AS DOUBLE) / n_total, 6) AS share,
+      |  round(CAST(sum(n_events) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n_total, 6) AS cum_share
+      |FROM census CROSS JOIN tot ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_seq_packing" -> q203SeqPacking,
     "q204_quality_gate" -> q204QualityGate,
@@ -394,6 +523,8 @@ object PipelineQueries {
     "q206_shard_parity" -> q206ShardParity,
     "q208_target_encoding" -> q208TargetEncoding,
     "q213_consistent_hash" -> q213ConsistentHash,
+    "q216_unicode_norm" -> q216UnicodeNorm,
+    "q218_watermark_audit" -> q218WatermarkAudit,
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +534,7 @@ object PipelineQueries {
     "q206_shard_parity" -> q206Sql,
     "q208_target_encoding" -> q208Sql,
     "q213_consistent_hash" -> q213Sql,
+    "q216_unicode_norm" -> q216Sql,
+    "q218_watermark_audit" -> q218Sql,
     "q210_pad_batching" -> q210Sql)
 }
