@@ -608,11 +608,17 @@ object Graft {
                   len: Int = 8): DataFrame = {
     val e = edges.select(src.as("src"), dst.as("dst"))
     val bysrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val adj = e
+    // checkpoint the adjacency and each frontier — the union would
+    // otherwise re-execute step k's join chain once per later step
+    // (quadratic; the q151 lesson, 11.4s → 2.5s at sf0.1)
+    val adj = Checkpoints.deferFree(e
       .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
       .withColumn("deg", count(lit(1)).over(bysrc))
+      .localCheckpoint())
     var cur = graph.WebGraph.vertices(e)
       .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
+      .localCheckpoint()
+    Checkpoints.deferFree(cur)
     val frames = Seq.newBuilder[DataFrame]
     frames += cur
     for (step <- 1 to len) {
@@ -620,6 +626,8 @@ object Graft {
         concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
       cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
         .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+        .localCheckpoint()
+      Checkpoints.deferFree(cur)
       frames += cur
     }
     frames.result().reduce(_ unionByName _)

@@ -34,9 +34,13 @@ object Spectral {
       val dots = exploded.join(broadcast(v), "j")
         .groupBy(col("vec_id"))
         .agg(dsum(round(col("x") * col("v"), 6)).cast("double").as("dot"))
-      val y = exploded.join(dots, "vec_id")
+      // checkpoint the matvec result: the Rayleigh row, the norm
+      // broadcast, and the next round's v would otherwise each re-run
+      // the two corpus-scale joins (the q151 union lesson)
+      val y = graft.Checkpoints.deferFree(exploded.join(dots, "vec_id")
         .groupBy(col("j"))
         .agg(dsum(round(col("x") * col("dot"), 6)).cast("double").as("y"))
+        .localCheckpoint())
       val lamNorm = y.join(broadcast(v), "j")
         .agg(dsum(round(col("v") * col("y"), 6)).cast("double").as("lambda"),
           dsum(round(col("y") * col("y"), 6)).cast("double").as("ynorm2"))

@@ -1290,11 +1290,18 @@ ORDER BY deg.community"""
   def q151RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
     val hedges = WebGraph.cachedHostEdges(spark, sfDir)
     val bysrc = Window.partitionBy(col("src"))
-    val adj = hedges
+    // checkpoint the ranked adjacency AND each step's frontier: the
+    // final union's plan would otherwise re-evaluate step k's whole
+    // join chain once per later step (steps 0..8 union = 36 join
+    // executions instead of 8 — measured 11.4s → ~3s at sf0.1)
+    val adj = graft.Checkpoints.deferFree(hedges
       .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
       .withColumn("deg", count(lit(1)).over(bysrc))
+      .localCheckpoint())
     var cur = WebGraph.vertices(hedges)
       .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(cur)
     val frames = Seq.newBuilder[DataFrame]
     frames += cur
     for (step <- 1 to WalkLen) {
@@ -1302,6 +1309,8 @@ ORDER BY deg.community"""
         concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
       cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
         .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+        .localCheckpoint()
+      graft.Checkpoints.deferFree(cur)
       frames += cur
     }
     frames.result().reduce(_ unionByName _)
