@@ -139,17 +139,18 @@ object Featurize {
     * n_novel, novelty). See q202 for the plan audit. */
   def noveltyScores(df: DataFrame, id: Column, text: Column): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("text"))
-    val w = split(col("text"), " ")
-    val shingles = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array(col("text")))
-    val grams = base
-      .select(col("doc_id"), shingles.as("sh"))
+    // the compiled graft_gram_hashes kernel replaces the interpreted
+    // transform/concat_ws HOF chain (the q43 argument); its hlo IS
+    // hash32 of the space-joined 3-gram — same md5 bytes, so the
+    // oracle replay is unchanged. Checkpointed because the gram frame
+    // feeds BOTH the first-appearance aggregate and the join back.
+    val grams = graft.Checkpoints.deferFree(base
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), MF.hash32(col("s")).as("g"))
+      .select(col("doc_id"),
+        explode(call_function("graft_gram_hashes", col("text"), lit(3))).as("gh"))
+      .select(col("doc_id"), col("gh.hlo").as("g"))
       .distinct()
+      .localCheckpoint())
     val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstSeen, "g")
       .groupBy(col("doc_id"))
