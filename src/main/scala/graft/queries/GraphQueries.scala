@@ -1678,8 +1678,91 @@ ${(1 to MatchRounds).map(r => s"SELECT * FROM c$r").mkString("\nUNION ALL\n")}
 ) ORDER BY round"""
   }
 
+  /** Rich-club degree thresholds. */
+  val RichClubKs = Seq(2, 4, 8, 16)
+
+  // --------------------------------------------------------------- q224
+  /** Rich-club coefficient of the undirected host graph — do
+    * high-degree hosts preferentially link to EACH OTHER? φ(k) =
+    * 2·E(S_k) / (|S_k|·(|S_k|−1)) over S_k = {v : deg(v) > k}, for the
+    * [[RichClubKs]] thresholds (the hub-oligarchy diagnostic beside
+    * q107's assortativity: q107 gives one corpus-wide correlation,
+    * this resolves WHERE on the degree axis the clustering lives —
+    * link farms show up as a rich club long before they move a global
+    * coefficient).
+    *
+    * Shape for 100 TB: degrees partial-agg once and BROADCAST onto the
+    * edge frame (bounded host graph — the Triangles argument); one
+    * k-exploded pass aggregates all thresholds together (edges ×
+    * |K| fan-out map-side, O(K) output); vertex counts per k come from
+    * the O(vertices) degree frame. Exact integers until φ's one
+    * division. */
+  def q224RichClub(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint: und feeds deg + the club-edge join, and deg feeds
+    // three consumers — unmaterialized, the distinct/groupBy would
+    // re-execute once per consumer (measured 45k shuffle records → 15k)
+    val und = graft.Checkpoints.deferFree(WebGraph.cachedHostEdges(spark, sfDir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint())
+    val deg = graft.Checkpoints.deferFree(
+      und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d")).localCheckpoint())
+    val ks = RichClubKs
+    val kCol = explode(lit(ks.toArray)).as("k")
+    val clubSizes = deg.select(col("d"), kCol)
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_club"))
+    val clubEdges = und
+      .join(broadcast(deg.select(col("id").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))), "v")
+      .select(col("du"), col("dv"), kCol)
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+    clubSizes.join(clubEdges, Seq("k"), "left")
+      .select(col("k"), col("n_club"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"))
+      .withColumn("phi",
+        when(col("n_club") >= 2,
+          round((lit(2L) * col("e_club")).cast("double")
+            / (col("n_club") * (col("n_club") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("k"))
+  }
+
+  val q224Sql: String = {
+    val ks = RichClubKs.mkString("[", ", ", "]")
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM hedges),
+deg AS MATERIALIZED (
+  SELECT id, count(*) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
+ks AS (SELECT unnest($ks) AS k),
+club_sizes AS (
+  SELECT k, count(*) AS n_club FROM deg CROSS JOIN ks WHERE d > k GROUP BY k),
+club_edges AS (
+  SELECT k, count(*) AS e_club
+  FROM und
+  JOIN deg a ON a.id = und.u JOIN deg b ON b.id = und.v
+  CROSS JOIN ks
+  WHERE a.d > k AND b.d > k GROUP BY k)
+SELECT k, n_club, coalesce(e_club, 0) AS e_club,
+  (CASE WHEN n_club >= 2
+        THEN round(CAST(2 * coalesce(e_club, 0) AS DOUBLE)
+          / CAST(n_club * (n_club - 1) AS DOUBLE), 6)
+        ELSE 0.0 END) AS phi
+FROM club_sizes LEFT JOIN club_edges USING (k)
+ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_matching" -> q214Matching,
+    "q224_richclub" -> q224RichClub,
     "q170_mirror_hosts" -> q170MirrorHosts,
     "q171_rank_trace" -> q171RankTrace,
     "q169_crawl_frontier" -> q169CrawlFrontier,
@@ -1716,6 +1799,7 @@ ${(1 to MatchRounds).map(r => s"SELECT * FROM c$r").mkString("\nUNION ALL\n")}
 
   val oracles: Map[String, String] = Map(
     "q214_matching" -> q214Sql,
+    "q224_richclub" -> q224Sql,
     "q170_mirror_hosts" -> q170Sql,
     "q171_rank_trace" -> q171Sql,
     "q169_crawl_frontier" -> q169Sql,

@@ -1194,6 +1194,88 @@ SELECT from_type, to_type, n,
   round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
 FROM cnt ORDER BY from_type, to_type"""
 
+  // --------------------------------------------------------------- q223
+  /** Behavioral path perplexity — q81's language-model idea applied to
+    * SESSIONS: every user's event-transition sequence is scored under
+    * the global first-order Markov model (q96's sessionized
+    * transitions, add-1-smoothed over the observed type set), and the
+    * per-user perplexity flags atypical behavior — the bot/fraud/
+    * broken-client screen that complements q63's volume anomalies with
+    * a SEQUENCE anomaly signal.
+    *
+    * Shape for 100 TB: the model is O(types²) — built from ONE
+    * sessionized pass and broadcast into the scoring join; per-user
+    * scores are 1e-6-gridded log terms decimal-summed (q81's
+    * discipline); output is one row per user with ≥1 transition. */
+  def q223PathPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"), col("to_type"))
+    val counts = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    val nTypes = counts.select(col("to_type")).distinct()
+      .agg(count(lit(1)).as("t"))
+    val model = counts.join(fromTotals, "from_type")
+      .crossJoin(broadcast(nTypes))
+      .select(col("from_type"), col("to_type"),
+        round(log((col("n") + 1L).cast("double") / (col("tot") + col("t")).cast("double")), 6)
+          .cast(DecimalType(38, 6)).as("logp"))
+    trans.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("logp")).as("ll"))
+      .select(col("user_id"), col("n_trans"),
+        round(-col("ll").cast("double") / col("n_trans"), 6).as("avg_nll"))
+      .withColumn("perplexity", round(exp(col("avg_nll")), 6))
+      .orderBy(col("user_id"))
+  }
+
+  val q223Sql: String =
+    """WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_type,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+sess AS (
+  SELECT user_id, ts_us, event_type,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+  FROM flagged),
+trans AS MATERIALIZED (
+  SELECT user_id, from_type, to_type FROM (
+    SELECT user_id, event_type AS from_type,
+      lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us) AS to_type
+    FROM sess) WHERE to_type IS NOT NULL),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2),
+ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+t AS (SELECT count(DISTINCT to_type) AS t FROM cnt),
+model AS (
+  SELECT from_type, to_type,
+    CAST(round(ln(CAST(n + 1 AS DOUBLE) / CAST(tot + t AS DOUBLE)), 6) AS DECIMAL(38,6)) AS logp
+  FROM cnt JOIN ft USING (from_type) CROSS JOIN t),
+scored AS (
+  SELECT user_id, count(*) AS n_trans, sum(logp) AS ll
+  FROM trans JOIN model USING (from_type, to_type)
+  GROUP BY user_id)
+SELECT user_id, n_trans,
+  round(-CAST(ll AS DOUBLE) / n_trans, 6) AS avg_nll,
+  round(exp(round(-CAST(ll AS DOUBLE) / n_trans, 6)), 6) AS perplexity
+FROM scored ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q101
   /** Buckets for the local-skyline prune phase. */
   val SkyBuckets = 32
@@ -4719,6 +4801,7 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_path_perplexity" -> q223PathPerplexity,
     "q192_psi" -> q192Psi,
     "q193_shipping_priority" -> q193ShippingPriority,
     "q194_malformed_csv" -> q194MalformedCsv,
@@ -4799,6 +4882,7 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q223_path_perplexity" -> q223Sql,
     "q192_psi" -> q192Sql,
     "q193_shipping_priority" -> q193Sql,
     "q194_malformed_csv" -> q194Sql,

@@ -516,6 +516,60 @@ object PipelineQueries {
       |FROM census CROSS JOIN tot ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- q225
+  /** Epoch-shuffle quality audit — distributed training shuffles each
+    * epoch by sorting on hash(epoch, id) (a seeded permutation without
+    * any global random state); this audit PROVES the epochs are
+    * decorrelated instead of assuming it: per source shard, the exact
+    * Spearman rank correlation between the epoch-1 and epoch-2 orders
+    * (ρ = 1 − 6Σd²/(n(n²−1)), all integer until the division) — a
+    * broken seed scheme (same hash both epochs) would score 1.0, a
+    * healthy shuffle ≈ 0.
+    *
+    * Shape for 100 TB: ranks are windows PARTITIONED BY source (the
+    * shard a dataloader actually shuffles within); Σd² partial-aggs
+    * per shard; O(shards) output. */
+  def q225EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        MF.hash32(concat(lit("e1#"), col("doc_id").cast("string"))).as("h1"),
+        MF.hash32(concat(lit("e2#"), col("doc_id").cast("string"))).as("h2"))
+    val w1 = Window.partitionBy(col("source")).orderBy(col("h1"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h2"), col("doc_id"))
+    docs
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .select(col("source"),
+        ((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast("long").as("d2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sum_d2"))
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        round(lit(1.0) - (lit(6L) * col("sum_d2")).cast("double") /
+          (col("n_docs") * (col("n_docs") * col("n_docs") - 1L)).cast("double"), 6)
+          .as("rho"))
+      .orderBy(col("source"))
+  }
+
+  val q225Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source,
+      |    ${Sql.hash32("'e1#' || CAST(doc_id AS VARCHAR)")} AS h1,
+      |    ${Sql.hash32("'e2#' || CAST(doc_id AS VARCHAR)")} AS h2
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY source ORDER BY h1, doc_id) AS r1,
+      |    row_number() OVER (PARTITION BY source ORDER BY h2, doc_id) AS r2
+      |  FROM docs),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      |  FROM ranked GROUP BY source)
+      |SELECT source, n_docs, sum_d2,
+      |  round(1.0 - CAST(6 * sum_d2 AS DOUBLE) /
+      |    CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 6) AS rho
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_seq_packing" -> q203SeqPacking,
     "q204_quality_gate" -> q204QualityGate,
@@ -525,6 +579,7 @@ object PipelineQueries {
     "q213_consistent_hash" -> q213ConsistentHash,
     "q216_unicode_norm" -> q216UnicodeNorm,
     "q218_watermark_audit" -> q218WatermarkAudit,
+    "q225_epoch_shuffle" -> q225EpochShuffle,
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
@@ -536,5 +591,7 @@ object PipelineQueries {
     "q213_consistent_hash" -> q213Sql,
     "q216_unicode_norm" -> q216Sql,
     "q218_watermark_audit" -> q218Sql,
+    "q225_epoch_shuffle" -> q225Sql,
     "q210_pad_batching" -> q210Sql)
+
 }
