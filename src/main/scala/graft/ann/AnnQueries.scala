@@ -2,6 +2,7 @@ package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{VectorFunctions => VF}
@@ -942,7 +943,76 @@ SELECT i.label, i.n_vecs, round(i.cs / i.n_vecs, 6) AS intra_cos,
 FROM intra i CROSS JOIN inter x ORDER BY i.label"""
   }
 
+  // --------------------------------------------------------------- q227
+  /** k-NN classification accuracy on the embedding labels — the
+    * labeled-corpus quality check ("do embeddings place same-label
+    * vectors near each other?") that complements q190's geometric
+    * margins with a DECISION-level metric: each query-panel vector is
+    * classified by the majority label of its [[K]] exact
+    * nearest neighbors (self excluded — leave-one-out), ties broken by
+    * total cosine then label; per true label: panel size, correct
+    * votes, accuracy.
+    *
+    * Shape for 100 TB: reuses q30's panel discipline — the broadcast
+    * query panel keeps the exact pass bounded at any corpus size; the
+    * vote is a window over O(panel × K) rows; output O(labels). */
+  def q227KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val knn = q30KnnBrute(spark, sfDir)
+    val votes = knn
+      .join(labels.withColumnRenamed("vec_id", "neighbor")
+        .withColumnRenamed("label", "nlabel"), "neighbor")
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(col("cosine").cast(DecimalType(38, 6))).cast("double").as("vote_cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("vote_cos").desc, col("nlabel"))
+    val predicted = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nlabel").as("predicted"))
+    predicted
+      .join(labels.withColumnRenamed("vec_id", "qid"), "qid")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_panel"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_panel"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_panel"), 6).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
+  val q227Sql: String =
+    s"""WITH $vecsCte,
+qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ed WHERE vec_id % $QueryMod = 0 AND vec_id < $QueryCap),
+scored AS (
+  SELECT q.qid, e.vec_id, round(${Sql.listCosineByNorm("q.qv", "e.v", "q.qn", "e.nrm")}, 6) AS cosine
+  FROM qs q JOIN ed e ON q.qid <> e.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored),
+knn AS MATERIALIZED (
+  SELECT qid, vec_id AS neighbor, cosine FROM ranked WHERE rank <= $K),
+votes AS (
+  SELECT k.qid, l.label AS nlabel, count(*) AS n_votes,
+    CAST(sum(CAST(k.cosine AS DECIMAL(38,6))) AS DOUBLE) AS vote_cos
+  FROM knn k JOIN embeddings l ON l.vec_id = k.neighbor
+  GROUP BY 1, 2),
+predicted AS (
+  SELECT qid, nlabel AS predicted FROM (
+    SELECT qid, nlabel,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY n_votes DESC, vote_cos DESC, nlabel) AS rk
+    FROM votes) WHERE rk = 1)
+SELECT l.label, count(*) AS n_panel,
+  CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  round(CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 6) AS accuracy
+FROM predicted p JOIN embeddings l ON l.vec_id = p.qid
+GROUP BY l.label ORDER BY l.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_knn_classify" -> q227KnnClassify,
     "q190_class_separability" -> q190ClassSeparability,
     "q166_pq" -> q166Pq,
     "q160_ndcg" -> q160Ndcg,
@@ -956,6 +1026,7 @@ FROM intra i CROSS JOIN inter x ORDER BY i.label"""
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q227_knn_classify" -> q227Sql,
     "q190_class_separability" -> q190Sql,
     "q166_pq" -> q166Sql,
     "q160_ndcg" -> q160Sql,

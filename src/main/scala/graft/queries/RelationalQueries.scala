@@ -1276,6 +1276,76 @@ SELECT user_id, n_trans,
   round(exp(round(-CAST(ll AS DOUBLE) / n_trans, 6)), 6) AS perplexity
 FROM scored ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q226
+  /** Decile lift / cumulative-gain table — the campaign-targeting view
+    * of a propensity score (q156 asks calibrated?, q161 discriminates?,
+    * q188 where to cut?; this answers "how much better than random is
+    * targeting the top k deciles?"): users ranked by activity (the
+    * q186 predictor — the fitted logistic is monotone in it, so the
+    * ranking is the model's), binned by frozen activity deciles
+    * (q192's percentile identity), and read TOP-DOWN with cumulative
+    * conversion rate, lift over the base rate, and capture share.
+    *
+    * Shape for 100 TB: ONE partial-agged per-user pass, a 9-value
+    * percentile broadcast, an O(bins) census; the cumulative window
+    * runs on ≤10 rows. Integer counts until the final divisions. */
+  def q226LiftTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val lu = labeledUsers(spark, sfDir)
+    val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val th = lu.agg(percentile(col("x"), qs).as("t"))
+    val binned = lu.crossJoin(broadcast(th))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("x") > round(col("t")(i - 1), 6), 1)
+          .otherwise(0)).reduce(_ + _) + 1)
+    val census = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y").cast("long")).as("n_conv"))
+    val tot = census.agg(sum(col("n_users")).as("tu"), sum(col("n_conv")).as("tc"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum(col("n_users")).over(w))
+      .withColumn("cum_conv", sum(col("n_conv")).over(w))
+      .select(col("bin"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_users"), 6).as("conv_rate"),
+        col("cum_users"), col("cum_conv"),
+        round((col("cum_conv") * col("tu")).cast("double")
+          / (col("cum_users") * col("tc")).cast("double"), 6).as("lift"),
+        round(col("cum_conv").cast("double") / col("tc"), 6).as("capture"))
+      .orderBy(col("bin").desc)
+  }
+
+  def q226Sql: String = {
+    val bins = (1 to 9).map(i =>
+      s"(CASE WHEN x > round(t[$i], 6) THEN 1 ELSE 0 END)").mkString("\n      + ")
+    s"""WITH $labeledUsersSql,
+      |th AS (
+      |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      |  FROM per_user),
+      |binned AS (
+      |  SELECT y, 1 + $bins AS bin
+      |  FROM per_user CROSS JOIN th),
+      |census AS (
+      |  SELECT bin, count(*) AS n_users,
+      |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_conv
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+      |  CAST(sum(n_conv) AS BIGINT) AS tc FROM census),
+      |cum AS (
+      |  SELECT bin, n_users, n_conv,
+      |    CAST(sum(n_users) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+      |    CAST(sum(n_conv) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+      |  FROM census)
+      |SELECT bin, n_users, n_conv,
+      |  round(CAST(n_conv AS DOUBLE) / n_users, 6) AS conv_rate,
+      |  cum_users, cum_conv,
+      |  round(CAST(cum_conv * tu AS DOUBLE) / CAST(cum_users * tc AS DOUBLE), 6) AS lift,
+      |  round(CAST(cum_conv AS DOUBLE) / tc, 6) AS capture
+      |FROM cum CROSS JOIN tot ORDER BY bin DESC""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q101
   /** Buckets for the local-skyline prune phase. */
   val SkyBuckets = 32
@@ -4208,7 +4278,7 @@ FROM res ORDER BY channel"""
           expr("ts div 86400000000000") === AbLastDay, 1.0).otherwise(0.0))
           .as("y"))
 
-  private val labeledUsersSql: String =
+  private def labeledUsersSql: String =
     s"""per_user AS MATERIALIZED (
        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
        |    max(CASE WHEN event_type = 'purchase'
@@ -4802,6 +4872,7 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q223_path_perplexity" -> q223PathPerplexity,
+    "q226_lift_table" -> q226LiftTable,
     "q192_psi" -> q192Psi,
     "q193_shipping_priority" -> q193ShippingPriority,
     "q194_malformed_csv" -> q194MalformedCsv,
@@ -4883,6 +4954,7 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q223_path_perplexity" -> q223Sql,
+    "q226_lift_table" -> q226Sql,
     "q192_psi" -> q192Sql,
     "q193_shipping_priority" -> q193Sql,
     "q194_malformed_csv" -> q194Sql,

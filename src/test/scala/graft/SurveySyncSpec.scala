@@ -46,6 +46,16 @@ class SurveySyncSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("no oracle SQL is null or blank (object-initialization-order trap)") {
+    // a `val xSql` interpolating a val declared LATER in its object
+    // captures null/zero at init — seen twice (q225, q226); the null
+    // variant dies here instead of as an NPE in the driver's Verify
+    val bad = SparkEntry.oracleSql.collect {
+      case (k, v) if v == null || v.trim.isEmpty => k
+    }
+    assert(bad.isEmpty, s"null/blank oracle SQL (check declaration order): $bad")
+  }
+
   test("the README operator count matches the driver surface") {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
