@@ -603,7 +603,12 @@ object Graft {
     * (q151's DeepWalk generator on a caller graph): one walk per
     * distinct vertex, `len` steps, neighbor index = hash(walk∥step)
     * mod out-degree over the dst-sorted adjacency — reruns reproduce
-    * the identical corpus. Returns (walk_id, host, step). */
+    * the identical corpus. Returns (walk_id, host, step).
+    *
+    * Post-drain contract (see [[logregFit]]): the per-step frontiers
+    * are localCheckpoint'ed and freed at the next `Checkpoints.drain`
+    * — consume the result before a drain; it is not re-executable
+    * afterwards. */
   def randomWalks(edges: DataFrame, src: Column, dst: Column,
                   len: Int = 8): DataFrame = {
     val e = edges.select(src.as("src"), dst.as("dst"))
@@ -739,12 +744,19 @@ object Graft {
     * engine): journeys up to the first `convType` event become a
     * first-order chain; each reported channel's credit is the drop in
     * absorbing conversion probability when it is removed. Returns
-    * (channel, base_pconv, removed_pconv, removal_effect, share). */
+    * (channel, base_pconv, removed_pconv, removal_effect, share).
+    *
+    * The chain solve collects the O(channels²) transition matrix to
+    * the driver — only safe for a bounded channel enum. The collect is
+    * guarded: past `maxPairs` distinct (src, dst) transition pairs the
+    * call fails loudly with a diagnosis instead of risking a driver
+    * OOM on a high-cardinality channel column. */
   def markovAttribution(events: DataFrame, user: Column, ts: Column,
                         id: Column, channel: Column, convType: String,
-                        channels: Seq[String], iters: Int = 24): DataFrame =
+                        channels: Seq[String], iters: Int = 24,
+                        maxPairs: Long = operators.Markov.MaxTransitionPairs): DataFrame =
     operators.Markov.removalEffects(events, user, ts, id, channel,
-      convType, channels, iters)
+      convType, channels, iters, maxPairs)
 
   /** Per-group heavy hitters on caller frames (q167's engine): items
     * whose count clears share 1/`den` of the group's mass (integer
@@ -790,7 +802,14 @@ object Graft {
 
   /** Logistic regression on a caller frame (q186's engine): `iters`
     * IRLS rounds, one moment pass each. Returns one row
-    * (n_rows, intercept, b_x, mean_logloss, accuracy). */
+    * (n_rows, intercept, b_x, mean_logloss, accuracy).
+    *
+    * The returned frame is EAGER (the fit runs now, not at first
+    * action) and its lineage is truncated by `localCheckpoint` with the
+    * backing blocks freed at the session's next `Checkpoints.drain` —
+    * consume (collect/write) it before a drain; re-executing it after
+    * one fails with a missing-checkpoint-block error rather than
+    * silently recomputing. Same contract as [[randomWalks]]. */
   def logregFit(df: DataFrame, x: Column, y: Column,
                 iters: Int = 3): DataFrame =
     operators.Glm.logregFit(df, x, y, iters)

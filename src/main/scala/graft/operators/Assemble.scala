@@ -20,11 +20,14 @@ object Assemble {
     val docs = df.select(id.as("doc_id"), shard.as("shard"),
       nTokens.cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // integer `div`, not double `/`+cast: a per-shard cumulative token
+    // count past 2^53 would round in the double before truncation and
+    // diverge from the oracle's integer `//` (the 100 TB contract)
     docs
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / lit(packLen)).cast("long").as("first_pack"),
-        ((col("cum") - 1L) / lit(packLen)).cast("long").as("last_pack"))
+        expr(s"(cum - n_tokens) div ${packLen}L").as("first_pack"),
+        expr(s"(cum - 1L) div ${packLen}L").as("last_pack"))
       .withColumn("n_packs", col("last_pack") - col("first_pack") + 1L)
       .withColumn("is_split", (col("last_pack") > col("first_pack")).cast("int"))
       .orderBy(col("doc_id"))

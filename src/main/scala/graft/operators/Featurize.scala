@@ -22,12 +22,21 @@ object Featurize {
     * df_total, chi2). See q199 for the plan audit. */
   def chi2Features(df: DataFrame, id: Column, label: Column, text: Column,
                    topK: Int): DataFrame = {
-    val docs = df.select(id.as("doc_id"), label.as("label"), text.as("text"))
+    // docs feeds 3 branches (present, labelTotals, n) and byTermLabel
+    // feeds 2 (byTerm, cells) — localCheckpoint both so the caller scan
+    // runs ONCE and the distinct+groupBy chain isn't re-executed per
+    // consumer (the repo's multi-consumer discipline; noveltyScores
+    // pattern)
+    val docs = graft.Checkpoints.deferFree(
+      df.select(id.as("doc_id"), label.as("label"), text.as("text"))
+        .localCheckpoint())
     val present = docs
       .select(col("doc_id"), col("label"), explode(split(col("text"), " ")).as("term"))
       .distinct()
-    val byTermLabel = present.groupBy(col("term"), col("label"))
-      .agg(count(lit(1)).as("a"))
+    val byTermLabel = graft.Checkpoints.deferFree(
+      present.groupBy(col("term"), col("label"))
+        .agg(count(lit(1)).as("a"))
+        .localCheckpoint())
     val byTerm = byTermLabel.groupBy(col("term"))
       .agg(sum(col("a")).as("t_df"))
     val labelTotals = docs.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
@@ -69,10 +78,21 @@ object Featurize {
     * per-true-class shares. Output: (label, predicted, n_docs, share).
     * See q200 for the plan audit. */
   def naiveBayes(df: DataFrame, id: Column, label: Column, text: Column): DataFrame = {
-    val docs = df.select(id.as("doc_id"), label.as("label"), text.as("text"))
-    val tok = docs.select(col("doc_id"), col("label"),
-      explode(split(col("text"), " ")).as("term"))
-    val counts = tok.groupBy(col("label"), col("term")).agg(count(lit(1)).as("n_lt"))
+    // docs feeds 4 branches and tok feeds 2 (counts, tf) — checkpoint
+    // both so the scan and the tokenize explode each run ONCE (the
+    // docstring's "ONE tokenize" claim, now held by materialization
+    // rather than by luck of lineage)
+    val docs = graft.Checkpoints.deferFree(
+      df.select(id.as("doc_id"), label.as("label"), text.as("text"))
+        .localCheckpoint())
+    val tok = graft.Checkpoints.deferFree(
+      docs.select(col("doc_id"), col("label"),
+        explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint())
+    // counts feeds 3 branches (classTotals, vocab, grid)
+    val counts = graft.Checkpoints.deferFree(
+      tok.groupBy(col("label"), col("term")).agg(count(lit(1)).as("n_lt"))
+        .localCheckpoint())
     val classTotals = counts.groupBy(col("label")).agg(sum(col("n_lt")).as("t_l"))
     val vocab = counts.select(col("term")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))

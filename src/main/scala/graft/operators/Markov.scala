@@ -21,9 +21,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Markov {
 
+  /** Cap on distinct (src,dst) transition pairs collected to the
+    * driver: 100k pairs ≈ a few MB — far beyond any sane channel enum
+    * (≈300 channels) yet loud long before a driver OOM. */
+  val MaxTransitionPairs: Long = 100000L
+
   def removalEffects(events: DataFrame, user: Column, ts: Column, id: Column,
                      typ: Column, convType: String, channels: Seq[String],
-                     iters: Int): DataFrame = {
+                     iters: Int,
+                     maxPairs: Long = MaxTransitionPairs): DataFrame = {
     val spark = events.sparkSession
     val ev = events.select(user.as("u"), ts.as("t"), id.as("i"), typ.as("ty"))
     val byUser = Window.partitionBy(col("u")).orderBy(col("t"), col("i"))
@@ -48,7 +54,25 @@ object Markov {
         .select(col("u"), col("ty").as("src"), col("lab").as("dst")))
       .unionByName(lab.join(tch.select(col("u")).distinct(), Seq("u"), "left_anti")
         .select(col("u"), lit("__start__").as("src"), col("lab").as("dst")))
-    val trans = raw.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    // GUARDED driver collect (the q26 convention): the chain matrix is
+    // O(states²) only while the channel column is a bounded enum. A
+    // high-cardinality caller column would otherwise OOM the driver with
+    // no diagnosis — bound the DISTINCT (src,dst) pair count first (an
+    // O(1)-row aggregate that cannot itself OOM), fail loudly past the
+    // cap. The frame is checkpointed so the corpus shuffle behind it
+    // runs once, not once for the count and again for the collect.
+    val transDf = graft.Checkpoints.deferFree(
+      raw.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
+    val nPairs = transDf.count()
+    if (nPairs > maxPairs) throw new IllegalArgumentException(
+      s"graft markovAttribution: the event log produces $nPairs distinct " +
+        s"(src, dst) transition pairs > cap $maxPairs. The " +
+        "removal-effect solve collects the full chain to the driver, which is " +
+        "only safe for a bounded channel enum — reduce the channel column's " +
+        "cardinality (bucket the long tail into an 'other' channel) or raise " +
+        "the cap if the driver affords the memory.")
+    val trans = transDf
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
     def solve(removed: Option[String]): Double = {

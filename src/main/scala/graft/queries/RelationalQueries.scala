@@ -1149,11 +1149,16 @@ ORDER BY c.cohort, c.offset_days"""
     * pairing); transitions partial-agg to a types² frame before the
     * final tiny aggregation. */
   def q96Transitions(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // event_id tiebreaker (r9): µs-truncated timestamps CAN tie within
+    // a user at corpus scale, and lag/lead over a tied order is
+    // engine-nondeterministic; (ts_us, event_id) is total on both sides
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-      .orderBy(col("ts_us"))
+      .orderBy(col("ts_us"), col("event_id"))
     val trans = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"),
+        col("event_id"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -1172,20 +1177,20 @@ ORDER BY c.cohort, c.offset_days"""
 
   val q96Sql: String =
     """WITH ev AS (
-  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, event_id FROM events),
 flagged AS (
-  SELECT user_id, ts_us, event_type,
+  SELECT user_id, ts_us, event_type, event_id,
     CASE WHEN lag(ts_us) OVER w IS NULL
            OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
          THEN 1 ELSE 0 END AS new_session
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
 sess AS (
-  SELECT user_id, ts_us, event_type,
-    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+  SELECT user_id, ts_us, event_type, event_id,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
   FROM flagged),
 trans AS (
   SELECT event_type AS from_type,
-    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us) AS to_type
+    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS to_type
   FROM sess),
 cnt AS (
   SELECT from_type, to_type, count(*) AS n FROM trans
@@ -1208,11 +1213,14 @@ FROM cnt ORDER BY from_type, to_type"""
     * scores are 1e-6-gridded log terms decimal-summed (q81's
     * discipline); output is one row per user with ≥1 transition. */
   def q223PathPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // (ts_us, event_id) total order — the q96 tiebreaker discipline
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-      .orderBy(col("ts_us"))
+      .orderBy(col("ts_us"), col("event_id"))
     val trans = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"),
+        col("event_id"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -1243,21 +1251,21 @@ FROM cnt ORDER BY from_type, to_type"""
 
   val q223Sql: String =
     """WITH ev AS (
-  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, event_id FROM events),
 flagged AS (
-  SELECT user_id, ts_us, event_type,
+  SELECT user_id, ts_us, event_type, event_id,
     CASE WHEN lag(ts_us) OVER w IS NULL
            OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
          THEN 1 ELSE 0 END AS new_session
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
 sess AS (
-  SELECT user_id, ts_us, event_type,
-    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+  SELECT user_id, ts_us, event_type, event_id,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
   FROM flagged),
 trans AS MATERIALIZED (
   SELECT user_id, from_type, to_type FROM (
     SELECT user_id, event_type AS from_type,
-      lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us) AS to_type
+      lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS to_type
     FROM sess) WHERE to_type IS NOT NULL),
 cnt AS (
   SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2),

@@ -13,6 +13,11 @@ import graft.oracle.Sql
   */
 object TextQueries {
 
+  /** Escape a runtime string for interpolation into a single-quoted
+    * Spark SQL literal (backslash first, then quote). */
+  private[graft] def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   private[graft] val StopEn = Seq("the", "and", "of", "to", "a", "in", "is")
   private[graft] val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   private[graft] val StopFr = Seq("le", "la", "de", "et", "les", "des", "une")
@@ -2157,6 +2162,22 @@ ORDER BY p.lang"""
   /** BPE merge-training rounds. */
   val BpeRounds = 3
 
+  /** Greedy left-to-right application of one BPE merge (a,b)→ab to a
+    * `syms` array column. The symbols are string-interpolated into the
+    * generated `aggregate` expression — [[sqlLit]]-escaped so a
+    * tokenizer whose alphabet includes quotes or backslashes can't
+    * break (or inject into) the SQL literal; unreachable from the
+    * [a-z0-9]+ fixture, pinned by W31OpsSpec's quote case. */
+  private[graft] def bpeApplyMerge(a: String, b: String): Column = {
+    val (ea, eb) = (sqlLit(a), sqlLit(b))
+    expr(
+      s"""aggregate(syms, cast(array() as array<string>),
+         |  (acc, x) -> case
+         |    when size(acc) > 0 and element_at(acc, -1) = '$ea' and x = '$eb'
+         |    then concat(slice(acc, 1, size(acc) - 1), array('$ea$eb'))
+         |    else concat(acc, array(x)) end)""".stripMargin)
+  }
+
   /** Byte-pair-encoding merge training — the first [[BpeRounds]]
     * merges of the tokenizer-training loop (Sennrich et al. 2016):
     * count adjacent symbol pairs weighted by word frequency, adopt the
@@ -2197,12 +2218,8 @@ ORDER BY p.lang"""
         .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
         .collect().head
       val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
-      val next = graft.Checkpoints.deferUnpersist(vocab.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>),
-           |  (acc, x) -> case
-           |    when size(acc) > 0 and element_at(acc, -1) = '$a' and x = '$b'
-           |    then concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
-           |    else concat(acc, array(x)) end)""".stripMargin)).cache())
+      val next = graft.Checkpoints.deferUnpersist(
+        vocab.withColumn("syms", bpeApplyMerge(a, b)).cache())
       val nSyms = next.select(explode(col("syms")).as("s"))
         .agg(countDistinct(col("s"))).first().getLong(0)
       merges += ((r, a, b, a + b, pc, nSyms))

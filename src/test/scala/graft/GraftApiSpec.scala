@@ -319,6 +319,19 @@ class GraftApiSpec extends GraftSpec {
     assert(math.abs(m.getDouble(4) - 1.0) < 1e-9) // full share
   }
 
+  test("markov facade: high-cardinality channel column fails loudly, not OOM") {
+    // 6 users × unique channels -> 12 distinct transition pairs; cap 5
+    val ev = (1L to 6L).flatMap(u =>
+      Seq((u, 1L, u * 10, s"ch$u"), (u, 2L, u * 10 + 1, "buy")))
+      .toDF("u", "t", "i", "ty")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.markovAttribution(ev, col("u"), col("t"), col("i"), col("ty"),
+        convType = "buy", channels = Seq("ch1"), iters = 4, maxPairs = 5L)
+    }
+    assert(ex.getMessage.contains("transition pairs"))
+    assert(ex.getMessage.contains("cardinality"))
+  }
+
   test("glm facade: olsFit2 recovers exact coefficients, logregFit separates") {
     // y = 3 + 2·x1 − 1·x2, noiseless -> R² = 1, rmse = 0
     val pts = for (i <- 1 to 50; j <- 1 to 4)

@@ -45,4 +45,18 @@ class W31OpsSpec extends GraftSpec {
     val counts = rows.map(_.getLong(4))
     counts.zip(counts.tail).foreach { case (x, y) => assert(y <= x) }
   }
+
+  test("bpeApplyMerge survives quote- and backslash-bearing symbols") {
+    val sp = spark
+    import sp.implicits._
+    // symbols a quote-hostile tokenizer could emit: ' and \ — the
+    // interpolated expression must treat them as literals, not syntax
+    val df = Seq(Seq("'", "\\", "'", "x")).toDF("syms")
+    val merged = df.select(TextQueries.bpeApplyMerge("'", "\\").as("syms"))
+      .first().getSeq[String](0)
+    assert(merged === Seq("'\\", "'", "x"))
+    val merged2 = df.select(TextQueries.bpeApplyMerge("\\", "'").as("syms"))
+      .first().getSeq[String](0)
+    assert(merged2 === Seq("'", "\\'", "x"))
+  }
 }
