@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *    rank output here; q02 (full TrustRank loop) and q34 (GraphX, no
   *    memo) remain full-loop timings in both regimes.
   *
+  * A third regime publishes itself only when needed: any query whose
+  * in-suite warm min exceeds 1.5× its own cold min (the block-residency
+  * inversion artifact — q79/q136 history) is automatically re-measured
+  * isolated and reported as `isolated_warm` in the full artifact
+  * (`n_inverted` in the compact line).
+  *
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
   * the query set (isolated re-measurement on a noisy host);
   * SPARK_GRAFT_RUNS=3 raises the min-of-N (both regimes); SPARK_GRAFT_COLD=0
@@ -115,6 +121,28 @@ object Bench {
       name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
     }
 
+    // Self-diagnosing warm>cold inversion (r9): inside the full suite,
+    // ~200 queries of accumulated block residency ahead of a late heavy
+    // loop can inflate its in-suite warm timing past its own cold cost
+    // (q79 in r6/r8, q136 in r8 — every time an artifact, never a plan
+    // defect, but every time re-litigated by hand). Any query whose
+    // in-suite warm min exceeds 1.5x its cold min is now automatically
+    // re-measured ISOLATED — memos cleared, one warm-up run to rebuild
+    // its own memos, then min-of-RUNS — and published as
+    // `isolated_warm` in the artifact, so the inversion class carries
+    // its own counter-measurement instead of a verdict debt.
+    val coldOk = cold.collect { case (n, Right(t)) => n -> t }.toMap
+    val inverted = results.collect {
+      case (n, Right(t)) if coldOk.get(n).exists(c => t > 1.5 * c) => n
+    }
+    val isolated = inverted.map { n =>
+      SessionCache.clear(spark)
+      once(n) // warm-up: rebuild this query's own memos only
+      val rs = (1 to runs).map(_ => once(n))
+      val oks = rs.collect { case Right(t) => t }
+      n -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+    }
+
     def obj(xs: Seq[(String, Either[String, Double])]): (String, Double, Int) = {
       val ok = xs.collect { case (n, Right(t)) => n -> t }
       (ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"),
@@ -130,11 +158,13 @@ object Bench {
       cold.collect { case (n, Left(m)) => s"$n (cold)" -> m }
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val coldPart = if (doCold) s""""cold_queries":$cqs,"total_cold":$coldTotal,""" else ""
+    val (isoQs, _, _) = obj(isolated)
+    val isoPart = if (isolated.nonEmpty) s""""isolated_warm":$isoQs,""" else ""
     val metricsPart = if (doMetrics)
       shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$isoPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}"""
     // Durability: the harness keeps only the LAST ~2000 chars of the log.
     // r6 lost the warm section to shutdown WARN spew; r7 quieted the
     // shutdown but the full line itself (warm + cold maps × 107 queries at
@@ -174,7 +204,8 @@ object Bench {
     val qsCompact = kept2.map(_._2).mkString("{", ",", "}")
     val omitted = if (dropped > 0) s""""queries_omitted":$dropped,""" else ""
     val coldCompact = if (doCold) s""""total_cold":${r2(coldTotal)},""" else ""
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$omitted$coldCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir","full":"$outPath"}"""
+    val isoCompact = if (isolated.nonEmpty) s""""n_inverted":${isolated.size},""" else ""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$omitted$coldCompact$isoCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir","full":"$outPath"}"""
     spark.sparkContext.setLogLevel("ERROR")
     println(compact)
     spark.stop()

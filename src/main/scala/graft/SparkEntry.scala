@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TpchQueries.queries ++ UrlQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries ++
+      PartsuppQueries.queries ++ UrlQueries.queries ++
       GraphQueries.queries ++ SpectralQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.ann.AnnQueries.queries ++
       graft.text.TextQueries.queries ++ graft.text.FeatureQueries.queries ++
@@ -21,7 +22,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TpchQueries.oracles ++ UrlQueries.oracles ++
+    RelationalQueries.oracles ++ TpchQueries.oracles ++
+      PartsuppQueries.oracles ++ UrlQueries.oracles ++
       GraphQueries.oracles ++ SpectralQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.text.FeatureQueries.oracles ++

@@ -50,4 +50,36 @@ object Tables {
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** DERIVED partsupp fixture (SURVEY §5 pattern — deterministic and
+    * SQL-expressible on both engines; the driver testdata ships no
+    * partsupp table, which locked out TPC-H Q2/Q9/Q11/Q16/Q20's join
+    * shapes): every part gets 4 suppliers spread across the supplier
+    * key space — ps_suppkey = (p_partkey + i·(S div 4)) mod S for
+    * i ∈ 0..3, S = |supplier| (keys are 0-based dense, like TPC-H's
+    * own 4-supplier spread) — with integer-derived availqty and a
+    * 2-decimal supplycost (exact in a double; both engines compute
+    * the identical integer % then one division by 100).
+    *
+    * Shape: map-side over the part scan (a 4-way explode against a
+    * 1-row broadcast supplier count) — at any SF this materializes
+    * nothing and carries 4·|part| rows into whatever join consumes
+    * it. The oracle replays the same derivation as a CTE
+    * ([[graft.queries.PartsuppQueries.PsCte]]). */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sc = supplier(spark, sfDir).agg(count(lit(1)).as("s"))
+    part(spark, sfDir).select(col("p_partkey"))
+      .crossJoin(broadcast(sc))
+      .select(col("p_partkey"), col("s"),
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") + col("i") * expr("s div 4"), col("s"))
+          .as("ps_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (pmod(col("ps_partkey") * 31L + col("ps_suppkey") * 17L, lit(9991L)) + 1L)
+          .as("ps_availqty"),
+        ((pmod(col("ps_partkey") * 131L + col("ps_suppkey") * 1009L, lit(99900L))
+          + 100L).cast("double") / lit(100.0)).as("ps_supplycost"))
+  }
 }

@@ -39,19 +39,25 @@ object AnnQueries {
     * assignment crossJoin was O(n·n/50). With k constant the broadcast
     * side is constant-size and assignment is O(n·k). */
   val KCents = 64
-  /** r6: 2 → 4, chosen BY q65's recall metric (the tuning loop the
-    * recall row exists for): mean recall@5 0.37 → 0.48 at sf0.01 for
-    * 2× the probed buckets — still KCents/16 of the corpus scanned
-    * per query. */
-  val NProbe = 4
+  /** r9: 4 → 32, adopting q99's measured frontier operating point (the
+    * frontier exists precisely to move the default off the r6 guess):
+    * recall@5 0.48 → 0.85 at sf0.01 — the only swept config clearing
+    * the ≥0.8 bar — for avg candidates/query 31.4 → 245.8 (~7.8×, still
+    * ~11% of the corpus at this KCents; candidate volume stays
+    * KCents-partition-bounded at any scale, and a larger corpus raises
+    * KCents, not the probed fraction's absolute cost per query). */
+  val NProbe = 32
   val Dims = 64
-  /** r6: 16 → 32 planes (4 → 8 bands of 4 bits), chosen by q65's
-    * recall metric: mean recall@5 0.45 → 0.58 at sf0.01. Cost is
-    * linear in bands (2× band rows through the bucket join); the
-    * fused kernel still reads each vector once. */
-  val LshBits = 32
+  /** r9: 8 → 16 bands of 4 bits (32 → 64 planes), the best LSH point
+    * on q99's frontier: recall@5 0.58 → 0.70 at sf0.01 for avg
+    * candidates/query 156.8 → 187.9 (1.2× — new bands mostly re-find
+    * the same near neighbors, so the union grows sublinearly). The
+    * swept grid tops out at 0.71 for LSH — the ≥0.8 operating point is
+    * IVF's (NProbe above); the LSH row stays at its own frontier
+    * optimum as the streaming-friendly (build-free) alternative. */
+  val LshBits = 64
   val LshBandBits = 4
-  val LshBandCount = 8
+  val LshBandCount = 16
 
   /** (vec_id, v, nrm): the norm is precomputed ONCE per vector so every
     * pairwise score below is a single dot product, not three. */
@@ -151,12 +157,14 @@ WHERE rank <= $K ORDER BY qid, rank"""
   }
 
   val q31Sql: String = {
+    // per-band plane-offset codes (the q99-validated formulation) —
+    // at 64 planes a single shifted BIGINT code would ride its sign
+    // bit; band b reads planes [4b, 4b+4) directly, identical keys
     val bandRows = (0 until LshBandCount)
       .map(b => s"SELECT vec_id, v, nrm, $b AS band, " +
-        s"(code >> ${LshBandBits * b}) & ${(1 << LshBandBits) - 1} AS key FROM coded")
+        s"${Sql.lshCode("v", Dims, LshBandBits, LshBandBits * b)} AS key FROM ed")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $vecsCte,
-coded AS MATERIALIZED (SELECT vec_id, v, nrm, ${Sql.lshCode("v", Dims, LshBits)} AS code FROM ed),
 bands AS MATERIALIZED (
   $bandRows),
 cand AS (

@@ -551,7 +551,59 @@ object TpchQueries {
       |  FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
       |WHERE l.l_quantity < $Q17Frac * qbar""".stripMargin
 
+  /** Q19-shape brackets: (brand, size lo..hi, quantity lo..hi). Wider
+    * than TPC-H's so every SF (incl. sf0.001's 200 parts) matches. */
+  val Q19Brackets: Seq[(String, Int, Int, Double, Double)] = Seq(
+    ("Brand#12", 1, 15, 1.0, 15.0),
+    ("Brand#23", 1, 25, 10.0, 30.0),
+    ("Brand#3", 1, 35, 20.0, 40.0))
+
+  // --------------------------------------------------------------- q233
+  /** TPC-H Q19 shape — discounted revenue under an OR of three
+    * multi-column conjunctive brackets spanning BOTH join sides (the
+    * fixture lacks Q19's container/shipmode columns; brand × size ×
+    * quantity models the identical scan shape). The benchmark's test
+    * of disjunction handling: a naive engine evaluates the OR only
+    * post-join; the right plan FACTORS each side's disjuncts and
+    * pushes them into both parquet scans — the part scan prunes on
+    * OR(brand∧size brackets), the lineitem scan on OR(quantity
+    * bands) — so the join moves only potentially-matching rows, with
+    * the residual cross-side predicate evaluated on the join output.
+    * W36PlanSpec asserts both pushed disjunctions against the
+    * physical plan.
+    *
+    * Plan for 100 TB: two pruned scans, one partkey equi-join (part
+    * side prunable to the 3 brands — broadcastable at most SFs, AQE's
+    * call), ONE map-side partial aggregate into a 1-row result. */
+  def q233BracketScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = Q19Brackets.map { case (b, slo, shi, qlo, qhi) =>
+      col("p_brand") === b && col("p_size") >= slo && col("p_size") <= shi &&
+        col("l_quantity") >= qlo && col("l_quantity") <= qhi
+    }.reduce(_ || _)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("line_rev"))
+      .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(asD(dsum(col("line_rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q233Sql: String = {
+    val brackets = Q19Brackets.map { case (b, slo, shi, qlo, qhi) =>
+      s"(p_brand = '$b' AND p_size BETWEEN $slo AND $shi" +
+        s" AND l_quantity >= $qlo AND l_quantity <= $qhi)"
+    }.mkString("\n   OR ")
+    s"""SELECT
+      |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE $brackets""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_bracket_scan" -> q233BracketScan,
     "q195_local_volume" -> q195LocalVolume,
     "q196_returned_items" -> q196ReturnedItems,
     "q197_promo_share" -> q197PromoShare,
@@ -565,6 +617,7 @@ object TpchQueries {
     "q222_small_qty" -> q222SmallQty)
 
   val oracles: Map[String, String] = Map(
+    "q233_bracket_scan" -> q233Sql,
     "q195_local_volume" -> q195Sql,
     "q196_returned_items" -> q196Sql,
     "q197_promo_share" -> q197Sql,

@@ -14,6 +14,69 @@ class StreamingSpec extends GraftSpec {
   private lazy val sp = spark
   import sp.implicits._
 
+  test("watermark bounds stateful state: eviction MEASURED via stateOperators") {
+    // The 100 TB streaming claim ("watermark-bounded state") as a
+    // measurement, not an argument: drive the q98-shaped windowed agg
+    // and the q132-shaped dedup through controlled event-time batches
+    // and read the engine's own state metrics (numRowsTotal,
+    // memoryUsedBytes) from the progress reports.
+    implicit val sqlCtx = sp.sqlContext
+    val base = 1700000000000L
+
+    // --- windowed aggregation state (q98's shape)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF.toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("state_bound_agg")
+      .outputMode("append").start()
+    // batch 1: 360 events over 6 hours, 2 types -> state is keyed by
+    // (window, type): <= 7 windows x 2 types, NOT 360 event rows
+    mem.addData((0 until 360).map(i =>
+      (new Timestamp(base + i * 60000L), s"t${i % 2}", 1.0)): _*)
+    q.processAllAvailable()
+    val afterLoad = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    // batches 2+3: jump 100 hours -> watermark passes the old windows,
+    // which must be EVICTED (emitted downstream), not retained
+    mem.addData((0 until 60).map(i =>
+      (new Timestamp(base + 100L * 3600000 + i * 60000L), s"t${i % 2}", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 101L * 3600000), "t0", 1.0))
+    q.processAllAvailable()
+    val aggStates = q.recentProgress.flatMap(_.stateOperators)
+    q.stop()
+    assert(afterLoad <= 16, s"agg state must scale with live windows, got $afterLoad")
+    assert(aggStates.last.numRowsTotal <= 8,
+      s"watermark-passed windows must leave state, got ${aggStates.last.numRowsTotal}")
+    assert(aggStates.exists(_.memoryUsedBytes > 0), "state memory must be reported")
+
+    // --- dedup-within-watermark state (q132's shape)
+    val dmem = MemoryStream[(Timestamp, String)]
+    val dq = StreamingWindows.dedupStream(
+        dmem.toDF.toDF("ts", "fp"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("state_bound_dedup")
+      .outputMode("append").start()
+    // 300 events but only 10 distinct fingerprints -> <= 10 state rows
+    dmem.addData((0 until 300).map(i =>
+      (new Timestamp(base + i * 1000L), s"fp${i % 10}")): _*)
+    dq.processAllAvailable()
+    val dedupLoad = dq.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    // jump 50 hours: every old fingerprint ages out of the watermark
+    dmem.addData((new Timestamp(base + 50L * 3600000), "fresh1"))
+    dq.processAllAvailable()
+    dmem.addData((new Timestamp(base + 50L * 3600000 + 1000L), "fresh2"))
+    dq.processAllAvailable()
+    val dedupStates = dq.recentProgress.flatMap(_.stateOperators)
+    dq.stop()
+    assert(dedupLoad <= 12, s"dedup state must be keyed by fingerprint, got $dedupLoad")
+    assert(dedupStates.last.numRowsTotal <= 3,
+      s"aged-out fingerprints must leave state, got ${dedupStates.last.numRowsTotal}")
+    assert(dedupStates.exists(_.memoryUsedBytes > 0))
+  }
+
   test("streaming tumbling window agg equals batch agg on the same events") {
     implicit val sqlCtx = sp.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

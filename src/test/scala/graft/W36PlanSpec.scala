@@ -48,6 +48,38 @@ class W36PlanSpec extends GraftSpec {
       "a global 1-row aggregate needs no hash exchange, only the final single partition")
   }
 
+  test("partsupp TPC-H shapes: pushed filters, broadcasts, no cartesians") {
+    import graft.queries.PartsuppQueries
+    val q228 = formatted(PartsuppQueries.q228MinCostSupplier(spark, sfDir))
+    assert(q228.contains("EqualTo(p_type,ECONOMY)"), "Q2 part type pushed")
+    assert(q228.contains("GreaterThanOrEqual(p_size"), "Q2 size band pushed")
+    assert(q228.contains("BroadcastHashJoin"), "Q2 region suppliers broadcast")
+    val q229 = formatted(PartsuppQueries.q229ProductProfit(spark, sfDir))
+    assert(q229.contains("StringContains(p_name,red)"), "Q9 color filter pushed")
+    assert(q229.contains("BroadcastHashJoin"), "Q9 supplier-nation broadcast")
+    val q232 = formatted(PartsuppQueries.q232PartPromotion(spark, sfDir))
+    assert(q232.contains("GreaterThanOrEqual(l_shipdate"), "Q20 date pushed")
+    assert(q232.contains("StringStartsWith(p_name,red)"), "Q20 prefix pushed")
+    Seq(q228, q229, q232,
+      formatted(PartsuppQueries.q230ImportantStock(spark, sfDir)),
+      formatted(PartsuppQueries.q231SupplierCensus(spark, sfDir))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), "no cartesian product")
+    }
+  }
+
+  test("q233 Q19-shape: both sides' OR-disjunctions reach PushedFilters") {
+    val plan = formatted(graft.queries.TpchQueries.q233BracketScan(spark, sfDir))
+    withClue(plan) {
+      // the optimizer must FACTOR the cross-table OR: each scan's
+      // PushedFilters carries the disjunction of ITS columns' brackets
+      assert(plan.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+        "part scan: OR of brand∧size brackets pushed")
+      assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+        "lineitem scan: OR of quantity bands pushed")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("q164/q169 graph composites never regress to a cartesian product") {
     Seq(
       GraphQueries.q164Bowtie(spark, sfDir),
