@@ -11,7 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TpchQueries.queries ++
+    RelationalQueries.queries ++ MlEvalQueries.queries ++
+      TimeseriesQueries.queries ++ StreamBatchQueries.queries ++
+      WindowQueries.queries ++ StorageQueries.queries ++
+      TpchQueries.queries ++
       PartsuppQueries.queries ++ UrlQueries.queries ++
       GraphQueries.queries ++ SpectralQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.ann.AnnQueries.queries ++
@@ -22,7 +25,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TpchQueries.oracles ++
+    RelationalQueries.oracles ++ MlEvalQueries.oracles ++
+      TimeseriesQueries.oracles ++ StreamBatchQueries.oracles ++
+      WindowQueries.oracles ++ StorageQueries.oracles ++
+      TpchQueries.oracles ++
       PartsuppQueries.oracles ++ UrlQueries.oracles ++
       GraphQueries.oracles ++ SpectralQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++ graft.ann.AnnQueries.oracles ++

@@ -834,9 +834,15 @@ ORDER BY qid"""
       cents = graft.Checkpoints.rotate(next, cents)
     }
     graft.Checkpoints.deferFree(cents)
+    // d2 is 6dp-gridded per row, so the census mean must be an exact
+    // DECIMAL sum + one division — a double avg() is association-order
+    // dependent and flipped a boundary cell at sf0.1 (0.0872505).
     assign(cents)
       .groupBy(col("m"), col("cid"))
-      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("mean_d2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_d2"))
   }
 
   def q166Pq(spark: SparkSession, sfDir: String): DataFrame =
@@ -870,7 +876,8 @@ c$k AS MATERIALIZED (
 """
       else sb ++= "\n"
     }
-    sb ++= s"""SELECT m, cid, count(*) AS n_vecs, round(avg(d2), 6) AS mean_d2
+    sb ++= s"""SELECT m, cid, count(*) AS n_vecs,
+  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_d2
 FROM a${PqIters + 1} GROUP BY m, cid ORDER BY m, cid"""
     sb.toString
   }

@@ -1256,7 +1256,93 @@ FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
 ORDER BY f.vec_id"""
   }
 
+  /** Long-gram length for substring-level duplication. */
+  val SharedGramN = 8
+  /** Document-frequency cap: grams in more docs than this are
+    * boilerplate (q100's territory), not pair evidence. */
+  val SharedDfCap = 16
+  /** Emitted pair budget. */
+  val SharedTopK = 50
+
+  // --------------------------------------------------------------- q242
+  /** Shared long-n-gram doc pairs — SUBSTRING-level duplication (the
+    * Lee et al. exact-substring signal): two documents sharing many
+    * distinct word [[SharedGramN]]-grams contain literally copied
+    * passages even when whole-doc MinHash (q21) scores them apart;
+    * containment = shared / min(grams) reads 1.0 for a full copy or a
+    * quoted-inside-a-longer-doc subset. Pair candidates come from the
+    * inverted gram index restricted to grams with 2 ≤ df ≤
+    * [[SharedDfCap]] — the df cap bounds every gram's pair fan-out at
+    * df², so the join is NEVER all-pairs and corpus-frequent
+    * boilerplate grams (q100's series) are excluded by construction.
+    * Grams ride exchanges as the compiled kernel's 64-bit (hlo, hhi)
+    * hash pairs, never ~50-byte strings.
+    *
+    * Shape for 100 TB: one kernel pass + per-doc-distinct partial
+    * agg, one df census, a df-capped self-join, O(pairs) census,
+    * top-K. */
+  def q242SharedNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val pg = graft.Checkpoints.deferUnpersist(corpus(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= SharedGramN)
+      .select(col("doc_id"),
+        explode(call_function("graft_gram_hashes", col("text"), lit(SharedGramN)))
+          .as("gh"))
+      .select(col("doc_id"), col("gh.hlo").as("hlo"), col("gh.hhi").as("hhi"))
+      .distinct()
+      .cache()) // feeds doc totals, the df census AND both join sides
+    val doctot = pg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val keep = pg.groupBy(col("hlo"), col("hhi")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SharedDfCap)
+      .select(col("hlo"), col("hhi"))
+    val kept = pg.join(keep, Seq("hlo", "hhi"), "left_semi")
+    val pairs = kept.select(col("hlo"), col("hhi"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("hlo"), col("hhi"), col("doc_id").as("doc_b")),
+        Seq("hlo", "hhi"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(doctot.select(col("doc_id").as("doc_a"),
+        col("n_grams").as("grams_a"))), Seq("doc_a"))
+      .join(broadcast(doctot.select(col("doc_id").as("doc_b"),
+        col("n_grams").as("grams_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("grams_a"),
+        col("grams_b"),
+        round(col("shared").cast("double")
+          / least(col("grams_a"), col("grams_b")), 6).as("containment"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(SharedTopK)
+  }
+
+  val q242Sql: String =
+    s"""WITH $corpusCte,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    ${Sql.hash32OfHexAt("md5(g)", 1)} AS hlo,
+      |    ${Sql.hash32OfHexAt("md5(g)", 9)} AS hhi
+      |  FROM (SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - ${SharedGramN - 1}, 0) + 1),
+      |      i -> array_to_string(t[i:i+${SharedGramN - 1}], ' '))) AS g
+      |  FROM toks)),
+      |doctot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |keep AS (
+      |  SELECT hlo, hhi FROM grams GROUP BY hlo, hhi
+      |  HAVING count(*) BETWEEN 2 AND $SharedDfCap),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM grams a JOIN keep USING (hlo, hhi) JOIN grams b USING (hlo, hhi)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT p.doc_a, p.doc_b, p.shared, ta.n_grams AS grams_a,
+      |  tb.n_grams AS grams_b,
+      |  round(CAST(p.shared AS DOUBLE) / least(ta.n_grams, tb.n_grams), 6)
+      |    AS containment
+      |FROM pairs p JOIN doctot ta ON p.doc_a = ta.doc_id
+      |  JOIN doctot tb ON p.doc_b = tb.doc_id
+      |ORDER BY p.shared DESC, p.doc_a, p.doc_b LIMIT $SharedTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_shared_ngrams" -> q242SharedNgrams,
     "q174_semdedup" -> q174SemDedup,
     "q157_lsh_recall" -> q157LshRecall,
     "q149_setsim_join" -> q149SetSimJoin,
@@ -1277,6 +1363,7 @@ ORDER BY f.vec_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q242_shared_ngrams" -> q242Sql,
     "q174_semdedup" -> q174Sql,
     "q157_lsh_recall" -> q157Sql,
     "q149_setsim_join" -> q149Sql,

@@ -1342,6 +1342,88 @@ SELECT walk_id, host, step FROM w
 ORDER BY walk_id, step"""
   }
 
+  // ---------------------------------------------------------------- q240
+  /** Minimum co-occurrence count for an emitted pair. */
+  val PmiMinPair = 3
+  /** Emitted pair budget. */
+  val PmiTopK = 50
+
+  /** Skip-gram PMI training pairs from the q151 walk corpus — the
+    * DeepWalk/node2vec step BETWEEN walking and embedding: hosts
+    * co-occurring within 2 steps of the same walk become (context)
+    * pairs, scored by PMI = ln(n_pair·N / (occ_a·occ_b)) over the walk
+    * corpus — high-PMI pairs are the positive examples an embedding
+    * trainer contrasts against q212's negative table. Counts are
+    * exact integers off the deterministic walk corpus, so the oracle
+    * replays the identical pair set; ONE ln per output row.
+    *
+    * Shape for 100 TB: the pair self-join keys on walk_id (≤ 9 rows
+    * per key — bounded fan-out, never all-pairs), occurrence counts
+    * partial-agg to O(hosts) and join back broadcast; the emitted
+    * frame is the top-[[PmiTopK]] census. */
+  def q240WalkPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val walks = graft.Checkpoints.deferFree(
+      q151RandomWalks(spark, sfDir).localCheckpoint())
+    val a = walks.select(col("walk_id"), col("host").as("ha"), col("step").as("sa"))
+    val b = walks.select(col("walk_id").as("wb"), col("host").as("hb"),
+      col("step").as("sb"))
+    val pairs = graft.Checkpoints.deferFree(a
+      .join(b, col("walk_id") === col("wb")
+        && (col("sb") - col("sa")).isin(1, 2) && col("ha") =!= col("hb"))
+      .select(least(col("ha"), col("hb")).as("na"),
+        greatest(col("ha"), col("hb")).as("nb"))
+      .localCheckpoint()) // feeds the pair census AND the 1-row total
+    val pc = pairs.groupBy(col("na"), col("nb")).agg(count(lit(1)).as("n_pair"))
+    val occ = walks.groupBy(col("host")).agg(count(lit(1)).as("c"))
+    val tot = pairs.agg(count(lit(1)).as("np"))
+    pc.filter(col("n_pair") >= PmiMinPair)
+      .join(broadcast(occ.select(col("host").as("na"), col("c").as("occ_a"))), Seq("na"))
+      .join(broadcast(occ.select(col("host").as("nb"), col("c").as("occ_b"))), Seq("nb"))
+      .crossJoin(broadcast(tot))
+      .select(col("na").as("node_a"), col("nb").as("node_b"), col("n_pair"),
+        col("occ_a"), col("occ_b"),
+        round(log(col("n_pair").cast("double") * col("np")
+          / (col("occ_a").cast("double") * col("occ_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("node_a"), col("node_b")).limit(PmiTopK)
+  }
+
+  val q240Sql: String = {
+    val pick = Sql.hash32OfHex("md5(w.walk_id || '#' || CAST(w.step + 1 AS VARCHAR))")
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+    count(*) OVER (PARTITION BY src) AS deg
+  FROM hedges),
+w AS (
+  SELECT v AS walk_id, v AS host, 0 AS step FROM verts
+  UNION ALL
+  SELECT w.walk_id, a.dst, w.step + 1
+  FROM w JOIN adj a ON a.src = w.host
+    AND a.rn = ($pick % a.deg) + 1
+  WHERE w.step < $WalkLen),
+wm AS MATERIALIZED (SELECT walk_id, host, step FROM w),
+pairs AS MATERIALIZED (
+  SELECT least(a.host, b.host) AS na, greatest(a.host, b.host) AS nb
+  FROM wm a JOIN wm b ON a.walk_id = b.walk_id
+    AND b.step - a.step IN (1, 2) AND a.host <> b.host),
+pc AS (SELECT na, nb, count(*) AS n_pair FROM pairs GROUP BY na, nb),
+occ AS (SELECT host, count(*) AS c FROM wm GROUP BY host),
+tot AS (SELECT count(*) AS np FROM pairs)
+SELECT na AS node_a, nb AS node_b, n_pair, oa.c AS occ_a, ob.c AS occ_b,
+  round(ln(CAST(n_pair AS DOUBLE) * np / (CAST(oa.c AS DOUBLE) * ob.c)), 6) AS pmi
+FROM pc JOIN occ oa ON pc.na = oa.host JOIN occ ob ON pc.nb = ob.host
+  CROSS JOIN tot
+WHERE n_pair >= $PmiMinPair
+ORDER BY pmi DESC, node_a, node_b LIMIT $PmiTopK"""
+  }
+
   // ---------------------------------------------------------------- q152
   /** Weighted LinkRank over multiplicity-weighted page edges — the
     * rank variant where duplicate raw links are endorsement STRENGTH
@@ -1769,6 +1851,7 @@ ORDER BY k""".stripMargin
     "q164_bowtie" -> q164Bowtie,
     "q152_weighted_rank" -> q152WeightedRank,
     "q151_random_walks" -> q151RandomWalks,
+    "q240_walk_pmi" -> q240WalkPmi,
     "q135_closeness" -> q135Closeness,
     "q136_modularity" -> q136Modularity,
     "q119_ecc" -> q119Ecc,
@@ -1806,6 +1889,7 @@ ORDER BY k""".stripMargin
     "q164_bowtie" -> q164Sql,
     "q152_weighted_rank" -> q152Sql,
     "q151_random_walks" -> q151Sql,
+    "q240_walk_pmi" -> q240Sql,
     "q135_closeness" -> q135Sql,
     "q136_modularity" -> q136Sql,
     "q119_ecc" -> q119Sql,

@@ -1,0 +1,1601 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{MathFunctions => MF}
+
+/** ML training & evaluation loop (SURVEY §2.B ML-eval family, split
+  * out of RelationalQueries in r9): correlation/inequality metrics
+  * (q127/q128), feature engineering (q147/q148), the A/B + calibration
+  * + AUC evaluation suite (q155/q156/q161), RFM segmentation (q178),
+  * Markov attribution (q182), the GLM/tree/ALS fits (q185-q189), PSI
+  * drift (q192) and the decile lift table (q226). Oracle-fidelity
+  * rules are RelationalQueries' (see its doc). */
+object MlEvalQueries {
+
+  /** Exact, order-independent sum of a 2-dp money double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+  private def asD(c: Column): Column = round(c.cast("double"), 6)
+
+  // --------------------------------------------------------------- q226
+  /** Decile lift / cumulative-gain table — the campaign-targeting view
+    * of a propensity score (q156 asks calibrated?, q161 discriminates?,
+    * q188 where to cut?; this answers "how much better than random is
+    * targeting the top k deciles?"): users ranked by activity (the
+    * q186 predictor — the fitted logistic is monotone in it, so the
+    * ranking is the model's), binned by frozen activity deciles
+    * (q192's percentile identity), and read TOP-DOWN with cumulative
+    * conversion rate, lift over the base rate, and capture share.
+    *
+    * Shape for 100 TB: ONE partial-agged per-user pass, a 9-value
+    * percentile broadcast, an O(bins) census; the cumulative window
+    * runs on ≤10 rows. Integer counts until the final divisions. */
+  def q226LiftTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val lu = labeledUsers(spark, sfDir)
+    val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val th = lu.agg(percentile(col("x"), qs).as("t"))
+    val binned = lu.crossJoin(broadcast(th))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("x") > round(col("t")(i - 1), 6), 1)
+          .otherwise(0)).reduce(_ + _) + 1)
+    val census = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y").cast("long")).as("n_conv"))
+    val tot = census.agg(sum(col("n_users")).as("tu"), sum(col("n_conv")).as("tc"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum(col("n_users")).over(w))
+      .withColumn("cum_conv", sum(col("n_conv")).over(w))
+      .select(col("bin"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_users"), 6).as("conv_rate"),
+        col("cum_users"), col("cum_conv"),
+        round((col("cum_conv") * col("tu")).cast("double")
+          / (col("cum_users") * col("tc")).cast("double"), 6).as("lift"),
+        round(col("cum_conv").cast("double") / col("tc"), 6).as("capture"))
+      .orderBy(col("bin").desc)
+  }
+
+  def q226Sql: String = {
+    val bins = (1 to 9).map(i =>
+      s"(CASE WHEN x > round(t[$i], 6) THEN 1 ELSE 0 END)").mkString("\n      + ")
+    s"""WITH $labeledUsersSql,
+      |th AS (
+      |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      |  FROM per_user),
+      |binned AS (
+      |  SELECT y, 1 + $bins AS bin
+      |  FROM per_user CROSS JOIN th),
+      |census AS (
+      |  SELECT bin, count(*) AS n_users,
+      |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_conv
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+      |  CAST(sum(n_conv) AS BIGINT) AS tc FROM census),
+      |cum AS (
+      |  SELECT bin, n_users, n_conv,
+      |    CAST(sum(n_users) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+      |    CAST(sum(n_conv) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+      |  FROM census)
+      |SELECT bin, n_users, n_conv,
+      |  round(CAST(n_conv AS DOUBLE) / n_users, 6) AS conv_rate,
+      |  cum_users, cum_conv,
+      |  round(CAST(cum_conv * tu AS DOUBLE) / CAST(cum_users * tc AS DOUBLE), 6) AS lift,
+      |  round(CAST(cum_conv AS DOUBLE) / tc, 6) AS capture
+      |FROM cum CROSS JOIN tot ORDER BY bin DESC""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q127
+  /** Spearman rank correlation between l_quantity and l_discount per
+    * return flag — the monotone-association screen (feature vs label)
+    * run before model fitting. Both variables are LOW-CARDINALITY, so
+    * the whole computation runs on the joint contingency table: one
+    * partial-agged groupBy(flag, qty, disc) collapses the corpus to
+    * |flags|·|qty|·|disc| cells; average tie-ranks come from the value
+    * MARGINALS (avg rank of value v = #less + (#eq+1)/2 — doubled to
+    * stay integer), and the Pearson-on-ranks moments are
+    * count-weighted sums over the cell frame in DECIMAL(38) (n·rᵪ·rᵧ
+    * products overflow int64 at corpus scale; decimals keep both
+    * engines exact), with one double division + sqrt at the end.
+    *
+    * Shape for 100 TB: the ONLY corpus-sized operation is the first
+    * partial-agged groupBy; ranks never touch a per-row window (the
+    * q118 concern does not even arise — the marginal frames are
+    * O(distinct values)). */
+  def q127Spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val joint = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_discount").as("y"))
+      .agg(count(lit(1)).as("n"))
+    def ranks(v: String): DataFrame = {
+      val m = joint.groupBy(col("flag"), col(v)).agg(sum(col("n")).as("cnt"))
+      val w = Window.partitionBy(col("flag")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // doubled average tie-rank: 2·rank(v) = 2·#less + #eq + 1
+      m.withColumn("r2", lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+          + col("cnt") + lit(1))
+        .select(col("flag"), col(v), col("r2").as(s"r2$v"))
+    }
+    val cells = joint
+      .join(ranks("x"), Seq("flag", "x"))
+      .join(ranks("y"), Seq("flag", "y"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val mom = cells.groupBy(col("flag"))
+      .agg(sum(col("n")).as("nn"),
+        sum(dec(col("n") * col("r2x"))).as("sx"),
+        sum(dec(col("n") * col("r2y"))).as("sy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2x"))).as("sxx"),
+        sum(dec(col("n")) * dec(col("r2y")) * dec(col("r2y"))).as("syy"),
+        sum(dec(col("n")) * dec(col("r2x")) * dec(col("r2y"))).as("sxy"))
+    mom.select(col("flag"), col("nn").as("n"),
+        round((dec(col("nn")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((dec(col("nn")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (dec(col("nn")) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman_rho"))
+      .orderBy(col("flag"))
+  }
+
+  val q127Sql: String =
+    """WITH joint AS (
+      |  SELECT l_returnflag AS flag, l_quantity AS x, l_discount AS y, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |rx AS (
+      |  SELECT flag, x,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2x
+      |  FROM (SELECT flag, x, sum(n) AS cnt FROM joint GROUP BY flag, x)),
+      |ry AS (
+      |  SELECT flag, y,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2y
+      |  FROM (SELECT flag, y, sum(n) AS cnt FROM joint GROUP BY flag, y)),
+      |cells AS (
+      |  SELECT j.flag, j.n, rx.r2x, ry.r2y
+      |  FROM joint j JOIN rx ON j.flag = rx.flag AND j.x = rx.x
+      |               JOIN ry ON j.flag = ry.flag AND j.y = ry.y),
+      |mom AS (
+      |  SELECT flag, sum(n) AS nn,
+      |    sum(CAST(n * r2x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(n * r2y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))) AS syy,
+      |    sum(CAST(n AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))) AS sxy
+      |  FROM cells GROUP BY flag)
+      |SELECT flag, CAST(nn AS BIGINT) AS n,
+      |  round(CAST(CAST(nn AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(CAST(nn AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+      |         * CAST(CAST(nn AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+      |FROM mom
+      |ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------------------- q128
+  /** Spend width of the Gini rank buckets (q118's pattern). */
+  val GiniBucketWidth = 10000.0
+
+  /** Gini coefficient of customer-spend concentration per market
+    * segment — the inequality/skew diagnostic (is 1% of customers 90%
+    * of revenue?) that also sizes skew-mitigation choices. Formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over spend sorted ascending
+    * with rank i — but the rank comes from q118's scale-out machinery
+    * (fixed spend-range buckets → tiny cumulative-offset frame →
+    * within-bucket row_number), NEVER a corpus-height window. All
+    * moments are exact decimals; one double division at the end.
+    *
+    * Covers customers WITH orders (spend > 0 support; the zero-spend
+    * tail would need the customer dim's complement — a different
+    * question). */
+  def q128Gini(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .withColumn("bucket",
+        expr(s"cast(floor(spend / $GiniBucketWidth) as bigint)"))
+    val counts = spend.groupBy(col("c_mktsegment"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = spend
+      .join(broadcast(offsets.select(col("c_mktsegment"), col("bucket"), col("off"))),
+        Seq("c_mktsegment", "bucket"))
+      .withColumn("rnk", col("off") + row_number().over(
+        Window.partitionBy(col("c_mktsegment"), col("bucket"))
+          .orderBy(col("spend"), col("o_custkey"))))
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("sx"),
+        sum(col("spend") * col("rnk").cast(DecimalType(38, 6))).as("sxr"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        asD(col("sx")).as("total_spend"),
+        round((lit(2) * col("sxr") - (col("n_customers") + 1) * col("sx"))
+          .cast("double")
+          / (col("n_customers") * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q128Sql: String =
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_custkey),
+      |ranked AS (
+      |  SELECT c_mktsegment, spend,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend, o_custkey) AS rnk
+      |  FROM spend)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(CAST(sum(spend) AS DOUBLE), 6) AS total_spend,
+      |  round(CAST(2 * sum(spend * CAST(rnk AS DECIMAL(38,6))) - (count(*) + 1) * sum(spend) AS DOUBLE)
+      |      / CAST(count(*) * sum(spend) AS DOUBLE), 6) AS gini
+      |FROM ranked GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------- q147
+  /** Rolling-feature lookback (days). */
+  val LagFeatDays = 7
+
+  /** Per-user daily lag features — the feature-engineering pass a
+    * daily model trains on: for every user-day with activity, the
+    * previous day's count, the trailing-[[LagFeatDays]]-day sum, and
+    * days since the previous active day. Features compute on the
+    * ZERO-FILLED user×day grid (a silent day is a 0, not a missing
+    * row — else lag(1) reads the wrong day), but only observed
+    * (active) rows emit.
+    *
+    * Shape for 100 TB: corpus → one partial-agged groupBy(user, day);
+    * the grid is users × span (the natural feature-matrix size), all
+    * windows partition by user over O(span) rows. */
+  def q147LagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val feat = filled
+      .withColumn("prev_1d", coalesce(lag(col("cnt"), 1).over(byUser), lit(0L)))
+      .withColumn("prev_7d", coalesce(sum(col("cnt")).over(
+        byUser.rowsBetween(-LagFeatDays, -1)), lit(0L)))
+      .withColumn("prev_active_day",
+        last(when(col("cnt") > 0, col("day")), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("days_since_prev",
+        coalesce(col("day") - col("prev_active_day"), lit(-1L)))
+    feat.filter(col("cnt") > 0)
+      .select(col("user_id"), col("day"), col("cnt").as("n_events"),
+        col("prev_1d"), col("prev_7d"), col("days_since_prev"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q147Sql: String =
+    s"""WITH daily AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT u.user_id, g.day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u,
+      |    (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g),
+      |filled AS (
+      |  SELECT grid.user_id, grid.day, coalesce(daily.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN daily
+      |    ON grid.user_id = daily.user_id AND grid.day = daily.day),
+      |feat AS (
+      |  SELECT user_id, day, cnt,
+      |    coalesce(lag(cnt) OVER w, 0) AS prev_1d,
+      |    coalesce(sum(cnt) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN $LagFeatDays PRECEDING AND 1 PRECEDING), 0) AS prev_7d,
+      |    last_value(CASE WHEN cnt > 0 THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_active_day
+      |  FROM filled WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day, cnt AS n_events,
+      |  CAST(prev_1d AS BIGINT) AS prev_1d, CAST(prev_7d AS BIGINT) AS prev_7d,
+      |  coalesce(day - prev_active_day, -1) AS days_since_prev
+      |FROM feat WHERE cnt > 0
+      |ORDER BY user_id, day""".stripMargin
+
+  // --------------------------------------------------------------- q148
+  /** Item-item co-engagement similarity — the bipartite-projection /
+    * collaborative-filtering primitive ("users who did X also did Y"):
+    * the user×event-type bipartite graph projects onto item pairs via
+    * a self-join on user over DISTINCT (user, item) rows; cosine =
+    * co/√(nₐ·n_b) and Jaccard = co/(nₐ+n_b−co) from exact integer
+    * counts, one double op each at the end.
+    *
+    * Shape for 100 TB: the distinct pass is one partial-agged
+    * shuffle on user; the projection joins within user partitions
+    * (per-user item fan-out is bounded by the catalog, not the event
+    * count — the recsys-standard plan); item marginals are a tiny
+    * broadcast frame. */
+  def q148ItemSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ui = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val marg = ui.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val co = ui.select(col("user_id"), col("event_type").as("ia"))
+      .join(ui.select(col("user_id"), col("event_type").as("ib")), "user_id")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("co"))
+    co.join(broadcast(marg.select(col("event_type").as("ia"), col("n").as("na"))), "ia")
+      .join(broadcast(marg.select(col("event_type").as("ib"), col("n").as("nb"))), "ib")
+      .select(col("ia"), col("ib"), col("co"), col("na"), col("nb"),
+        round(col("co").cast("double")
+          / sqrt(col("na").cast("double") * col("nb")), 6).as("cosine"),
+        round(col("co").cast("double") / (col("na") + col("nb") - col("co")), 6)
+          .as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val q148Sql: String =
+    """WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+      |marg AS (SELECT event_type, count(*) AS n FROM ui GROUP BY event_type),
+      |co AS (
+      |  SELECT a.event_type AS ia, b.event_type AS ib, count(*) AS co
+      |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ia, ib, co, na.n AS na, nb.n AS nb,
+      |  round(CAST(co AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine,
+      |  round(CAST(co AS DOUBLE) / (na.n + nb.n - co), 6) AS jaccard
+      |FROM co JOIN marg na ON ia = na.event_type JOIN marg nb ON ib = nb.event_type
+      |ORDER BY ia, ib""".stripMargin
+
+  // --------------------------------------------------------------- q155
+  /** Two-proportion A/B significance test — the experimentation
+    * primitive that closes the loop on every split/mixture operator:
+    * users hash into arms A/B (q47's no-RNG determinism), the metric
+    * is LAST-DAY purchase conversion (≥1 purchase on the fixture's
+    * final calendar day — the raw any-purchase flag saturates at 100%
+    * on this event volume, and a saturated metric has zero variance
+    * to test), and the two-sided
+    * two-proportion z-test scores the difference with the pooled
+    * standard error. The synthetic assignment is independent of
+    * behavior, so the expected verdict is NOT significant — a
+    * detector that fires here is broken (the spec asserts it).
+    *
+    * Shape for 100 TB: one partial-agged pass to per-user conversion
+    * flags (the exchange carries users, not events), then a 2-row
+    * aggregate; z is a handful of IEEE double ops off exact integer
+    * counts — deterministic across engines. */
+  /** Last fixture day (2024-01-30) as an epoch day — the conversion
+    * window. */
+  val AbLastDay = 19752L
+
+  def q155AbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("na"), col("x").as("xa"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("nb"), col("x").as("xb"))
+    a.crossJoin(b)
+      .withColumn("pa", col("xa").cast("double") / col("na"))
+      .withColumn("pb", col("xb").cast("double") / col("nb"))
+      .withColumn("pp", (col("xa") + col("xb")).cast("double")
+        / (col("na") + col("nb")))
+      .withColumn("z",
+        (col("pa") - col("pb")) / sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .select(col("na"), col("nb"), col("xa"), col("xb"),
+        round(col("pa"), 6).as("pa"), round(col("pb"), 6).as("pb"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 1.959964).as("significant"))
+  }
+
+  val q155Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted,
+      |    (CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END) AS arm
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+      |  FROM per_user GROUP BY arm),
+      |ab AS (
+      |  SELECT a.n AS na, b.n AS nb, a.x AS xa, b.x AS xb
+      |  FROM (SELECT * FROM arms WHERE arm = 'A') a,
+      |       (SELECT * FROM arms WHERE arm = 'B') b),
+      |calc AS (
+      |  SELECT na, nb, xa, xb,
+      |    CAST(xa AS DOUBLE) / na AS pa, CAST(xb AS DOUBLE) / nb AS pb,
+      |    CAST(xa + xb AS DOUBLE) / (na + nb) AS pp
+      |  FROM ab)
+      |SELECT na, nb, xa, xb, round(pa, 6) AS pa, round(pb, 6) AS pb,
+      |  round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) AS z,
+      |  (abs((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))) > 1.959964) AS significant
+      |FROM calc""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q156
+  /** Calibration / reliability curve — the audit run on any score a
+    * pipeline thresholds: the predictor is each user's activity SHARE
+    * OF THE MOST ACTIVE user (p̂ = n_ev / max_ev — scale-invariant,
+    * so the decile bins populate at every SF, and a RATIONAL with
+    * denominator max_ev, so bin means are exact), the outcome is
+    * q155's last-day conversion, and each decile bin reports
+    * predicted vs observed with the calibration gap — what a
+    * Platt/isotonic fix would consume.
+    *
+    * Shape for 100 TB: one partial-agged pass to per-user rows, a
+    * 1-row broadcast max, one tiny groupBy(bin); nothing event-level
+    * crosses twice. */
+  def q156Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("converted"))
+    val mx = perUser.agg(max(col("n_ev")).as("max_ev"))
+    perUser.crossJoin(broadcast(mx))
+      .withColumn("bin", expr("least((n_ev * 10) div max_ev, 9)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("n_ev")).cast("double") / (max(col("max_ev")) * count(lit(1))), 6)
+          .as("mean_predicted"),
+        round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+          .as("observed_rate"))
+      .withColumn("calib_gap",
+        round(col("observed_rate") - col("mean_predicted"), 6))
+      .orderBy(col("bin"))
+  }
+
+  val q156Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(n_ev) AS max_ev FROM per_user),
+      |binned AS (
+      |  SELECT n_ev, converted, max_ev,
+      |    least((n_ev * 10) // max_ev, 9) AS bin
+      |  FROM per_user CROSS JOIN mx)
+      |SELECT bin, count(*) AS n_users,
+      |  round(CAST(sum(n_ev) AS DOUBLE) / (max(max_ev) * count(*)), 6) AS mean_predicted,
+      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS observed_rate,
+      |  round(round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+      |      - round(CAST(sum(n_ev) AS DOUBLE) / (max(max_ev) * count(*)), 6), 6) AS calib_gap
+      |FROM binned GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
+  // --------------------------------------------------------------- q161
+  /** ROC AUC of the activity predictor — completes the evaluation
+    * family: q155 tests whether arms differ, q156 asks whether the
+    * score is CALIBRATED, this asks whether it DISCRIMINATES (does a
+    * more-active user convert more often, regardless of scale?). Same
+    * predictor (per-user event count) and outcome (q155's last-day
+    * purchase flag) as q156, so the three rows read as one report.
+    *
+    * AUC is computed by the tie-aware Mann-Whitney identity on the
+    * SCORE HISTOGRAM, never on per-user ranks: a global rank() over
+    * all users is a single-partition sort at 100 TB, but
+    * AUC = Σ_s pos_s·(cum_neg_<s + neg_s/2) / (P·N) needs only
+    * groupBy(score) counts plus a cumulative window over the O(distinct
+    * scores) histogram — and halves are exact in binary floating point,
+    * so both engines agree bit-for-bit before the final division.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user), one
+    * groupBy(score) re-aggregation, a window over O(scores) rows. */
+  def q161Auc(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("converted"))
+    val hist = perUser.groupBy(col("n_ev"))
+      .agg(sum(col("converted")).as("pos"),
+        sum(lit(1L) - col("converted")).as("neg"))
+    val w = Window.orderBy(col("n_ev"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+    cum.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("pos") * (col("cneg") + col("neg") / lit(2.0))).as("u"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  val q161Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT n_ev, CAST(sum(converted) AS BIGINT) AS pos,
+      |    CAST(sum(1 - converted) AS BIGINT) AS neg
+      |  FROM per_user GROUP BY n_ev),
+      |cum AS (
+      |  SELECT pos, neg, CAST(coalesce(sum(neg) OVER (ORDER BY n_ev
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+      |  FROM hist)
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+      |  count(*) AS n_scores,
+      |  round(sum(pos * (cneg + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
+      |FROM cum""".stripMargin
+
+  // --------------------------------------------------------------- q178
+  /** RFM segmentation — the classic customer-base census (recency /
+    * frequency / monetary quintile scores): per user, days since last
+    * event, event count, and rounded value sum; each dimension scored
+    * 1–5 against its own exact quintile thresholds; the report is the
+    * (r, f, m) segment census with per-segment means. Dimensions are
+    * put on the 1e-6 grid BEFORE thresholding and thresholds rounded
+    * too, so the boundary comparisons are exact-grid equality in both
+    * engines (q50's percentile ≡ quantile_cont identity).
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user); thresholds
+    * are ONE 12-value percentile aggregate broadcast back; the census
+    * groupBy runs on ≤125 segment keys. */
+  def q178Rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(expr("ts div 86400000000000")).as("last_day"),
+        count(lit(1)).as("freq"),
+        asD(dsum(col("value"))).as("mon"))
+    val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+    val rfm = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("rec"),
+        col("freq"), col("mon"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val th = rfm.agg(percentile(col("rec"), qs).as("tr"),
+      percentile(col("freq"), qs).as("tf"), percentile(col("mon"), qs).as("tm"))
+    def score(x: Column, t: Column): Column =
+      (1 to 4).map(i => when(x > round(t(i - 1), 6), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    rfm.crossJoin(broadcast(th))
+      .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+        score(col("rec").cast("double"), col("tr")).as("r_score"),
+        score(col("freq").cast("double"), col("tf")).as("f_score"),
+        score(col("mon"), col("tm")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("rec")), 6).as("avg_recency"),
+        round(avg(col("freq")), 6).as("avg_freq"),
+        round(avg(col("mon")), 6).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q178Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day,
+      |    count(*) AS freq,
+      |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS mon
+      |  FROM events GROUP BY user_id),
+      |rfm AS (
+      |  SELECT user_id,
+      |    (SELECT max(last_day) FROM per_user) - last_day AS rec, freq, mon
+      |  FROM per_user),
+      |th AS (
+      |  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS tr,
+      |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+      |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS tm
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT user_id, rec, freq, mon,
+      |    1 + (CASE WHEN rec > round(tr[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN rec > round(tr[4], 6) THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN freq > round(tf[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > round(tf[4], 6) THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN mon > round(tm[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN mon > round(tm[4], 6) THEN 1 ELSE 0 END) AS m_score
+      |  FROM rfm CROSS JOIN th)
+      |SELECT r_score, f_score, m_score, count(*) AS n_users,
+      |  round(avg(rec), 6) AS avg_recency,
+      |  round(avg(freq), 6) AS avg_freq,
+      |  round(avg(mon), 6) AS avg_monetary
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q182
+  /** Touch channels (the fixture's non-purchase event types), pinned
+    * like q51's pivot values so the report schema is static. */
+  val MarkovChannels = Seq("click", "error", "signup", "view")
+  /** Power-iteration budget for the absorbing-chain solve — far past
+    * convergence for a ≤7-state chain; both engines run EXACTLY this
+    * many rounds so they compare the same partial sums, not a
+    * convergence race. */
+  val MarkovIters = 24
+
+  /** Markov removal-effect attribution — the data-driven upgrade of
+    * q125's last-touch: user journeys (touches up to the first
+    * purchase) become a first-order Markov chain over
+    * START/channels/CONV/NULL; a channel's credit is how much the
+    * chain's START→CONV probability DROPS when the channel is removed
+    * (transitions into it re-routed to NULL — the standard removal
+    * effect), normalized into shares. The absorbing-chain probability
+    * is solved by [[MarkovIters]] unrolled power-iteration rounds.
+    *
+    * Shape for 100 TB: the corpus-scale work is journeys → transition
+    * counts (two per-user windows + a groupBy(src, dst)); the chain
+    * itself is O(channels²) — a bounded enum like q171's trace — so
+    * the solve runs driver-side on the collected matrix and the
+    * oracle replays every scenario's every round as CTEs. */
+  def q182MarkovAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Markov.removalEffects(Tables.events(spark, sfDir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      convType = "purchase", channels = MarkovChannels, iters = MarkovIters)
+
+  val q182Sql: String = {
+    val scens = None +: MarkovChannels.map(Some(_))
+    val sb = new StringBuilder
+    sb ++= s"""WITH ev AS (
+  SELECT user_id, event_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events),
+seqd AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS seq
+  FROM ev),
+pur AS (SELECT user_id, min(seq) AS pseq FROM seqd
+        WHERE event_type = 'purchase' GROUP BY user_id),
+tch AS (
+  SELECT s.user_id, s.event_type,
+    row_number() OVER (PARTITION BY s.user_id ORDER BY s.seq) AS tord,
+    lead(s.event_type) OVER (PARTITION BY s.user_id ORDER BY s.seq) AS nxt
+  FROM seqd s LEFT JOIN pur p ON s.user_id = p.user_id
+  WHERE s.event_type <> 'purchase' AND (p.pseq IS NULL OR s.seq < p.pseq)),
+lab AS (
+  SELECT u.user_id,
+    CASE WHEN p.user_id IS NULL THEN '__null__' ELSE '__conv__' END AS lab
+  FROM (SELECT DISTINCT user_id FROM seqd) u
+  LEFT JOIN pur p ON u.user_id = p.user_id),
+raw AS (
+  SELECT '__start__' AS src, event_type AS dst FROM tch WHERE tord = 1
+  UNION ALL
+  SELECT event_type, nxt FROM tch WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT t.event_type, l.lab FROM tch t JOIN lab l ON t.user_id = l.user_id
+  WHERE t.nxt IS NULL
+  UNION ALL
+  SELECT '__start__', l.lab FROM lab l
+  LEFT JOIN (SELECT DISTINCT user_id FROM tch) x ON l.user_id = x.user_id
+  WHERE x.user_id IS NULL),
+trans AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM raw GROUP BY src, dst),
+"""
+    scens.zipWithIndex.foreach { case (c, i) =>
+      val redirect = c.map(ch => s"CASE WHEN dst = '$ch' THEN '__null__' ELSE dst END")
+        .getOrElse("dst")
+      val filt = c.map(ch => s"WHERE src <> '$ch'").getOrElse("")
+      sb ++= s"""t_$i AS MATERIALIZED (SELECT src, $redirect AS dst, CAST(sum(cnt) AS DOUBLE) AS cnt
+  FROM trans $filt GROUP BY 1, 2),
+o_$i AS MATERIALIZED (SELECT src, sum(cnt) AS o FROM t_$i GROUP BY src),
+s_$i AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT src AS s FROM t_$i UNION ALL SELECT dst FROM t_$i)),
+p_${i}_0 AS (SELECT s, CASE WHEN s = '__conv__' THEN 1.0 ELSE 0.0 END AS p FROM s_$i),
+"""
+      for (k <- 1 to MarkovIters) {
+        sb ++= s"""p_${i}_$k AS MATERIALIZED (
+  SELECT st.s, CASE WHEN st.s = '__conv__' THEN 1.0 WHEN st.s = '__null__' THEN 0.0
+    ELSE coalesce((SELECT sum(t.cnt / o.o * pp.p)
+      FROM t_$i t JOIN o_$i o ON o.src = t.src JOIN p_${i}_${k - 1} pp ON pp.s = t.dst
+      WHERE t.src = st.s), 0.0) END AS p
+  FROM s_$i st),
+"""
+      }
+    }
+    val resRows = MarkovChannels.zipWithIndex.map { case (ch, j) =>
+      s"""  SELECT '$ch' AS channel,
+    (SELECT p FROM p_0_$MarkovIters WHERE s = '__start__') AS rb,
+    (SELECT p FROM p_${j + 1}_$MarkovIters WHERE s = '__start__') AS rr"""
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s"""res AS (
+$resRows),
+tot AS (SELECT sum(rb - rr) AS te FROM res)
+SELECT channel, round(rb, 6) AS base_pconv, round(rr, 6) AS removed_pconv,
+  round(rb - rr, 6) AS removal_effect,
+  round((rb - rr) / nullif((SELECT te FROM tot), 0), 6) AS share
+FROM res ORDER BY channel"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q185
+  /** Distributed ordinary least squares — price ~ quantity + discount
+    * over lineitem, the regression primitive an analytics engine must
+    * run without collecting the data: ALL corpus-scale work is ONE
+    * partial-agged pass accumulating the 10 second-order moments
+    * (each per-row product rounded to the 1e-6 grid and summed as
+    * DECIMAL(38,6), so both engines hold bit-identical moments); the
+    * 3×3 normal equations then solve by Cramer's rule as scalar
+    * expressions on the 1-row moment frame — identical formula text
+    * in both engines, so the solve is deterministic too. Emits
+    * coefficients, R² and RMSE.
+    *
+    * Shape for 100 TB: one scan, one 1-row aggregate, O(k³) scalar
+    * math. The k-feature generalization keeps the same shape (k²
+    * moments, driver-bounded solve). */
+  def q185Ols(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Glm.olsFit2(Tables.lineitem(spark, sfDir),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      .withColumnRenamed("b_x1", "b_quantity")
+      .withColumnRenamed("b_x2", "b_discount")
+
+  /** Formula text shared with the oracle; lives in operators.Glm. */
+  private def OlsExprs = graft.operators.Glm.OlsExprs
+  private def OlsDet = graft.operators.Glm.OlsDet
+
+  val q185Sql: String =
+    s"""WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+      |    CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx11,
+      |    CAST(sum(CAST(round(l_quantity * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx12,
+      |    CAST(sum(CAST(round(l_discount * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx22,
+      |    CAST(sum(CAST(round(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx1y,
+      |    CAST(sum(CAST(round(l_discount * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx2y,
+      |    CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT n, sy, sx1y, sx2y, syy,
+      |    ${OlsExprs("b0")} AS b0_raw,
+      |    ${OlsExprs("b1")} AS b1_raw,
+      |    ${OlsExprs("b2")} AS b2_raw
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round(b0_raw, 6) AS intercept,
+      |  round(b1_raw, 6) AS b_quantity,
+      |  round(b2_raw, 6) AS b_discount,
+      |  round(1.0 - (syy - b0_raw * sy - b1_raw * sx1y - b2_raw * sx2y)
+      |    / (syy - sy * sy / n), 6) AS r2,
+      |  round(sqrt((syy - b0_raw * sy - b1_raw * sx1y - b2_raw * sx2y) / n), 6) AS rmse
+      |FROM b""".stripMargin
+
+  // --------------------------------------------------------------- q186
+  /** IRLS round budget for the logistic fit. */
+  val LogregIters = 3
+
+  /** Per-user (activity, converted) training frame shared by the
+    * q186/q187/q188 model rows — q155's outcome over q156's
+    * predictor. */
+  private def labeledUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1.0).otherwise(0.0))
+          .as("y"))
+
+  private def labeledUsersSql: String =
+    s"""per_user AS MATERIALIZED (
+       |  SELECT user_id, CAST(count(*) AS DOUBLE) AS x,
+       |    max(CASE WHEN event_type = 'purchase'
+       |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+       |             THEN 1.0 ELSE 0.0 END) AS y
+       |  FROM events GROUP BY user_id)""".stripMargin
+
+  /** Distributed logistic regression (conversion ~ activity) by
+    * [[LogregIters]] IRLS/Newton rounds — the GLM primitive beside
+    * q185's OLS: each round is ONE partial-agged pass accumulating the
+    * five weighted working-response moments (per-row terms on the
+    * 1e-6 grid, DECIMAL(38,6) sums — bit-identical in both engines),
+    * and the 2×2 weighted normal equations solve as scalar expressions
+    * with formula text shared verbatim with the oracle. The
+    * coefficient state rides a 1-row broadcast frame — no driver
+    * round-trip inside the loop. Emits coefficients, mean log-loss and
+    * 0.5-threshold accuracy from one final scoring pass.
+    *
+    * Shape for 100 TB: iters+1 scans, each a map-side expression +
+    * 1-row aggregate; nothing else. */
+  def q186Logreg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Glm.logregFit(labeledUsers(spark, sfDir),
+        col("x"), col("y"), LogregIters)
+      .withColumnRenamed("n_rows", "n_users")
+      .withColumnRenamed("b_x", "b_activity")
+
+  /** Shared with the oracle; lives in operators.Glm. */
+  private def LogregB1 = graft.operators.Glm.LogregB1
+
+  val q186Sql: String = {
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    val sb = new StringBuilder
+    sb ++= s"WITH $labeledUsersSql,\nc0 AS (SELECT 0.0 AS b0, 0.0 AS b1),\n"
+    for (k <- 1 to LogregIters) {
+      val p = s"(1.0 / (1.0 + exp(-(c.b0 + c.b1 * u.x))))"
+      val w = s"($p * (1.0 - $p))"
+      val z = s"((c.b0 + c.b1 * u.x) + (u.y - $p) / $w)"
+      sb ++= s"""m$k AS (
+  SELECT CAST(sum(${gs(w)}) AS DOUBLE) AS sw,
+    CAST(sum(${gs(s"$w * u.x")}) AS DOUBLE) AS swx,
+    CAST(sum(${gs(s"$w * u.x * u.x")}) AS DOUBLE) AS swxx,
+    CAST(sum(${gs(s"$w * $z")}) AS DOUBLE) AS swz,
+    CAST(sum(${gs(s"$w * u.x * $z")}) AS DOUBLE) AS swxz
+  FROM per_user u CROSS JOIN c${k - 1} c),
+c$k AS (SELECT (swz - ($LogregB1) * swx) / sw AS b0, $LogregB1 AS b1 FROM m$k),
+"""
+    }
+    val p = s"(1.0 / (1.0 + exp(-(c.b0 + c.b1 * u.x))))"
+    sb ++= s"""fin AS (
+  SELECT count(*) AS n_users, max(c.b0) AS b0r, max(c.b1) AS b1r,
+    CAST(sum(${gs(s"-(u.y * ln($p) + (1.0 - u.y) * ln(1.0 - $p))")}) AS DOUBLE) AS llsum,
+    CAST(sum(CASE WHEN ($p >= 0.5) = (u.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM per_user u CROSS JOIN c$LogregIters c)
+SELECT n_users, round(b0r, 6) AS intercept, round(b1r, 6) AS b_activity,
+  round(llsum / n_users, 6) AS mean_logloss,
+  round(CAST(hits AS DOUBLE) / n_users, 6) AS accuracy
+FROM fin"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q187
+  /** Decision-stump split finder — the inner loop of tree/GBDT
+    * training run as a distributed operator: over the (activity,
+    * converted) frame, evaluate EVERY candidate threshold's weighted
+    * Gini gain from the score histogram's cumulative sums (q161's
+    * pattern — a window over O(distinct scores) rows, never a per-row
+    * sort) and emit the best split with both leaves' statistics.
+    * Ties on gain break toward the smaller threshold; all inputs are
+    * integer counts so the gain arithmetic is exact-rational in both
+    * engines.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user), one
+    * groupBy(score) histogram, a tiny cumulative window, a 1-row
+    * TakeOrdered. */
+  def q187Stump(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = labeledUsers(spark, sfDir)
+      .groupBy(col("x")).agg(sum(col("y")).cast("long").as("pos"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    val cum = hist
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // a split must leave both sides non-empty
+    def gini(p: Column, n: Column): Column =
+      lit(2.0) * (p.cast("double") / n) * (lit(1.0) - p.cast("double") / n)
+    val gainCol = gini(col("pt"), col("nt")) -
+      (col("nl").cast("double") / col("nt")) * gini(col("pl"), col("nl")) -
+      ((col("nt") - col("nl")).cast("double") / col("nt")) *
+        gini(col("pt") - col("pl"), col("nt") - col("nl"))
+    cum.select(col("x").as("split_x"), col("nl").as("n_left"),
+        (col("nt") - col("nl")).as("n_right"), col("pl").as("pos_left"),
+        (col("pt") - col("pl")).as("pos_right"),
+        round(gainCol, 6).as("gini_gain"),
+        round(col("pl").cast("double") / col("nl"), 6).as("rate_left"),
+        round((col("pt") - col("pl")).cast("double") / (col("nt") - col("nl")), 6)
+          .as("rate_right"))
+      .orderBy(col("gini_gain").desc, col("split_x")).limit(1)
+  }
+
+  val q187Sql: String =
+    s"""WITH $labeledUsersSql,
+      |hist AS (
+      |  SELECT x, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+      |  FROM per_user GROUP BY x),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM hist),
+      |cum AS (
+      |  SELECT x, CAST(sum(n) OVER win AS BIGINT) AS nl,
+      |    CAST(sum(pos) OVER win AS BIGINT) AS pl, nt, pt
+      |  FROM hist CROSS JOIN tot
+      |  WINDOW win AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT x AS split_x, nl AS n_left, nt - nl AS n_right,
+      |  pl AS pos_left, pt - pl AS pos_right,
+      |  round((2.0 * (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt))
+      |    - (CAST(nl AS DOUBLE) / nt) * (2.0 * (CAST(pl AS DOUBLE) / nl) * (1.0 - CAST(pl AS DOUBLE) / nl))
+      |    - (CAST(nt - nl AS DOUBLE) / nt) * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))), 6) AS gini_gain,
+      |  round(CAST(pl AS DOUBLE) / nl, 6) AS rate_left,
+      |  round(CAST(pt - pl AS DOUBLE) / (nt - nl), 6) AS rate_right
+      |FROM cum WHERE nl < nt
+      |ORDER BY gini_gain DESC, split_x LIMIT 1""".stripMargin
+
+  // --------------------------------------------------------------- q235
+  /** Two AdaBoost rounds of decision stumps — the BOOSTING loop q187's
+    * single split feeds (GBDT/AdaBoost training as a distributed
+    * operator): round 1 fits the best weighted stump (threshold ×
+    * polarity) on uniform weights; misclassified (x, y) cells are
+    * up-weighted by e^α (α = ½·ln((1−ε)/ε), round(,12)-gridded) and
+    * round 2 refits on the reweighted histogram; each round reports
+    * its stump, weighted error, α and the ENSEMBLE's training
+    * accuracy so far. The key scale move: weights depend only on the
+    * (x, y) CELL, so every round operates on the same O(distinct x)
+    * histogram — the corpus is scanned exactly once, k rounds cost
+    * O(k · distinct x) arithmetic, zero extra passes.
+    *
+    * Determinism: round-1 errors are exact integer ratios; round-2
+    * weights are n·round(e^±α, 12) products gridded to 1e-6 DECIMAL
+    * at aggregation; the argmin orders by (err, x, polarity). */
+  def q235BoostRound(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 6)
+    def g(c: Column) = round(c, 6).cast(dec)
+    val hist = graft.Checkpoints.deferFree(labeledUsers(spark, sfDir)
+      .groupBy(col("x"))
+      .agg(sum(col("y")).cast("long").as("np"),
+        (count(lit(1)) - sum(col("y")).cast("long")).as("nn"))
+      .localCheckpoint()) // O(distinct x); feeds both rounds + the acc pass
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    /** Best (threshold, polarity) of a weighted histogram
+      * (x, wp2, wn2 as 6dp-gridded decimals). */
+    def fitStump(wh: DataFrame): DataFrame = {
+      val tot = wh.agg(sum(col("wp2")).cast("double").as("wp"),
+        sum(col("wn2")).cast("double").as("wn"), max(col("x")).as("mx"))
+      val cum = wh
+        .withColumn("wpl", sum(col("wp2")).over(w).cast("double"))
+        .withColumn("wnl", sum(col("wn2")).over(w).cast("double"))
+        .crossJoin(broadcast(tot))
+        .filter(col("x") < col("mx"))
+      val gt = cum.select(col("x"),
+        ((col("wpl") + col("wn") - col("wnl")) / (col("wp") + col("wn")))
+          .as("err"), lit("gt").as("pol"))
+      val le = cum.select(col("x"),
+        ((col("wnl") + col("wp") - col("wpl")) / (col("wp") + col("wn")))
+          .as("err"), lit("le").as("pol"))
+      gt.unionAll(le).orderBy(col("err"), col("x"), col("pol")).limit(1)
+        .select(col("x").as("thr"), col("pol"), col("err"),
+          round(lit(0.5) * log((lit(1.0) - col("err")) / col("err")), 12)
+            .as("alpha"))
+    }
+
+    /** h(x) ∈ {0,1} under stump (thr, pol). */
+    def pred(x: Column, thr: Column, pol: Column): Column =
+      when(pol === "gt", when(x > thr, 1).otherwise(0))
+        .otherwise(when(x <= thr, 1).otherwise(0))
+
+    val s1 = fitStump(hist.select(col("x"), g(col("np").cast("double")).as("wp2"),
+      g(col("nn").cast("double")).as("wn2")))
+    val h2 = hist.crossJoin(broadcast(s1)).select(col("x"),
+      g(col("np").cast("double")
+        * round(exp(when(pred(col("x"), col("thr"), col("pol")) === 1,
+            -col("alpha")).otherwise(col("alpha"))), 12)).as("wp2"),
+      g(col("nn").cast("double")
+        * round(exp(when(pred(col("x"), col("thr"), col("pol")) === 0,
+            -col("alpha")).otherwise(col("alpha"))), 12)).as("wn2"))
+    val s2 = fitStump(h2)
+    val acc = hist
+      .crossJoin(broadcast(s1.select(col("thr").as("t1"), col("pol").as("p1"),
+        col("alpha").as("a1"))))
+      .crossJoin(broadcast(s2.select(col("thr").as("t2"), col("pol").as("p2"),
+        col("alpha").as("a2"))))
+      .agg(
+        (sum(when(pred(col("x"), col("t1"), col("p1")) === 1, col("np"))
+          .otherwise(col("nn"))).cast("double")
+          / sum(col("np") + col("nn"))).as("acc1"),
+        (sum(when(col("a1") * (pred(col("x"), col("t1"), col("p1")) * 2 - 1)
+            + col("a2") * (pred(col("x"), col("t2"), col("p2")) * 2 - 1) > 0,
+            col("np")).otherwise(col("nn"))).cast("double")
+          / sum(col("np") + col("nn"))).as("acc2"))
+    val r1 = s1.crossJoin(broadcast(acc))
+      .select(lit(1L).as("round"), col("thr").as("split_x"),
+        col("pol").as("polarity"), round(col("err"), 6).as("err"),
+        round(col("alpha"), 6).as("alpha"), round(col("acc1"), 6).as("train_acc"))
+    val r2 = s2.crossJoin(broadcast(acc))
+      .select(lit(2L).as("round"), col("thr").as("split_x"),
+        col("pol").as("polarity"), round(col("err"), 6).as("err"),
+        round(col("alpha"), 6).as("alpha"), round(col("acc2"), 6).as("train_acc"))
+    r1.unionAll(r2).orderBy(col("round"))
+  }
+
+  val q235Sql: String = {
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    def predSql(x: String, s: String) =
+      s"(CASE WHEN $s.pol = 'gt' THEN (CASE WHEN $x > $s.thr THEN 1 ELSE 0 END)" +
+        s" ELSE (CASE WHEN $x <= $s.thr THEN 1 ELSE 0 END) END)"
+    def fit(src: String, out: String) =
+      s"""tot_$out AS (SELECT CAST(sum(wp2) AS DOUBLE) AS wp, CAST(sum(wn2) AS DOUBLE) AS wn, max(x) AS mx FROM $src),
+cum_$out AS (
+  SELECT x, CAST(sum(wp2) OVER win AS DOUBLE) AS wpl,
+    CAST(sum(wn2) OVER win AS DOUBLE) AS wnl, wp, wn
+  FROM $src CROSS JOIN tot_$out
+  WHERE 1 = 1
+  WINDOW win AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+$out AS (
+  SELECT x AS thr, pol, err,
+    round(0.5 * ln((1.0 - err) / err), 12) AS alpha FROM (
+    SELECT x, (wpl + wn - wnl) / (wp + wn) AS err, 'gt' AS pol
+    FROM cum_$out WHERE x < (SELECT mx FROM tot_$out)
+    UNION ALL
+    SELECT x, (wnl + wp - wpl) / (wp + wn) AS err, 'le' AS pol
+    FROM cum_$out WHERE x < (SELECT mx FROM tot_$out))
+  ORDER BY err, x, pol LIMIT 1)"""
+    s"""WITH $labeledUsersSql,
+hist AS MATERIALIZED (
+  SELECT x, CAST(sum(y) AS BIGINT) AS np, CAST(count(*) - sum(y) AS BIGINT) AS nn
+  FROM per_user GROUP BY x),
+w1 AS (SELECT x, ${gs("CAST(np AS DOUBLE)")} AS wp2, ${gs("CAST(nn AS DOUBLE)")} AS wn2 FROM hist),
+${fit("w1", "s1")},
+w2 AS (
+  SELECT h.x,
+    ${gs(s"CAST(h.np AS DOUBLE) * round(exp(CASE WHEN ${predSql("h.x", "s")} = 1 THEN -s.alpha ELSE s.alpha END), 12)")} AS wp2,
+    ${gs(s"CAST(h.nn AS DOUBLE) * round(exp(CASE WHEN ${predSql("h.x", "s")} = 0 THEN -s.alpha ELSE s.alpha END), 12)")} AS wn2
+  FROM hist h CROSS JOIN s1 s),
+${fit("w2", "s2")},
+acc AS (
+  SELECT
+    CAST(sum(CASE WHEN ${predSql("h.x", "s1")} = 1 THEN h.np ELSE h.nn END) AS DOUBLE)
+      / sum(h.np + h.nn) AS acc1,
+    CAST(sum(CASE WHEN s1.alpha * (2 * ${predSql("h.x", "s1")} - 1)
+        + s2.alpha * (2 * ${predSql("h.x", "s2")} - 1) > 0
+        THEN h.np ELSE h.nn END) AS DOUBLE) / sum(h.np + h.nn) AS acc2
+  FROM hist h CROSS JOIN s1 CROSS JOIN s2)
+SELECT 1 AS round, thr AS split_x, pol AS polarity, round(err, 6) AS err,
+  round(alpha, 6) AS alpha, round(acc1, 6) AS train_acc
+FROM s1 CROSS JOIN acc
+UNION ALL
+SELECT 2, thr, pol, round(err, 6), round(alpha, 6), round(acc2, 6)
+FROM s2 CROSS JOIN acc
+ORDER BY round"""
+  }
+
+  // --------------------------------------------------------------- q188
+  /** Precision-recall sweep — the threshold-tuning curve for the
+    * activity predictor (predict positive when x > t): one row per
+    * candidate threshold with tp/fp/fn, precision, recall and F1, all
+    * from the score histogram's from-the-top cumulative sums (exact
+    * integers; q161's no-global-sort shape). The consumer picks an
+    * operating point (max F1, precision floor, …) from the curve —
+    * the spec asserts the max-F1 point as the canonical read. */
+  def q188PrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = labeledUsers(spark, sfDir)
+      .groupBy(col("x")).agg(sum(col("y")).cast("long").as("pos"),
+        count(lit(1)).as("n"))
+    val above = Window.orderBy(col("x"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tot = hist.agg(sum(col("pos")).as("pt"))
+    hist
+      .withColumn("tp", coalesce(sum(col("pos")).over(above), lit(0L)))
+      .withColumn("pp", coalesce(sum(col("n")).over(above), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("x").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"), (col("pt") - col("tp")).as("fn"),
+        when(col("pp") > 0, round(col("tp").cast("double") / col("pp"), 6))
+          .as("precision"),
+        round(col("tp").cast("double") / col("pt"), 6).as("recall"),
+        when(col("tp") > 0, round(
+          lit(2.0) * col("tp") / (lit(2.0) * col("tp") + (col("pp") - col("tp"))
+            + (col("pt") - col("tp"))), 6)).otherwise(0.0).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  val q188Sql: String =
+    s"""WITH $labeledUsersSql,
+      |hist AS (
+      |  SELECT x, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+      |  FROM per_user GROUP BY x),
+      |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pt FROM hist),
+      |cum AS (
+      |  SELECT x, CAST(coalesce(sum(pos) OVER above, 0) AS BIGINT) AS tp,
+      |    CAST(coalesce(sum(n) OVER above, 0) AS BIGINT) AS pp, pt
+      |  FROM hist CROSS JOIN tot
+      |  WINDOW above AS (ORDER BY x ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT x AS threshold, tp, pp - tp AS fp, pt - tp AS fn,
+      |  (CASE WHEN pp > 0 THEN round(CAST(tp AS DOUBLE) / pp, 6) END) AS precision,
+      |  round(CAST(tp AS DOUBLE) / pt, 6) AS recall,
+      |  (CASE WHEN tp > 0
+      |        THEN round(2.0 * tp / (2.0 * tp + (pp - tp) + (pt - tp)), 6)
+      |        ELSE 0.0 END) AS f1
+      |FROM cum ORDER BY threshold""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** ALS geometry: rank-2 factors, ridge λ, deterministic hash init. */
+  val AlsLambda = 0.1
+  val AlsSeedA = 11
+  val AlsSeedB = 12
+
+  /** ALS matrix-factorization sweep — one full alternating round of
+    * the classic recommender factorization (Koren et al.; Spark's own
+    * mllib ALS is this loop at rank 10–200) over the (customer, part,
+    * quantity) interaction matrix, rank 2: with item factors fixed,
+    * every user's ridge normal equations solve in CLOSED FORM (2×2
+    * Cramer as expressions — per-row outer-product terms on the 1e-6
+    * grid, DECIMAL sums per user, formula text shared verbatim with
+    * the oracle); then the symmetric item update against the new user
+    * factors; finally the fit report (n, entities, RMSE after the
+    * user half-step and after the full sweep).
+    *
+    * Shape for 100 TB: two shuffle-on-key aggregations (by user, then
+    * by item) and two scoring joins — exactly the data movement one
+    * distributed ALS round costs; factors are (entity, f1, f2) rows,
+    * never a dense matrix. */
+  def q189AlsSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    def asDbl(c: Column) = c.cast("double")
+    val inter = graft.Checkpoints.deferUnpersist(
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").as("r"))
+        .cache())
+    def initF(id: Column, seed: Int): Column =
+      lit(0.5) + pmod(graft.functions.MathFunctions.universalHash(id, seed),
+        lit(1000L)).cast("double") / 2000.0
+    val vi = inter.select(col("i")).distinct()
+      .select(col("i"), initF(col("i"), AlsSeedA).as("f1"),
+        initF(col("i"), AlsSeedB).as("f2"))
+    // half-step 1: users from fixed items
+    def solveSide(joined: DataFrame, key: String): DataFrame =
+      joined
+        .groupBy(col(key))
+        .agg(sum(g(col("f1") * col("f1"))).as("a11d"),
+          sum(g(col("f1") * col("f2"))).as("a12d"),
+          sum(g(col("f2") * col("f2"))).as("a22d"),
+          sum(g(col("r") * col("f1"))).as("b1d"),
+          sum(g(col("r") * col("f2"))).as("b2d"))
+        .select(col(key), asDbl(col("a11d")).as("a11"),
+          asDbl(col("a12d")).as("a12"), asDbl(col("a22d")).as("a22"),
+          asDbl(col("b1d")).as("b1"), asDbl(col("b2d")).as("b2"))
+        .select(col(key), expr(AlsF1).as("f1"), expr(AlsF2).as("f2"))
+    val uf = graft.Checkpoints.deferUnpersist(
+      solveSide(inter.join(vi, "i"), "u").cache())
+    // half-step 2: items from the new users
+    val vf = graft.Checkpoints.deferUnpersist(solveSide(
+      inter.join(uf.select(col("u"), col("f1"), col("f2")), "u"), "i").cache())
+    val half = inter
+      .join(uf.select(col("u"), col("f1").as("uf1"), col("f2").as("uf2")), "u")
+      .join(vi.select(col("i"), col("f1").as("if1"), col("f2").as("if2")), "i")
+      .agg(sum(g((col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))
+        * (col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))))
+        .cast("double").as("se_half"), count(lit(1)).as("n1"))
+    val full = inter
+      .join(uf.select(col("u"), col("f1").as("uf1"), col("f2").as("uf2")), "u")
+      .join(vf.select(col("i"), col("f1").as("if1"), col("f2").as("if2")), "i")
+      .agg(sum(g((col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))
+        * (col("r") - (col("uf1") * col("if1") + col("uf2") * col("if2")))))
+        .cast("double").as("se_full"), count(lit(1)).as("n2"))
+    val cnts = inter.agg(count(lit(1)).as("n_interactions"),
+      countDistinct(col("u")).as("n_users"), countDistinct(col("i")).as("n_items"))
+    cnts.crossJoin(half).crossJoin(full)
+      .select(col("n_interactions"), col("n_users"), col("n_items"),
+        round(sqrt(col("se_half") / col("n1")), 6).as("rmse_half"),
+        round(sqrt(col("se_full") / col("n2")), 6).as("rmse_full"))
+  }
+
+  /** Ridge 2×2 closed form, shared verbatim with the oracle:
+    * (λI + A) f = b. */
+  private val AlsDet =
+    s"((${AlsLambda} + a11) * (${AlsLambda} + a22) - a12 * a12)"
+  private val AlsF1 = s"((${AlsLambda} + a22) * b1 - a12 * b2) / $AlsDet"
+  private val AlsF2 = s"((${AlsLambda} + a11) * b2 - a12 * b1) / $AlsDet"
+
+  val q189Sql: String = {
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    def initF(id: String, seed: Int) =
+      s"(0.5 + CAST(${graft.oracle.Sql.universalHash(id, seed)} % 1000 AS DOUBLE) / 2000.0)"
+    def solve(src: String, key: String) =
+      s"""SELECT $key,
+  ($AlsF1) AS f1, ($AlsF2) AS f2 FROM (
+  SELECT $key,
+    CAST(sum(${gs("f1 * f1")}) AS DOUBLE) AS a11,
+    CAST(sum(${gs("f1 * f2")}) AS DOUBLE) AS a12,
+    CAST(sum(${gs("f2 * f2")}) AS DOUBLE) AS a22,
+    CAST(sum(${gs("r * f1")}) AS DOUBLE) AS b1,
+    CAST(sum(${gs("r * f2")}) AS DOUBLE) AS b2
+  FROM $src GROUP BY $key)"""
+    s"""WITH inter AS MATERIALIZED (
+  SELECT o.o_custkey AS u, l.l_partkey AS i, l.l_quantity AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+vi AS MATERIALIZED (
+  SELECT i, ${initF("i", AlsSeedA)} AS f1, ${initF("i", AlsSeedB)} AS f2
+  FROM (SELECT DISTINCT i FROM inter)),
+uf AS MATERIALIZED (
+  ${solve("(SELECT t.u, t.r, v.f1, v.f2 FROM inter t JOIN vi v ON t.i = v.i)", "u")}),
+vf AS MATERIALIZED (
+  ${solve("(SELECT t.i, t.r, x.f1, x.f2 FROM inter t JOIN uf x ON t.u = x.u)", "i")}),
+half AS (
+  SELECT CAST(sum(${gs("(t.r - (x.f1 * v.f1 + x.f2 * v.f2)) * (t.r - (x.f1 * v.f1 + x.f2 * v.f2))")}) AS DOUBLE) AS se, count(*) AS n
+  FROM inter t JOIN uf x ON t.u = x.u JOIN vi v ON t.i = v.i),
+me AS (
+  SELECT CAST(sum(${gs("(t.r - (x.f1 * v.f1 + x.f2 * v.f2)) * (t.r - (x.f1 * v.f1 + x.f2 * v.f2))")}) AS DOUBLE) AS se, count(*) AS n
+  FROM inter t JOIN uf x ON t.u = x.u JOIN vf v ON t.i = v.i),
+cnts AS (
+  SELECT count(*) AS n_interactions, count(DISTINCT u) AS n_users,
+    count(DISTINCT i) AS n_items FROM inter)
+SELECT c.n_interactions, c.n_users, c.n_items,
+  round(sqrt(h.se / h.n), 6) AS rmse_half,
+  round(sqrt(m.se / m.n), 6) AS rmse_full
+FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q192
+  /** PSI smoothing pseudo-count (per bin per period, kills ln(0)). */
+  val PsiSmooth = 0.5
+
+  /** Population stability index — THE model-monitoring drift metric
+    * (banking/ML-ops standard): the per-user activity feature is
+    * binned by the FIRST period's deciles (the trained reference), the
+    * second period's population is scored against those frozen bins,
+    * and PSI = Σ (p−q)·ln(p/q) with [[PsiSmooth]] pseudo-counts.
+    * PSI < 0.1 is calm, 0.1–0.25 drifting, > 0.25 retrain. q82 tracks
+    * token-distribution KL per source; this is its numeric-feature,
+    * frozen-reference sibling. The time split is the day-range
+    * midpoint — a pure function of the data both engines compute.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(user, period), one
+    * 9-value percentile aggregate broadcast back (q178's identity),
+    * per-bin census over 10 keys. */
+  def q192Psi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val split = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(split))
+      .select(col("user_id"), when(col("day") < col("mid"), "a").otherwise("b")
+        .as("period"))
+      .groupBy(col("user_id"), col("period"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val th = perUser.filter(col("period") === "a")
+      .agg(percentile(col("x"), qs).as("t"))
+    val binned = perUser.crossJoin(broadcast(th))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("x") > round(col("t")(i - 1), 6), 1)
+          .otherwise(0)).reduce(_ + _) + 1)
+    val census = binned.groupBy(col("bin"))
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = census.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      count(lit(1)).as("nb"))
+    val p = (col("n_a") + PsiSmooth) / (col("ta") + lit(PsiSmooth) * col("nb"))
+    val q = (col("n_b") + PsiSmooth) / (col("tb") + lit(PsiSmooth) * col("nb"))
+    val term = (p - q) * log(p / q)
+    val terms = census.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"), round(term, 6).as("psi_term"))
+    val psi = terms.agg(round(sum(col("psi_term")), 6).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi_term"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
+  val q192Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |split AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |per_user AS (
+      |  SELECT user_id,
+      |    CASE WHEN day < (SELECT mid FROM split) THEN 'a' ELSE 'b' END AS period,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |th AS (
+      |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+      |  FROM per_user WHERE period = 'a'),
+      |binned AS (
+      |  SELECT period,
+      |    1 + (CASE WHEN x > round(t[1], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[2], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[3], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[4], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[5], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[6], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[7], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[8], 6) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x > round(t[9], 6) THEN 1 ELSE 0 END) AS bin
+      |  FROM per_user CROSS JOIN th),
+      |census AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+      |  count(*) AS nb FROM census),
+      |terms AS (
+      |  SELECT bin, n_a, n_b,
+      |    round(((n_a + $PsiSmooth) / (ta + $PsiSmooth * nb)
+      |      - (n_b + $PsiSmooth) / (tb + $PsiSmooth * nb))
+      |      * ln(((n_a + $PsiSmooth) / (ta + $PsiSmooth * nb))
+      |        / ((n_b + $PsiSmooth) / (tb + $PsiSmooth * nb))), 6) AS psi_term
+      |  FROM census CROSS JOIN tot),
+      |psi AS (SELECT round(sum(psi_term), 6) AS psi FROM terms)
+      |SELECT bin, n_a, n_b, psi_term, (SELECT psi FROM psi) AS psi
+      |FROM terms ORDER BY bin""".stripMargin
+
+  /** k for the cross-validation fold split. */
+  val CvFolds = 5
+
+  // --------------------------------------------------------------- q237
+  /** k-fold cross-validation of the orders regression (spend ~
+    * n_orders) by LEAVE-ONE-FOLD-OUT SUBTRACTION — the evaluation
+    * loop that tells you whether q185-style coefficients generalize,
+    * run WITHOUT k training passes: per-customer (x, y) rows are
+    * hash-assigned to folds, each fold's 1e-6-gridded moment partials
+    * (n, Σx, Σy, Σx², Σxy) aggregate ONCE, and fold f's training
+    * moments are total − fold_f — exact DECIMAL subtraction, so
+    * fitting k models costs one corpus pass + O(k) arithmetic. Each
+    * fold reports its held-out RMSE from the one scoring join.
+    *
+    * Shape for 100 TB: one groupBy(customer) partial-agg, one O(k)
+    * frame, one broadcast-coefficients scoring pass — k plays no role
+    * in data movement. */
+  def q237CvFolds(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 6)
+    def g(c: Column) = round(c, 6).cast(dec)
+    val cust0 = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("y"))
+      .select(col("x"), col("y"),
+        pmod(MF.hash32(concat(lit("cv:"), col("o_custkey").cast("string"))),
+          lit(CvFolds)).as("fold"))
+    val custCk = graft.Checkpoints.deferFree(
+      cust0.localCheckpoint()) // feeds the moment pass AND the scoring join
+    val fm = custCk.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(g(col("x"))).as("sx"),
+        sum(g(col("y"))).as("sy"), sum(g(col("x") * col("x"))).as("sxx"),
+        sum(g(col("x") * col("y"))).as("sxy"))
+    val tot = fm.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+      sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
+      sum(col("sxy")).as("tsxy"))
+    val beta = fm.crossJoin(broadcast(tot))
+      .select(col("fold"), (col("tn") - col("n")).as("n_train"),
+        (col("tsx") - col("sx")).cast("double").as("sx"),
+        (col("tsy") - col("sy")).cast("double").as("sy"),
+        (col("tsxx") - col("sxx")).cast("double").as("sxx"),
+        (col("tsxy") - col("sxy")).cast("double").as("sxy"))
+      .select(col("fold"), col("n_train"),
+        expr("(n_train * sxy - sx * sy) / (n_train * sxx - sx * sx)").as("b1"),
+        expr("(sy - (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) * sx) / n_train")
+          .as("b0"))
+    custCk.join(broadcast(beta), Seq("fold"))
+      .groupBy(col("fold"), col("n_train"), col("b0"), col("b1"))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(g((col("y") - col("b0") - col("b1") * col("x"))
+          * (col("y") - col("b0") - col("b1") * col("x")))).as("sse"))
+      .select(col("fold"), col("n_train"), col("n_valid"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(sqrt(col("sse").cast("double") / col("n_valid")), 6)
+          .as("rmse_valid"))
+      .orderBy(col("fold"))
+  }
+
+  val q237Sql: String = {
+    val h = graft.oracle.Sql.hash32("('cv:' || CAST(o_custkey AS VARCHAR))")
+    def gs(e: String) = s"CAST(round($e, 6) AS DECIMAL(38,6))"
+    s"""WITH cust AS MATERIALIZED (
+      |  SELECT $h % $CvFolds AS fold,
+      |    CAST(count(*) AS DOUBLE) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+      |  FROM orders GROUP BY o_custkey),
+      |fm AS (
+      |  SELECT fold, count(*) AS n, sum(${gs("x")}) AS sx, sum(${gs("y")}) AS sy,
+      |    sum(${gs("x * x")}) AS sxx, sum(${gs("x * y")}) AS sxy
+      |  FROM cust GROUP BY fold),
+      |tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+      |  sum(sxx) AS tsxx, sum(sxy) AS tsxy FROM fm),
+      |tr AS (
+      |  SELECT fold, CAST(t.tn - f.n AS BIGINT) AS n_train,
+      |    CAST(t.tsx - f.sx AS DOUBLE) AS sx, CAST(t.tsy - f.sy AS DOUBLE) AS sy,
+      |    CAST(t.tsxx - f.sxx AS DOUBLE) AS sxx, CAST(t.tsxy - f.sxy AS DOUBLE) AS sxy
+      |  FROM fm f CROSS JOIN tot t),
+      |beta AS (
+      |  SELECT fold, n_train,
+      |    (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS b1,
+      |    (sy - (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) * sx) / n_train AS b0
+      |  FROM tr)
+      |SELECT b.fold, b.n_train, count(*) AS n_valid,
+      |  round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+      |  round(sqrt(CAST(sum(${gs("(c.y - b.b0 - b.b1 * c.x) * (c.y - b.b0 - b.b1 * c.x)")}) AS DOUBLE)
+      |    / count(*)), 6) AS rmse_valid
+      |FROM cust c JOIN beta b ON c.fold = b.fold
+      |GROUP BY b.fold, b.n_train, b.b0, b.b1 ORDER BY b.fold""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q236
+  /** Cohen's kappa for the q40 language detector against the gold
+    * lang column — CHANCE-CORRECTED agreement, the statistic q154's
+    * precision/recall report does not give (a detector that always
+    * answers the majority class can score high accuracy; kappa
+    * debits what marginal frequencies alone would earn): the full
+    * (gold, detected) confusion census with observed agreement po,
+    * expected-by-chance agreement pe = Σ row·col / N², and
+    * κ = (po − pe)/(1 − pe) on every row. All counts integer; the
+    * three ratios are single double divisions — exact-hash safe.
+    *
+    * Shape for 100 TB: q40's map-only scorer feeds ONE partial-agged
+    * confusion aggregation; marginals and κ live on O(classes²)
+    * rows. */
+  def q236RaterAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = graft.Checkpoints.deferFree(
+      graft.text.TextQueries.q40LangId(spark, sfDir)
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()) // feeds marginals, agreement AND the output
+    val rowM = cells.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+    val colM = cells.groupBy(col("detected")).agg(sum(col("n")).as("cn"))
+    val nTot = cells.agg(sum(col("n")).as("nt"),
+      sum(when(col("lang") === col("detected"), col("n")).otherwise(0L))
+        .as("agree"))
+    val pe = rowM.join(colM, col("lang") === col("detected"))
+      .agg(sum(col("rn") * col("cn")).as("pesum"))
+    val po = col("agree").cast("double") / col("nt")
+    val peC = col("pesum").cast("double") / (col("nt").cast("double") * col("nt"))
+    cells.crossJoin(broadcast(nTot)).crossJoin(broadcast(pe))
+      .select(col("lang").as("gold"), col("detected"), col("n"),
+        round(po, 6).as("po"), round(peC, 6).as("pe"),
+        round((po - peC) / (lit(1.0) - peC), 6).as("kappa"))
+      .orderBy(col("gold"), col("detected"))
+  }
+
+  val q236Sql: String = {
+    import graft.text.TextQueries.{hitRatioSql, StopEn, StopEs, StopFr, StopDe}
+    val w = "string_split(text, ' ')"
+    s"""WITH r AS (
+      |  SELECT doc_id, lang,
+      |    ${hitRatioSql(w, StopEn)} AS r_en, ${hitRatioSql(w, StopEs)} AS r_es,
+      |    ${hitRatioSql(w, StopFr)} AS r_fr, ${hitRatioSql(w, StopDe)} AS r_de
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang,
+      |    (CASE WHEN greatest(r_en, r_es, r_fr, r_de) < 0.05 THEN 'und'
+      |          WHEN r_en = greatest(r_en, r_es, r_fr, r_de) THEN 'en'
+      |          WHEN r_es = greatest(r_en, r_es, r_fr, r_de) THEN 'es'
+      |          WHEN r_fr = greatest(r_en, r_es, r_fr, r_de) THEN 'fr'
+      |          ELSE 'de' END) AS detected
+      |  FROM r),
+      |cells AS (SELECT lang, detected, count(*) AS n FROM scored GROUP BY lang, detected),
+      |marg AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN lang = detected THEN n ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cells),
+      |pe AS (
+      |  SELECT CAST(sum(g.rn * p.cn) AS BIGINT) AS pesum FROM
+      |    (SELECT lang, sum(n) AS rn FROM cells GROUP BY lang) g
+      |    JOIN (SELECT detected, sum(n) AS cn FROM cells GROUP BY detected) p
+      |    ON g.lang = p.detected)
+      |SELECT c.lang AS gold, c.detected, c.n,
+      |  round(CAST(m.agree AS DOUBLE) / m.nt, 6) AS po,
+      |  round(CAST(p.pesum AS DOUBLE) / (CAST(m.nt AS DOUBLE) * m.nt), 6) AS pe,
+      |  round((CAST(m.agree AS DOUBLE) / m.nt
+      |      - CAST(p.pesum AS DOUBLE) / (CAST(m.nt AS DOUBLE) * m.nt))
+      |    / (1.0 - CAST(p.pesum AS DOUBLE) / (CAST(m.nt AS DOUBLE) * m.nt)), 6) AS kappa
+      |FROM cells c CROSS JOIN marg m CROSS JOIN pe p
+      |ORDER BY gold, detected""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q243
+  /** Two-sided significance threshold shared with q155. */
+  val RankSumZCrit = 1.959964
+
+  /** Mann–Whitney rank-sum test: purchase vs click event values, the
+    * NONPARAMETRIC complement to q155's two-proportion z-test — rank-
+    * based, so a heavy-tailed or corrupted value distribution cannot
+    * fake (or mask) a shift the way it can with a mean-based test.
+    * Reports U, the tie-corrected normal-approximation z, and
+    * U/(n1·n2) — which IS the AUC of "value separates the two groups"
+    * (q161's metric arrived at from the rank side).
+    *
+    * Shape for 100 TB: ranks are never materialized per row — the pool
+    * partial-aggs to one (value, t, t1) frame of O(distinct 6-dp
+    * values) rows (the q50 exact-percentile class), a single
+    * running-count window over that frame yields every tied rank
+    * block's average rank, and the test statistics are one aggregate:
+    * each R1 term is an exact multiple of 0.5 (integer cum + (t+1)/2),
+    * so the DECIMAL sum is association-free on both engines. */
+  def q243RankSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value"), 6).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("grp"))
+    val byv = pool.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("grp")).as("t1"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byv.withColumn("cum_before",
+      coalesce(sum(col("t")).over(w), lit(0L)))
+    val stats = ranked.agg(
+      sum(col("t1")).as("n1"),
+      sum(col("t") - col("t1")).as("n2"),
+      sum((col("t1") * (col("cum_before") + (col("t") + 1) / lit(2.0)))
+        .cast(DecimalType(38, 6))).as("r1d"),
+      sum((col("t").cast("double") * col("t") * col("t") - col("t"))
+        .cast(DecimalType(38, 6))).as("ties"))
+    stats
+      .withColumn("r1", col("r1d").cast("double"))
+      .withColumn("u1", col("r1") - col("n1") * (col("n1") + 1) / lit(2.0))
+      .withColumn("sigma", sqrt(col("n1") * col("n2") / lit(12.0)
+        * ((col("n1") + col("n2") + 1) - col("ties").cast("double")
+          / ((col("n1") + col("n2")) * (col("n1") + col("n2") - lit(1.0))))))
+      .select(col("n1"), col("n2"), round(col("u1"), 6).as("u1"),
+        round(col("u1") / (col("n1") * col("n2")), 6).as("auc"),
+        round((col("u1") - col("n1") * col("n2") / lit(2.0)) / col("sigma"), 6)
+          .as("z"),
+        (abs((col("u1") - col("n1") * col("n2") / lit(2.0)) / col("sigma"))
+          > RankSumZCrit).as("significant"))
+  }
+
+  val q243Sql: String =
+    s"""WITH pool AS (
+      |  SELECT round(value, 6) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |byv AS (SELECT v, count(*) AS t, sum(grp) AS t1 FROM pool GROUP BY v),
+      |ranked AS (
+      |  SELECT v, t, t1,
+      |    coalesce(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM byv),
+      |stats AS (
+      |  SELECT CAST(sum(t1) AS BIGINT) AS n1,
+      |    CAST(sum(t - t1) AS BIGINT) AS n2,
+      |    CAST(sum(CAST(t1 * (cum_before + (t + 1) / 2.0) AS DECIMAL(38,6))) AS DOUBLE) AS r1,
+      |    CAST(sum(CAST(CAST(t AS DOUBLE) * t * t - t AS DECIMAL(38,6))) AS DOUBLE) AS ties
+      |  FROM ranked),
+      |calc AS (
+      |  SELECT n1, n2, r1 - n1 * (n1 + 1) / 2.0 AS u1,
+      |    sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1) - ties
+      |      / ((n1 + n2) * (n1 + n2 - 1.0)))) AS sigma
+      |  FROM stats)
+      |SELECT n1, n2, round(u1, 6) AS u1,
+      |  round(u1 / (n1 * n2), 6) AS auc,
+      |  round((u1 - n1 * n2 / 2.0) / sigma, 6) AS z,
+      |  (abs((u1 - n1 * n2 / 2.0) / sigma) > $RankSumZCrit) AS significant
+      |FROM calc""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_ranksum" -> q243RankSum,
+    "q235_boost_round" -> q235BoostRound,
+    "q236_rater_agreement" -> q236RaterAgreement,
+    "q237_cv_folds" -> q237CvFolds,
+    "q226_lift_table" -> q226LiftTable,
+    "q192_psi" -> q192Psi,
+    "q189_als_sweep" -> q189AlsSweep,
+    "q186_logreg" -> q186Logreg,
+    "q187_stump" -> q187Stump,
+    "q188_pr_curve" -> q188PrCurve,
+    "q185_ols" -> q185Ols,
+    "q182_markov_attribution" -> q182MarkovAttribution,
+    "q178_rfm" -> q178Rfm,
+    "q161_auc" -> q161Auc,
+    "q155_ab_test" -> q155AbTest,
+    "q156_calibration" -> q156Calibration,
+    "q147_lag_features" -> q147LagFeatures,
+    "q148_item_similarity" -> q148ItemSimilarity,
+    "q127_spearman" -> q127Spearman,
+    "q128_gini" -> q128Gini)
+
+  val oracles: Map[String, String] = Map(
+    "q243_ranksum" -> q243Sql,
+    "q235_boost_round" -> q235Sql,
+    "q236_rater_agreement" -> q236Sql,
+    "q237_cv_folds" -> q237Sql,
+    "q226_lift_table" -> q226Sql,
+    "q192_psi" -> q192Sql,
+    "q189_als_sweep" -> q189Sql,
+    "q186_logreg" -> q186Sql,
+    "q187_stump" -> q187Sql,
+    "q188_pr_curve" -> q188Sql,
+    "q185_ols" -> q185Sql,
+    "q182_markov_attribution" -> q182Sql,
+    "q178_rfm" -> q178Sql,
+    "q161_auc" -> q161Sql,
+    "q155_ab_test" -> q155Sql,
+    "q156_calibration" -> q156Sql,
+    "q147_lag_features" -> q147Sql,
+    "q148_item_similarity" -> q148Sql,
+    "q127_spearman" -> q127Sql,
+    "q128_gini" -> q128Sql)
+}

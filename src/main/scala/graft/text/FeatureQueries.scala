@@ -311,7 +311,120 @@ object FeatureQueries {
       |  round(CAST(w AS DOUBLE) / wtot, 6) AS prob
       |FROM cum CROSS JOIN total ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- q245
+  /** Train split: pmod(hash32, 10) < 8 → 80% train / 20% held-out. */
+  val LmTrainMod = 10L
+  val LmTrainPct = 8L
+  /** Absolute discount D — Kneser–Ney's standard 0.75. */
+  val LmDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram language model with a HELD-OUT
+    * perplexity protocol — the LM-quality filter q81 approximates with
+    * in-corpus add-one smoothing, done the way an actual LM eval is
+    * run: train on an 80% doc split, score the unseen 20%. KN's two
+    * ideas are both here: mass is freed by an absolute discount D per
+    * seen bigram (not by inflating the denominator), and the backoff
+    * weight of a word is its CONTINUATION count (how many distinct
+    * left-contexts it follows) — "francisco" is frequent but follows
+    * only "san", so KN (correctly) refuses to predict it in fresh
+    * contexts where add-one happily would. Unseen held-out words take
+    * an add-one continuation floor (documented: (n1rev+1)/(B+V)).
+    * Output: per-language held-out bigram count, avg NLL, perplexity.
+    *
+    * Shape for 100 TB: ONE bigram explode partial-aggs to (split,
+    * lang, w1, w2, n) — the ONLY corpus-sized exchange; the model
+    * (c2), left-context totals (c1, N1+fwd) and continuation counts
+    * (N1+rev) are successive re-aggregations of that frame, the
+    * (B, V) normalizer is a 1-row broadcast, and held-out scoring is
+    * three hash joins of aggregate against aggregate with the NLL
+    * round(,12)-gridded and count-weighted into a DECIMAL sum. */
+  def q245KnBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val pairs = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val agg = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(
+        (pmod(MF.hash32(concat(lit("lm:"), col("doc_id"))), lit(LmTrainMod))
+          < LmTrainPct).as("is_train"),
+        col("lang"), explode(pairs).as("p"))
+      .groupBy(col("is_train"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val train = graft.Checkpoints.deferFree(agg.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+      .localCheckpoint())
+    val c1 = train.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
+    val rev = train.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
+    val tot = train.agg(count(lit(1)).as("btypes"),
+      countDistinct(col("w1")).as("v"))
+    val pcont = (coalesce(col("n1rev"), lit(0L)) + lit(1.0)) /
+      (col("btypes") + col("v"))
+    val p = when(col("c1").isNull, pcont)
+      .otherwise((greatest(coalesce(col("c2"), lit(0L)) - lit(LmDiscount),
+        lit(0.0)) + lit(LmDiscount) * col("n1fwd") * pcont) / col("c1"))
+    agg.filter(!col("is_train"))
+      .join(train, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(rev, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        round(-log(p), 12).as("nll"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum((col("n") * col("nll")).cast(DecimalType(38, 12))).as("s"))
+      .select(col("lang"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("s").cast("double") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy(col("lang"))
+  }
+
+  val q245Sql: String = {
+    val h = Sql.hash32OfHex("md5('lm:' || doc_id)")
+    s"""WITH toks AS (
+      |  SELECT lang, $h % $LmTrainMod < $LmTrainPct AS is_train,
+      |    string_split(text, ' ') AS w
+      |  FROM documents),
+      |agg AS (
+      |  SELECT is_train, lang, w[i] AS w1, w[i+1] AS w2, count(*) AS n
+      |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 2 GROUP BY 1, 2, 3, 4),
+      |c2 AS (
+      |  SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2
+      |  FROM agg WHERE is_train GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1fwd
+      |  FROM c2 GROUP BY 1),
+      |rev AS (SELECT w2, count(*) AS n1rev FROM c2 GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS btypes, count(DISTINCT w1) AS v FROM c2),
+      |scored AS (
+      |  SELECT t.lang, t.n,
+      |    round(-ln(CASE
+      |      WHEN c1.w1 IS NULL
+      |        THEN (coalesce(rev.n1rev, 0) + 1.0) / (tot.btypes + tot.v)
+      |      ELSE (greatest(coalesce(m.c2, 0) - $LmDiscount, 0.0)
+      |            + $LmDiscount * c1.n1fwd
+      |              * ((coalesce(rev.n1rev, 0) + 1.0) / (tot.btypes + tot.v)))
+      |           / c1.c1
+      |    END), 12) AS nll
+      |  FROM (SELECT * FROM agg WHERE NOT is_train) t
+      |  LEFT JOIN c2 m ON t.w1 = m.w1 AND t.w2 = m.w2
+      |  LEFT JOIN c1 ON t.w1 = c1.w1
+      |  LEFT JOIN rev ON t.w2 = rev.w2
+      |  CROSS JOIN tot)
+      |SELECT lang, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(CAST(n * nll AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT), 6) AS avg_nll,
+      |  round(exp(CAST(sum(CAST(n * nll AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(sum(n) AS BIGINT)), 6) AS ppl
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_kn_bigram" -> q245KnBigram,
     "q199_chi2" -> q199Chi2,
     "q200_nb_langid" -> q200NbLangid,
     "q201_feature_hash" -> q201FeatureHash,
@@ -320,6 +433,7 @@ object FeatureQueries {
     "q212_negative_table" -> q212NegativeTable)
 
   val oracles: Map[String, String] = Map(
+    "q245_kn_bigram" -> q245Sql,
     "q199_chi2" -> q199Sql,
     "q200_nb_langid" -> q200Sql,
     "q201_feature_hash" -> q201Sql,

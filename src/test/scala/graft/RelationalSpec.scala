@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, WindowQueries}
 
 class RelationalSpec extends GraftSpec {
 
@@ -31,7 +31,7 @@ class RelationalSpec extends GraftSpec {
   }
 
   test("q14 window rank keeps at most 5 per nation; running total is the prefix sum") {
-    val rows = RelationalQueries.q14WindowRank(spark, sfDir).collect()
+    val rows = WindowQueries.q14WindowRank(spark, sfDir).collect()
     rows.groupBy(_.getAs[Int]("c_nationkey")).foreach { case (_, g) =>
       assert(g.length <= 5)
       val sorted = g.sortBy(_.getAs[Int]("bal_rank"))
@@ -46,7 +46,7 @@ class RelationalSpec extends GraftSpec {
   }
 
   test("q15 sessionization covers every event exactly once") {
-    val sessions = RelationalQueries.q15Sessionize(spark, sfDir).collect()
+    val sessions = WindowQueries.q15Sessionize(spark, sfDir).collect()
     val nEvents = sessions.map(_.getAs[Long]("n_events")).sum
     val total = Tables.events(spark, sfDir).count()
     assert(nEvents == total)
@@ -56,7 +56,7 @@ class RelationalSpec extends GraftSpec {
   }
 
   test("q16 tumbling window partitions all events") {
-    val rows = RelationalQueries.q16TumblingWindow(spark, sfDir).collect()
+    val rows = WindowQueries.q16TumblingWindow(spark, sfDir).collect()
     val n = rows.map(_.getAs[Long]("n_events")).sum
     assert(n == Tables.events(spark, sfDir).count())
     assert(rows.forall(_.getAs[Long]("window_start_us") % 3600000000L == 0))

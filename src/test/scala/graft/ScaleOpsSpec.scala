@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.StorageQueries
+
 import org.apache.spark.sql.functions._
 import graft.operators.Salting
 
@@ -77,7 +79,7 @@ class ScaleOpsSpec extends GraftSpec {
   }
 
   test("q72 join prunes fact partitions at runtime (dynamic partition pruning)") {
-    val q = graft.queries.RelationalQueries.q72DynamicPruning(spark, sfDir)
+    val q = graft.queries.StorageQueries.q72DynamicPruning(spark, sfDir)
     // the fact scan must carry a DynamicPruningSubquery on o_date —
     // runtime pruning from the dim side's Monday filter, not a static
     // predicate (sparkPlan: the file scan is a visible leaf pre-AQE)

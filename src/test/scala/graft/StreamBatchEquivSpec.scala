@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, StreamBatchQueries, WindowQueries}
 
 /** q98's contract: the availableNow streaming run emits exactly the
   * windows a batch plan computes once the watermark cutoff is applied —
@@ -10,13 +10,13 @@ import graft.queries.RelationalQueries
 class StreamBatchEquivSpec extends GraftSpec {
 
   test("q98 streaming result == batch tumbling agg restricted to watermark-closed windows") {
-    val got = RelationalQueries.q98StreamWindow(spark, sfDir).collect()
+    val got = StreamBatchQueries.q98StreamWindow(spark, sfDir).collect()
 
     val ev = Tables.events(spark, sfDir)
       .select(expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
     val wmUs = {
       val mx = ev.agg(max(col("ts_us"))).first().getLong(0)
-      (mx / 1000 - RelationalQueries.StreamDelayMs) * 1000
+      (mx / 1000 - StreamBatchQueries.StreamDelayMs) * 1000
     }
     val want = ev
       .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("window_start_us"),
@@ -34,8 +34,8 @@ class StreamBatchEquivSpec extends GraftSpec {
   }
 
   test("q98 withholds only the windows inside the delay horizon (vs full q16)") {
-    val full = RelationalQueries.q16TumblingWindow(spark, sfDir).count()
-    val emitted = RelationalQueries.q98StreamWindow(spark, sfDir).count()
+    val full = WindowQueries.q16TumblingWindow(spark, sfDir).count()
+    val emitted = StreamBatchQueries.q98StreamWindow(spark, sfDir).count()
     // 30 days of hourly windows; a 2 h delay withholds at most the last
     // few windows, never a material share
     assert(emitted < full && emitted >= full - 4,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, StreamBatchQueries, TimeseriesQueries, WindowQueries}
 import graft.ann.AnnQueries
 import graft.dedup.DedupQueries
 
@@ -61,7 +61,7 @@ class W13OpsSpec extends GraftSpec {
   }
 
   test("q125 attribution replays a driver-side last-touch walk") {
-    val got = RelationalQueries.q125Attribution(spark, sfDir).collect()
+    val got = WindowQueries.q125Attribution(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
@@ -84,7 +84,7 @@ class W13OpsSpec extends GraftSpec {
       assert(got(t)._1 === n, s"touch $t count")
       assert(math.abs(got(t)._2 - rev.toDouble) < 1e-4, s"touch $t revenue")
     }
-    val shareSum = RelationalQueries.q125Attribution(spark, sfDir)
+    val shareSum = WindowQueries.q125Attribution(spark, sfDir)
       .agg(sum(col("rev_share"))).first().getDouble(0)
     assert(math.abs(shareSum - 1.0) < 1e-5, "shares sum to 1")
   }
@@ -105,7 +105,7 @@ class W13OpsSpec extends GraftSpec {
   }
 
   test("q127 Spearman matches a driver-side average-tie-rank computation") {
-    val got = RelationalQueries.q127Spearman(spark, sfDir).collect()
+    val got = MlEvalQueries.q127Spearman(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val rows = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
@@ -139,7 +139,7 @@ class W13OpsSpec extends GraftSpec {
   }
 
   test("q128 Gini matches the driver-side sorted closed form per segment") {
-    val got = RelationalQueries.q128Gini(spark, sfDir).collect()
+    val got = MlEvalQueries.q128Gini(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
     val spend = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
@@ -224,7 +224,7 @@ class W13OpsSpec extends GraftSpec {
   }
 
   test("q132 streaming dedup equals the batch DISTINCT") {
-    val got = RelationalQueries.q132StreamDedup(spark, sfDir).collect()
+    val got = StreamBatchQueries.q132StreamDedup(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val want = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"),
@@ -252,10 +252,10 @@ class W13OpsSpec extends GraftSpec {
   }
 
   test("q134 cross-correlation: lag 0 equals the direct Pearson numerator ratio") {
-    val rows = RelationalQueries.q134CrossCorr(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q134CrossCorr(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(rows.keySet === (-RelationalQueries.CcfMaxLag.toLong
-      to RelationalQueries.CcfMaxLag.toLong).toSet)
+    assert(rows.keySet === (-TimeseriesQueries.CcfMaxLag.toLong
+      to TimeseriesQueries.CcfMaxLag.toLong).toSet)
     // driver-side zero-filled series
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, RelationalQueries, TimeseriesQueries}
 import graft.text.TextQueries
 import graft.graph.{Bfs, MultiBfs, WebGraph}
 
@@ -81,11 +81,11 @@ class W14OpsSpec extends GraftSpec {
   }
 
   test("q137 bursts: the injected surge is detected and flags replay on the driver") {
-    val rows = RelationalQueries.q137Bursts(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q137Bursts(spark, sfDir).collect()
     // at least one episode must intersect the injected 3-hour window
     assert(rows.exists(r =>
-      r.getLong(2) <= RelationalQueries.BurstHourEnd &&
-        r.getLong(3) >= RelationalQueries.BurstHourStart),
+      r.getLong(2) <= TimeseriesQueries.BurstHourEnd &&
+        r.getLong(3) >= TimeseriesQueries.BurstHourStart),
       "injected surge not detected")
     // driver-side replay of the full flag pipeline on zero-filled series
     val ev = Tables.events(spark, sfDir)
@@ -97,17 +97,17 @@ class W14OpsSpec extends GraftSpec {
     val want = types.flatMap { t =>
       val counts = ev.filter(_._1 == t).groupBy(_._2)
         .map { case (h, xs) =>
-          val amp = if (h >= RelationalQueries.BurstHourStart &&
-            h <= RelationalQueries.BurstHourEnd) RelationalQueries.BurstAmp else 1
+          val amp = if (h >= TimeseriesQueries.BurstHourStart &&
+            h <= TimeseriesQueries.BurstHourEnd) TimeseriesQueries.BurstAmp else 1
           h -> xs.length.toLong * amp
         }
       val series = (h0 to h1).map(h => h -> counts.getOrElse(h, 0L))
       val flags = series.zipWithIndex.collect {
-        case ((h, c), i) if i >= RelationalQueries.BurstBaselineHours &&
-          c * RelationalQueries.BurstBaselineHours >=
-            RelationalQueries.BurstFactor *
-              series.slice(i - RelationalQueries.BurstBaselineHours, i).map(_._2).sum &&
-          c >= RelationalQueries.BurstMinCount => (h, c)
+        case ((h, c), i) if i >= TimeseriesQueries.BurstBaselineHours &&
+          c * TimeseriesQueries.BurstBaselineHours >=
+            TimeseriesQueries.BurstFactor *
+              series.slice(i - TimeseriesQueries.BurstBaselineHours, i).map(_._2).sum &&
+          c >= TimeseriesQueries.BurstMinCount => (h, c)
       }
       // islands
       val episodes = flags.foldLeft(List.empty[List[(Long, Long)]]) {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{RelationalQueries, UrlQueries}
+import graft.queries.{RelationalQueries, StreamBatchQueries, UrlQueries}
 import graft.dedup.DedupQueries
 import graft.functions.{MathFunctions => MF}
 
@@ -80,7 +80,7 @@ class W15OpsSpec extends GraftSpec {
   }
 
   test("q142 streaming interval join equals the batch interval join") {
-    val got = RelationalQueries.q142StreamJoin(spark, sfDir).collect()
+    val got = StreamBatchQueries.q142StreamJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("t"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, WindowQueries}
 
 /** Wave-7 operators (q146–q148): time-boxed funnel, per-user lag
   * features, item-item co-engagement similarity.
@@ -14,9 +14,9 @@ class W17OpsSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
 
   test("q146 window funnel replays the greedy time-boxed chain and never beats q53") {
-    val got = RelationalQueries.q146WindowFunnel(spark, sfDir).collect()
+    val got = WindowQueries.q146WindowFunnel(spark, sfDir).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
-    val W = RelationalQueries.FunnelWindowUs
+    val W = WindowQueries.FunnelWindowUs
     val ev = events()
     val byUser = ev.groupBy(_._1)
     var nv = 0L; var nc = 0L; var np = 0L
@@ -38,14 +38,14 @@ class W17OpsSpec extends GraftSpec {
     assert(got("click") === nc)
     assert(got("purchase") === np)
     // the time box can only LOSE users relative to q53's unbounded chain
-    val unbounded = RelationalQueries.q53Funnel(spark, sfDir).collect()
+    val unbounded = WindowQueries.q53Funnel(spark, sfDir).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(got("click") <= unbounded("click"))
     assert(got("purchase") <= unbounded("purchase"))
   }
 
   test("q147 lag features replay a driver-side per-user walk") {
-    val rows = RelationalQueries.q147LagFeatures(spark, sfDir).collect()
+    val rows = MlEvalQueries.q147LagFeatures(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     val ev = events().map { case (u, ts, _) => (u, ts / 86400000L / 1000L) }
@@ -55,7 +55,7 @@ class W17OpsSpec extends GraftSpec {
       val (gn, g1, g7, gs) = rows((u, d))
       assert(gn === n)
       assert(g1 === counts.getOrElse((u, d - 1), 0L), s"user $u day $d prev_1d")
-      assert(g7 === (1 to RelationalQueries.LagFeatDays)
+      assert(g7 === (1 to MlEvalQueries.LagFeatDays)
         .map(k => counts.getOrElse((u, d - k), 0L)).sum, s"user $u day $d prev_7d")
       val prevActive = counts.keys.filter { case (uu, dd) => uu == u && dd < d }
         .map(_._2).maxOption
@@ -65,7 +65,7 @@ class W17OpsSpec extends GraftSpec {
   }
 
   test("q148 item similarity recomputes from the distinct bipartite pairs") {
-    val rows = RelationalQueries.q148ItemSimilarity(spark, sfDir).collect()
+    val rows = MlEvalQueries.q148ItemSimilarity(spark, sfDir).collect()
     val pairs = events().map(e => (e._1, e._3)).distinct
     val marg = pairs.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
     val co = pairs.groupBy(_._1).values.toSeq

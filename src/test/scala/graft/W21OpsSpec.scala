@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries}
 import graft.text.TextQueries
 
 /** Wave-11 operators (q154–q156): the evaluation family —
@@ -34,7 +34,7 @@ class W21OpsSpec extends GraftSpec {
   }
 
   test("q155 A/B: arms tile the users and the hash assignment is not significant") {
-    val r = RelationalQueries.q155AbTest(spark, sfDir).first()
+    val r = MlEvalQueries.q155AbTest(spark, sfDir).first()
     val nUsers = Tables.events(spark, sfDir)
       .select(countDistinct(col("user_id"))).first().getLong(0)
     assert(r.getLong(0) + r.getLong(1) === nUsers, "arms tile the population")
@@ -50,12 +50,12 @@ class W21OpsSpec extends GraftSpec {
   }
 
   test("q156 calibration bins tile users and replay the share-of-max predictor") {
-    val rows = RelationalQueries.q156Calibration(spark, sfDir).collect()
+    val rows = MlEvalQueries.q156Calibration(spark, sfDir).collect()
     val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         max(when(col("event_type") === "purchase" &&
-          expr("ts div 86400000000000") === RelationalQueries.AbLastDay, 1L)
+          expr("ts div 86400000000000") === MlEvalQueries.AbLastDay, 1L)
           .otherwise(0L)).as("c"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     val mx = perUser.map(_._1).max

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, TimeseriesQueries}
 
 /** Wave-13 operators (q158–q159): time-to-event distribution and
   * seasonally-adjusted anomalies.
@@ -9,7 +9,7 @@ import graft.queries.RelationalQueries
 class W23OpsSpec extends GraftSpec {
 
   test("q158 time-to-event replays a driver-side first-view→first-purchase walk") {
-    val rows = RelationalQueries.q158TimeToEvent(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q158TimeToEvent(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
@@ -40,19 +40,19 @@ class W23OpsSpec extends GraftSpec {
   }
 
   test("q159 flags the injected surge cells and nothing violates its own gate") {
-    val rows = RelationalQueries.q159SeasonalAnomaly(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q159SeasonalAnomaly(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // the surge window (hods 6-8 of the injection day) must be flagged
-    val surgeDay = RelationalQueries.BurstHourStart / 24
+    val surgeDay = TimeseriesQueries.BurstHourStart / 24
     assert(rows.exists(r => r.getLong(1) === surgeDay &&
       r.getLong(2) >= 6L && r.getLong(2) <= 8L), "injected surge not flagged")
     rows.foreach { r =>
       val (cnt, ssum, nDays) = (r.getLong(3), r.getLong(4), r.getLong(5))
-      assert(cnt * nDays >= RelationalQueries.SeasonalFactor * ssum,
+      assert(cnt * nDays >= TimeseriesQueries.SeasonalFactor * ssum,
         "emitted cell fails its own gate")
-      assert(cnt >= RelationalQueries.SeasonalMin)
+      assert(cnt >= TimeseriesQueries.SeasonalMin)
       assert(math.abs(r.getDouble(6) - cnt.toDouble * nDays / ssum) < 1e-6)
-      assert(r.getDouble(6) >= RelationalQueries.SeasonalFactor.toDouble)
+      assert(r.getDouble(6) >= TimeseriesQueries.SeasonalFactor.toDouble)
     }
   }
 }

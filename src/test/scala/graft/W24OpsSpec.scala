@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ann.AnnQueries
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries}
 import graft.text.TextQueries
 
 /** Wave-24 operators (q160–q163): retrieval ranking metrics, ROC AUC,
@@ -46,14 +46,14 @@ class W24OpsSpec extends GraftSpec {
   }
 
   test("q161 AUC matches a naive pairwise Mann-Whitney on the driver") {
-    val rows = RelationalQueries.q161Auc(spark, sfDir).collect()
+    val rows = MlEvalQueries.q161Auc(spark, sfDir).collect()
     assert(rows.length === 1)
     val r = rows.head
     val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase" &&
-          expr("ts div 86400000000000") === RelationalQueries.AbLastDay, 1L)
+          expr("ts div 86400000000000") === MlEvalQueries.AbLastDay, 1L)
           .otherwise(0L)).as("c"))
       .collect().map(x => (x.getLong(1), x.getLong(2)))
     val pos = perUser.filter(_._2 == 1L).map(_._1)

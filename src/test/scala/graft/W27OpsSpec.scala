@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.graph.WebGraph
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, RelationalQueries, StreamBatchQueries}
 
 /** Wave-27 operators (q170–q172): near-mirror hosts, rank convergence
   * trace, streaming trending detector.
@@ -62,13 +62,13 @@ class W27OpsSpec extends GraftSpec {
   }
 
   test("q172 trending equals the batch replay of the emitted-window set") {
-    val rows = RelationalQueries.q172StreamTrending(spark, sfDir).collect()
+    val rows = StreamBatchQueries.q172StreamTrending(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val ev = Tables.events(spark, sfDir)
       .select(expr("ts div 1000").as("ts_us"), col("event_type")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val W = RelationalQueries.TrendWindowUs
-    val wm = (ev.map(_._1).max / 1000 - RelationalQueries.StreamDelayMs) * 1000
+    val W = StreamBatchQueries.TrendWindowUs
+    val wm = (ev.map(_._1).max / 1000 - StreamBatchQueries.StreamDelayMs) * 1000
     val counts = ev.groupBy { case (ts, ty) => (ts / W * W, ty) }
       .map { case (k, xs) => k -> xs.length.toLong }
       .filter { case ((ws, _), _) => ws + W <= wm }
@@ -78,7 +78,7 @@ class W27OpsSpec extends GraftSpec {
         val prev = counts.getOrElse((ws - W, ty), 0L)
         (ws, ty, cnt, cnt - prev)
       }.sortBy { case (_, ty, _, g) => (-g, ty) }
-        .take(RelationalQueries.TrendTopK).zipWithIndex
+        .take(StreamBatchQueries.TrendTopK).zipWithIndex
         .map { case ((w, ty, cnt, g), i) => (w, i + 1, ty, cnt, g) }
     }.sortBy(x => (x._1, x._2))
     assert(rows.length === want.length)

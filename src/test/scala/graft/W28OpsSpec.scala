@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.dedup.DedupQueries
 import graft.multimodal.MultimodalQueries
-import graft.queries.RelationalQueries
+import graft.queries.{RelationalQueries, TimeseriesQueries}
 
 /** Wave-28 operators (q173–q175): forecast backtest, SemDeDup,
   * shot↔chunk alignment (and the graft_cdc_cuts kernel).
@@ -11,7 +11,7 @@ import graft.queries.RelationalQueries
 class W28OpsSpec extends GraftSpec {
 
   test("q173 forecast backtest replays the seasonal-mean math") {
-    val rows = RelationalQueries.q173ForecastBacktest(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q173ForecastBacktest(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("ts div 86400000000000").as("day"),

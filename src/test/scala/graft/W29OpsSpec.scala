@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, StorageQueries}
 import graft.text.TextQueries
 
 /** Wave-29 operators (q176, q178, q179): DP release, RFM segmentation,
@@ -36,7 +36,7 @@ class W29OpsSpec extends GraftSpec {
   }
 
   test("q178 RFM census covers all users and respects its own thresholds") {
-    val rows = RelationalQueries.q178Rfm(spark, sfDir).collect()
+    val rows = MlEvalQueries.q178Rfm(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
     assert(rows.map(_.getLong(3)).sum === nUsers)
@@ -60,7 +60,7 @@ class W29OpsSpec extends GraftSpec {
   }
 
   test("q179 merge read surfaces the evolved column as NULL in old batches") {
-    val rows = RelationalQueries.q179SchemaMerge(spark, sfDir).collect()
+    val rows = StorageQueries.q179SchemaMerge(spark, sfDir).collect()
     assert(rows.length === 2)
     val ord = Tables.orders(spark, sfDir)
     val even = ord.filter(pmod(col("o_orderkey"), lit(2)) === 0).count()

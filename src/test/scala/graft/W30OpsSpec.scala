@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, StorageQueries}
 
 /** Wave-30 operators (q180–q182): salting plan, zone-map audit, Markov
   * removal-effect attribution.
@@ -30,11 +30,11 @@ class W30OpsSpec extends GraftSpec {
   }
 
   test("q181 zone maps partition the key space and bound the block contents") {
-    val rows = RelationalQueries.q181Zonemaps(spark, sfDir).collect()
+    val rows = StorageQueries.q181Zonemaps(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice")).collect()
-      .map(r => (r.getLong(0) / RelationalQueries.ZoneRows, r.getDouble(1)))
+      .map(r => (r.getLong(0) / StorageQueries.ZoneRows, r.getDouble(1)))
     val byBlock = ord.groupBy(_._1)
     assert(rows.map(_.getLong(0)).toSet === byBlock.keySet)
     rows.foreach { r =>
@@ -42,20 +42,20 @@ class W30OpsSpec extends GraftSpec {
       assert(r.getLong(1) === vals.length.toLong)
       assert(math.abs(r.getDouble(2) - vals.min) < 1e-6)
       assert(math.abs(r.getDouble(3) - vals.max) < 1e-6)
-      val hit = r.getDouble(3) >= RelationalQueries.ZonePredLo &&
-        r.getDouble(2) <= RelationalQueries.ZonePredHi
+      val hit = r.getDouble(3) >= StorageQueries.ZonePredLo &&
+        r.getDouble(2) <= StorageQueries.ZonePredHi
       assert(r.getBoolean(4) === hit)
       // a non-hit block truly contains no qualifying row
       if (!r.getBoolean(4))
-        assert(!vals.exists(v => v >= RelationalQueries.ZonePredLo &&
-          v <= RelationalQueries.ZonePredHi))
+        assert(!vals.exists(v => v >= StorageQueries.ZonePredLo &&
+          v <= StorageQueries.ZonePredHi))
     }
   }
 
   test("q182 removal effects replay a driver-built chain from raw journeys") {
-    val rows = RelationalQueries.q182MarkovAttribution(spark, sfDir).collect()
+    val rows = MlEvalQueries.q182MarkovAttribution(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ===
-      RelationalQueries.MarkovChannels.sorted)
+      MlEvalQueries.MarkovChannels.sorted)
     // independent journey construction straight from the events
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -81,7 +81,7 @@ class W30OpsSpec extends GraftSpec {
       val outs = byS.view.mapValues(_.map(_._3).sum.toDouble).toMap
       val states = (t.map(_._1) ++ t.map(_._2)).distinct
       var p = states.map(s => s -> (if (s == "__conv__") 1.0 else 0.0)).toMap
-      for (_ <- 1 to RelationalQueries.MarkovIters)
+      for (_ <- 1 to MlEvalQueries.MarkovIters)
         p = states.map { s =>
           s -> (if (s == "__conv__") 1.0 else if (s == "__null__") 0.0
           else byS.get(s).map(_.map { case (_, d, c) => c / outs(s) * p(d) }.sum)
@@ -90,7 +90,7 @@ class W30OpsSpec extends GraftSpec {
       p.getOrElse("__start__", 0.0)
     }
     val base = solve(None)
-    val effects = RelationalQueries.MarkovChannels
+    val effects = MlEvalQueries.MarkovChannels
       .map(c => c -> (base - solve(Some(c)))).toMap
     val tot = effects.values.sum
     rows.foreach { r =>

@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, StorageQueries}
 
 /** Wave-32 operators (q184–q185): ORC round trip, distributed OLS. */
 class W32OpsSpec extends GraftSpec {
 
   test("q184 ORC round trip preserves the per-type census exactly") {
-    val rows = RelationalQueries.q184OrcIo(spark, sfDir).collect()
+    val rows = StorageQueries.q184OrcIo(spark, sfDir).collect()
     val want = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)), sum(expr("ts % 1000000007")))
@@ -21,7 +21,7 @@ class W32OpsSpec extends GraftSpec {
   }
 
   test("q185 OLS matches a driver-side normal-equations solve") {
-    val row = RelationalQueries.q185Ols(spark, sfDir).collect().head
+    val row = MlEvalQueries.q185Ols(spark, sfDir).collect().head
     val data = Tables.lineitem(spark, sfDir)
       .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries}
 
 /** Wave-33 operators (q186–q188): logistic regression, decision stump,
   * precision-recall sweep — all over the shared (activity, converted)
@@ -14,16 +14,16 @@ class W33OpsSpec extends GraftSpec {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).cast("double").as("x"),
         max(when(col("event_type") === "purchase" &&
-          expr("ts div 86400000000000") === RelationalQueries.AbLastDay, 1.0)
+          expr("ts div 86400000000000") === MlEvalQueries.AbLastDay, 1.0)
           .otherwise(0.0)).as("y"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
 
   test("q186 IRLS replays a driver-side Newton loop") {
-    val row = RelationalQueries.q186Logreg(spark, sfDir).collect().head
+    val row = MlEvalQueries.q186Logreg(spark, sfDir).collect().head
     val data = labeled()
     def r6(v: Double) = math.rint(v * 1e6) / 1e6
     var (b0, b1) = (0.0, 0.0)
-    for (_ <- 1 to RelationalQueries.LogregIters) {
+    for (_ <- 1 to MlEvalQueries.LogregIters) {
       var (sw, swx, swxx, swz, swxz) = (0.0, 0.0, 0.0, 0.0, 0.0)
       data.foreach { case (x, y) =>
         val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
@@ -50,7 +50,7 @@ class W33OpsSpec extends GraftSpec {
   }
 
   test("q187 stump picks the maximal-gain split of the exact histogram") {
-    val row = RelationalQueries.q187Stump(spark, sfDir).collect().head
+    val row = MlEvalQueries.q187Stump(spark, sfDir).collect().head
     val data = labeled()
     val hist = data.groupBy(_._1).map { case (x, xs) =>
       (x, xs.map(_._2).sum.toLong, xs.length.toLong) }.toSeq.sortBy(_._1)
@@ -75,7 +75,7 @@ class W33OpsSpec extends GraftSpec {
   }
 
   test("q188 PR curve is exact and recall decreases with the threshold") {
-    val rows = RelationalQueries.q188PrCurve(spark, sfDir).collect()
+    val rows = MlEvalQueries.q188PrCurve(spark, sfDir).collect()
     val data = labeled()
     val pt = data.map(_._2).sum.toLong
     rows.foreach { r =>

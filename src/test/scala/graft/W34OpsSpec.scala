@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ann.AnnQueries
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, TimeseriesQueries}
 
 /** Wave-34 operators (q189–q191): ALS sweep, class separability,
   * STL-lite decomposition.
@@ -10,7 +10,7 @@ import graft.queries.RelationalQueries
 class W34OpsSpec extends GraftSpec {
 
   test("q189 ALS sweep improves the fit and the math replays on the driver") {
-    val row = RelationalQueries.q189AlsSweep(spark, sfDir).collect().head
+    val row = MlEvalQueries.q189AlsSweep(spark, sfDir).collect().head
     val inter = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
@@ -25,9 +25,9 @@ class W34OpsSpec extends GraftSpec {
       (if (x < 0) x + M.HashP else x) % 1000L
     }
     val vi = inter.map(_._2).distinct.map(i =>
-      i -> (0.5 + uh(i, RelationalQueries.AlsSeedA) / 2000.0,
-        0.5 + uh(i, RelationalQueries.AlsSeedB) / 2000.0)).toMap
-    val lam = RelationalQueries.AlsLambda
+      i -> (0.5 + uh(i, MlEvalQueries.AlsSeedA) / 2000.0,
+        0.5 + uh(i, MlEvalQueries.AlsSeedB) / 2000.0)).toMap
+    val lam = MlEvalQueries.AlsLambda
     def solveSide(rows: Seq[(Long, Double, (Double, Double))]) =
       rows.groupBy(_._1).map { case (k, xs) =>
         var (a11, a12, a22, b1, b2) = (0.0, 0.0, 0.0, 0.0, 0.0)
@@ -72,13 +72,13 @@ class W34OpsSpec extends GraftSpec {
   }
 
   test("q191 STL-lite: decomposition replays and seasonal terms center near 0") {
-    val rows = RelationalQueries.q191StlLite(spark, sfDir).collect()
+    val rows = TimeseriesQueries.q191StlLite(spark, sfDir).collect()
     assert(rows.length === 24)
     val series = Tables.events(spark, sfDir)
       .select(expr("ts div 3600000000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).cast("double").as("y"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
-    val H = RelationalQueries.StlHalf
+    val H = TimeseriesQueries.StlHalf
     def r6(v: Double) = math.rint(v * 1e6) / 1e6
     val det = series.indices.collect {
       case i if i >= H && i < series.length - H =>

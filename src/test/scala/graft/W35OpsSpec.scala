@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries, StorageQueries}
 
 /** Wave-35 operators (q192–q194): PSI drift, TPC-H Q3, malformed-CSV
   * audit.
@@ -9,7 +9,7 @@ import graft.queries.RelationalQueries
 class W35OpsSpec extends GraftSpec {
 
   test("q192 PSI replays the frozen-decile census on the driver") {
-    val rows = RelationalQueries.q192Psi(spark, sfDir).collect()
+    val rows = MlEvalQueries.q192Psi(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
@@ -31,7 +31,7 @@ class W35OpsSpec extends GraftSpec {
     val census = perUser.groupBy(p => bin(p._2)).map { case (b, xs) =>
       b -> (xs.count(_._1).toLong, xs.count(!_._1).toLong) }
     assert(rows.map(_.getInt(0)).toSet === census.keySet)
-    val s = RelationalQueries.PsiSmooth
+    val s = MlEvalQueries.PsiSmooth
     val nb = census.size
     val ta = census.values.map(_._1).sum
     val tb = census.values.map(_._2).sum
@@ -87,12 +87,12 @@ class W35OpsSpec extends GraftSpec {
   }
 
   test("q194 rescue census counts exactly the structurally corrupted rows") {
-    val rows = RelationalQueries.q194MalformedCsv(spark, sfDir).collect()
+    val rows = StorageQueries.q194MalformedCsv(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val keys = Tables.orders(spark, sfDir).select("o_orderkey")
       .collect().map(_.getLong(0))
-    val bad = keys.filter(_ % RelationalQueries.CsvCorruptMod == 0)
-    val good = keys.filterNot(_ % RelationalQueries.CsvCorruptMod == 0)
+    val bad = keys.filter(_ % StorageQueries.CsvCorruptMod == 0)
+    val good = keys.filterNot(_ % StorageQueries.CsvCorruptMod == 0)
     assert(rows("rescued")._1 === bad.length.toLong)
     assert(rows("parsed")._1 === good.length.toLong)
     // rescued rows still surface their parsed fields (the rescue is

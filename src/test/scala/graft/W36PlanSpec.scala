@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, MlEvalQueries, RelationalQueries, StorageQueries}
 import graft.text.TextQueries
 
 /** Physical-plan assertions for the r8 wave operators — the 100 TB
@@ -29,7 +29,7 @@ class W36PlanSpec extends GraftSpec {
   test("histogram operators keep map-side partial aggregation") {
     Seq(
       RelationalQueries.q180SaltPlan(spark, sfDir),
-      RelationalQueries.q181Zonemaps(spark, sfDir),
+      StorageQueries.q181Zonemaps(spark, sfDir),
       TextQueries.q167HeavyHitters(spark, sfDir)
     ).foreach { df =>
       val plan = formatted(df)
@@ -40,7 +40,7 @@ class W36PlanSpec extends GraftSpec {
   }
 
   test("q185 OLS is one scan into one global aggregate") {
-    val plan = formatted(RelationalQueries.q185Ols(spark, sfDir))
+    val plan = formatted(MlEvalQueries.q185Ols(spark, sfDir))
     assert("Scan parquet".r.findAllIn(plan).length <= 2,
       "a single lineitem scan feeds the moment aggregate")
     assert(plan.contains("partial_"), "moments partial-aggregate map-side")

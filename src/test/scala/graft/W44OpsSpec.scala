@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, RelationalQueries, WindowQueries}
 import graft.text.PipelineQueries
 
 /** Wave-44 operators (q223–q225): session-path perplexity, rich-club
@@ -10,7 +10,7 @@ import graft.text.PipelineQueries
 class W44OpsSpec extends GraftSpec {
 
   test("q223 path perplexity: model replay on the driver, atypical paths score higher") {
-    val rows = RelationalQueries.q223PathPerplexity(spark, sfDir).collect()
+    val rows = WindowQueries.q223PathPerplexity(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // rebuild transitions exactly as q96/q223 do
     val ev = Tables.events(spark, sfDir)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.RelationalQueries
+import graft.queries.{MlEvalQueries, RelationalQueries}
 import graft.ann.AnnQueries
 
 /** Wave-45 operators (q226–q227): decile lift table, k-NN label
@@ -10,7 +10,7 @@ import graft.ann.AnnQueries
 class W45OpsSpec extends GraftSpec {
 
   test("q226 lift table: cumulative identities hold and top-decile lift beats 1") {
-    val rows = RelationalQueries.q226LiftTable(spark, sfDir).collect()
+    val rows = MlEvalQueries.q226LiftTable(spark, sfDir).collect()
       .sortBy(-_.getInt(0))
     assert(rows.nonEmpty && rows.length <= 10)
     val tu = rows.map(_.getLong(1)).sum
