@@ -1555,7 +1555,181 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
       |  (abs((u1 - n1 * n2 / 2.0) / sigma) > $RankSumZCrit) AS significant
       |FROM calc""".stripMargin
 
+  // --------------------------------------------------------------- q246
+  /** Chi-square critical value at df = 4 (5 event types), alpha .05. */
+  val KruskalChi2Crit = 9.487729
+
+  /** Kruskal–Wallis H test across ALL five event-type groups — q243's
+    * two-sample rank test generalized to k groups (the one-way
+    * ANOVA-on-ranks an experimenter reaches for when an A/B/n test has
+    * more than two arms and the values are heavy-tailed): per-group
+    * mean ranks, the H statistic, its tie-corrected form, and the
+    * chi-square significance call at df = k−1.
+    *
+    * Shape for 100 TB: q243's rank-block engine unchanged — the pool
+    * partial-aggs to one (value, group) count frame, collapses to
+    * O(distinct 6-dp values) rank blocks (the q50 exact-percentile
+    * class), ONE running-count window over that frame prices every
+    * tied block's average rank, and the k per-group rank sums are
+    * exact multiples of 0.5 carried as association-free DECIMAL sums;
+    * the k terms of H are 6-dp-gridded before their own DECIMAL sum,
+    * so both engines add the identical rationals. */
+  def q246Kruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = Tables.events(spark, sfDir)
+      .select(round(col("value"), 6).as("v"), col("event_type").as("grp"))
+    val byvg = graft.Checkpoints.deferFree(pool
+      .groupBy(col("v"), col("grp")).agg(count(lit(1)).as("ng"))
+      .localCheckpoint())
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = graft.Checkpoints.deferFree(byvg.groupBy(col("v"))
+      .agg(sum(col("ng")).as("t"))
+      .withColumn("cum_before", coalesce(sum(col("t")).over(w), lit(0L)))
+      .localCheckpoint())
+    val rg = graft.Checkpoints.deferFree(byvg.join(ranked, Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("ng")).as("n_g"),
+        sum((col("ng") * (col("cum_before") + (col("t") + 1) / lit(2.0)))
+          .cast(DecimalType(38, 6))).as("rgd"))
+      .localCheckpoint())
+    val tot = ranked.agg(sum(col("t")).as("n"),
+      sum((col("t").cast("double") * col("t") * col("t") - col("t"))
+        .cast(DecimalType(38, 6))).as("tiesd"))
+    val hs = rg.agg(count(lit(1)).as("k"),
+      sum(round(col("rgd").cast("double") * col("rgd").cast("double")
+        / col("n_g"), 6).cast(DecimalType(38, 6))).as("stermd"))
+    val hRaw = lit(12.0) / (col("n") * (col("n") + lit(1.0))) *
+      col("stermd").cast("double") - lit(3.0) * (col("n") + 1)
+    val corr = lit(1.0) - col("tiesd").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
+    rg.crossJoin(broadcast(hs)).crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_g"),
+        round(col("rgd").cast("double") / col("n_g"), 6).as("mean_rank"),
+        col("n"), col("k"), round(hRaw, 6).as("h"),
+        round(hRaw / corr, 6).as("h_corrected"),
+        (hRaw / corr > KruskalChi2Crit).as("significant"))
+      .orderBy(col("grp"))
+  }
+
+  val q246Sql: String =
+    s"""WITH pool AS (
+      |  SELECT event_type AS grp, round(value, 6) AS v FROM events),
+      |byvg AS (SELECT v, grp, count(*) AS ng FROM pool GROUP BY 1, 2),
+      |byv AS (SELECT v, CAST(sum(ng) AS BIGINT) AS t FROM byvg GROUP BY 1),
+      |ranked AS (
+      |  SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM byv),
+      |rg AS (
+      |  SELECT g.grp, CAST(sum(g.ng) AS BIGINT) AS n_g,
+      |    CAST(sum(CAST(g.ng * (r.cum_before + (r.t + 1) / 2.0) AS DECIMAL(38,6))) AS DOUBLE) AS r_g
+      |  FROM byvg g JOIN ranked r ON g.v = r.v GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(t AS DOUBLE) * t * t - t AS DECIMAL(38,6))) AS DOUBLE) AS ties
+      |  FROM ranked),
+      |hs AS (
+      |  SELECT count(*) AS k,
+      |    CAST(sum(CAST(round(r_g * r_g / n_g, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sterm
+      |  FROM rg),
+      |h AS (
+      |  SELECT k, n, ties,
+      |    12.0 / (n * (n + 1.0)) * sterm - 3.0 * (n + 1) AS h_raw,
+      |    1.0 - ties / (CAST(n AS DOUBLE) * n * n - n) AS corr
+      |  FROM hs CROSS JOIN tot)
+      |SELECT rg.grp, rg.n_g, round(rg.r_g / rg.n_g, 6) AS mean_rank,
+      |  h.n, h.k, round(h.h_raw, 6) AS h,
+      |  round(h.h_raw / h.corr, 6) AS h_corrected,
+      |  (h.h_raw / h.corr > $KruskalChi2Crit) AS significant
+      |FROM rg CROSS JOIN h ORDER BY rg.grp""".stripMargin
+
+  // --------------------------------------------------------------- q250
+  /** Bootstrap replicate count. */
+  val BootReplicates = 100
+  /** Poisson(1) inverse-CDF ladder over u ∈ [0, 10^6): thresholds are
+    * ⌊10^6·P(X ≤ k)⌋ for k = 0..5; u past the ladder draws weight 6. */
+  val BootLadder: Seq[(Long, Int)] = Seq(
+    367879L -> 0, 735759L -> 1, 919699L -> 2, 981012L -> 3,
+    996340L -> 4, 999406L -> 5)
+
+  /** Poisson-bootstrap confidence interval for the mean purchase value
+    * — THE distributed bootstrap (resampling-with-replacement needs a
+    * global sample of known size; Poissonization replaces it with an
+    * i.i.d. per-row weight draw, the classic Monte-Carlo trick that
+    * makes the bootstrap embarrassingly parallel): every row enters
+    * each of the B replicates with a deterministic Poisson(1)-hash
+    * weight, each replicate reports its weighted mean, and the 2.5/97.5
+    * percentiles of the B means are the CI q155's normal-theory z-test
+    * assumes away.
+    *
+    * Shape for 100 TB: the corpus is read ONCE and exploded ×B map-side
+    * (no join — the replicate axis is a `sequence` literal); the only
+    * exchange carries B partial sums per map partition, the replicate
+    * frame is O(B) rows, and the percentile runs over exactly B values.
+    * Weights are pure-hash (q47's convention), so reruns and the oracle
+    * replay the identical resample. */
+  def q250Bootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value"), 6).as("v"))
+      .localCheckpoint())
+    val wt = BootLadder.foldRight(lit(6): Column) { case ((thr, k), acc) =>
+      when(col("u") < thr, lit(k)).otherwise(acc) }
+    val means = pool
+      .select(col("event_id"), col("v"),
+        explode(sequence(lit(1), lit(BootReplicates))).as("b"))
+      .withColumn("u", MF.hash32(concat(lit("boot:"),
+        col("event_id").cast("string"), lit(":"), col("b").cast("string")))
+        % lit(1000000L))
+      .withColumn("wt", wt)
+      .groupBy(col("b"))
+      .agg(round(sum(round(col("wt") * col("v"), 6).cast(DecimalType(38, 6)))
+        .cast("double") / sum(col("wt")), 6).as("m"))
+    val base = pool.agg(count(lit(1)).as("n"),
+      round(sum(col("v").cast(DecimalType(38, 6))).cast("double")
+        / count(lit(1)), 6).as("point_mean"))
+    means.agg(
+      round(sum(col("m").cast(DecimalType(38, 6))).cast("double")
+        / lit(BootReplicates), 6).as("boot_mean"),
+      round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+      round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"))
+      .crossJoin(broadcast(base))
+      .select(col("n"), col("point_mean"), col("boot_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val q250Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex(
+      "md5('boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+    val ladder = BootLadder.map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH pool AS (
+      |  SELECT event_id, round(value, 6) AS v FROM events
+      |  WHERE event_type = 'purchase'),
+      |reps AS (
+      |  SELECT p.v, r.b, $h % 1000000 AS u
+      |  FROM pool p CROSS JOIN
+      |    (SELECT unnest(generate_series(1, $BootReplicates)) AS b) r),
+      |w AS (SELECT b, v, $ladder AS wt FROM reps),
+      |means AS (
+      |  SELECT b,
+      |    round(CAST(sum(CAST(round(wt * v, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      / sum(wt), 6) AS m
+      |  FROM w GROUP BY b),
+      |base AS (
+      |  SELECT count(*) AS n,
+      |    round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS point_mean
+      |  FROM pool)
+      |SELECT base.n, base.point_mean,
+      |  round(CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) / $BootReplicates, 6) AS boot_mean,
+      |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+      |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+      |FROM means CROSS JOIN base
+      |GROUP BY base.n, base.point_mean""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_kruskal" -> q246Kruskal,
+    "q250_bootstrap" -> q250Bootstrap,
     "q243_ranksum" -> q243RankSum,
     "q235_boost_round" -> q235BoostRound,
     "q236_rater_agreement" -> q236RaterAgreement,
@@ -1578,6 +1752,8 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q246_kruskal" -> q246Sql,
+    "q250_bootstrap" -> q250Sql,
     "q243_ranksum" -> q243Sql,
     "q235_boost_round" -> q235Sql,
     "q236_rater_agreement" -> q236Sql,

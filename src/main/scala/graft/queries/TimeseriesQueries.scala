@@ -1073,7 +1073,108 @@ object TimeseriesQueries {
       |FROM med""".stripMargin
   }
 
+  // --------------------------------------------------------------- q248
+  /** Two-sided z threshold at alpha .05 (q155/q243's convention). */
+  val MannKendallZCrit = 1.959964
+
+  /** Mann–Kendall trend test + Sen's slope per event type over the
+    * hourly volume-value series — the NONPARAMETRIC pair to q244:
+    * where Theil–Sen estimates HOW steep a robust trend is on a
+    * sampled pair set, this answers IS there a monotone trend at all,
+    * with the tie-corrected normal approximation and the continuity-
+    * corrected z — the standard environmental/ops-monitoring test that
+    * needs no distributional assumption and shrugs at outliers. Sen's
+    * slope here is the exact median over ALL pairs of the aggregated
+    * series (no sampling needed — the pair set is quadratic in the
+    * SERIES length, not the corpus).
+    *
+    * Shape for 100 TB: the corpus collapses to the O(types × hours)
+    * hourly frame in ONE partial-agged pass — the only corpus-sized
+    * exchange; the pair set is a broadcast self-join of that bounded
+    * frame (span², not corpus², rows — the time span is the cost knob,
+    * and a longer span would sample pairs exactly like q244), the S
+    * statistic is an exact integer sum, and the tie/variance terms are
+    * DECIMAL sums of exact integers. */
+  def q248MannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(round(sum(round(col("value"), 6).cast(DecimalType(38, 6)))
+        .cast("double"), 6).as("v"))
+      .localCheckpoint())
+    val b = hourly.select(col("event_type").as("tb"),
+      col("h").as("hb"), col("v").as("vb"))
+    val pairs = hourly.join(broadcast(b),
+      col("event_type") === col("tb") && col("h") < col("hb"))
+      .select(col("event_type"),
+        when(col("vb") > col("v"), 1L).when(col("vb") < col("v"), -1L)
+          .otherwise(0L).as("sgn"),
+        ((col("vb") - col("v")) / (col("hb") - col("h")).cast("double"))
+          .as("slope"))
+    val s = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"),
+        percentile(col("slope"), lit(0.5)).as("sen"))
+    val ties = hourly.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum((col("t").cast("double") * (col("t") - 1) * (col("t") * 2 + 5))
+        .cast(DecimalType(38, 6))).as("tsumd"))
+    val n = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val varS = (col("n").cast("double") * (col("n") - 1) * (col("n") * 2 + 5)
+      - col("tsumd").cast("double")) / lit(18.0)
+    val zv = when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L))
+      .cast("double") / sqrt(varS)
+    n.join(s, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_hours"), col("n_pairs"),
+        col("s_stat"), round(varS, 6).as("var_s"), round(zv, 6).as("z"),
+        round(col("sen"), 6).as("sen_slope"),
+        when(zv > MannKendallZCrit, "increasing")
+          .when(zv < -MannKendallZCrit, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  val q248Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+      |    (b.v - a.v) / CAST(b.h - a.h AS DOUBLE) AS slope
+      |  FROM hourly a JOIN hourly b
+      |    ON a.event_type = b.event_type AND a.h < b.h),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_pairs,
+      |    CAST(sum(sgn) AS BIGINT) AS s_stat,
+      |    quantile_cont(slope, 0.5) AS sen
+      |  FROM pairs GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(CAST(t AS DOUBLE) * (t - 1) * (t * 2 + 5) AS DECIMAL(38,6))) AS DOUBLE) AS tsum
+      |  FROM (SELECT event_type, v, count(*) AS t FROM hourly GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+      |z AS (
+      |  SELECT n.event_type, n.n, s.n_pairs, s.s_stat, s.sen,
+      |    (CAST(n.n AS DOUBLE) * (n.n - 1) * (n.n * 2 + 5) - ties.tsum) / 18.0 AS var_s,
+      |    CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+      |         WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+      |         ELSE 0 END
+      |      / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (n.n * 2 + 5) - ties.tsum) / 18.0) AS zv
+      |  FROM n JOIN s USING (event_type) JOIN ties USING (event_type))
+      |SELECT event_type, n AS n_hours, n_pairs, s_stat,
+      |  round(var_s, 6) AS var_s, round(zv, 6) AS z,
+      |  round(sen, 6) AS sen_slope,
+      |  (CASE WHEN zv > $MannKendallZCrit THEN 'increasing'
+      |        WHEN zv < -$MannKendallZCrit THEN 'decreasing'
+      |        ELSE 'none' END) AS trend
+      |FROM z ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_mann_kendall" -> q248MannKendall,
     "q241_gap_fill" -> q241GapFill,
     "q244_theilsen" -> q244TheilSen,
     "q234_kaplan_meier" -> q234KaplanMeier,
@@ -1090,6 +1191,7 @@ object TimeseriesQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q248_mann_kendall" -> q248Sql,
     "q241_gap_fill" -> q241Sql,
     "q244_theilsen" -> q244Sql,
     "q234_kaplan_meier" -> q234Sql,

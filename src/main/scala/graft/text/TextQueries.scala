@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{MathFunctions => MF}
@@ -2274,7 +2275,223 @@ FROM res ORDER BY round"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q247
+  /** Docs per prefix-sum block (the two-level distributed cumsum). */
+  val HeapsBlock = 100L
+
+  /** Heaps'-law vocabulary-growth fit — V(n) = K·n^β estimated by OLS
+    * on the log-log (cumulative tokens, cumulative vocabulary) curve
+    * in doc_id order: the corpus-sizing diagnostic that tells a
+    * training-data team how much NEW vocabulary (entities, code
+    * identifiers, typos) the next 10× of data will bring, and the
+    * companion to q162's Zipf exponent (the two laws are duals). The
+    * fixture's closed synthetic vocabulary saturates immediately —
+    * β ≈ 0.007, r² ≈ 0.1 — which is itself the signal the operator
+    * exists to surface (saturation ⇒ more data adds no new types).
+    *
+    * Shape for 100 TB: ONE tokenize feeds both the per-doc lengths and
+    * the term → first-doc map (corpus-sized exchanges: the tokenize
+    * and the term groupBy, both partial-agged); the cumulative curve
+    * is a TWO-LEVEL prefix sum — per-block local window (partitioned
+    * by doc_id div block) plus an O(blocks) offset window — never a
+    * global single-partition window over the doc axis; the OLS moments
+    * are 12-dp-gridded DECIMAL sums (q185's convention). */
+  def q247Heaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint())
+    val doclen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val newt = tok.groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val base = graft.Checkpoints.deferFree(doclen
+      .join(newt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr(s"doc_id div $HeapsBlock").as("blk"))
+      .localCheckpoint())
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("blk"))
+      .agg(sum(col("n_tok")).as("bt"), sum(col("n_new")).as("bn"))
+      .select(col("blk"),
+        coalesce(sum(col("bt")).over(wBlk), lit(0L)).as("off_tok"),
+        coalesce(sum(col("bn")).over(wBlk), lit(0L)).as("off_new"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = base
+      .withColumn("loc_tok", sum(col("n_tok")).over(wIn))
+      .withColumn("loc_new", sum(col("n_new")).over(wIn))
+      .join(broadcast(offs), Seq("blk"))
+      .select((col("off_tok") + col("loc_tok")).as("cum_tok"),
+        (col("off_new") + col("loc_new")).as("cum_vocab"))
+    val pts = curve.select(col("cum_tok"), col("cum_vocab"),
+      round(log(col("cum_tok").cast("double")), 12).as("x"),
+      round(log(col("cum_vocab").cast("double")), 12).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      max(col("cum_tok")).as("n_tokens"), max(col("cum_vocab")).as("vocab"),
+      sum(col("x").cast(DecimalType(38, 12))).cast("double").as("sx"),
+      sum(col("y").cast(DecimalType(38, 12))).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("syy"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_docs"), col("n_tokens"), col("vocab"),
+      round(beta, 6).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / col("n")), 6).as("k_coef"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val q247Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |doclen AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+      |firsts AS (SELECT min(doc_id) AS fd FROM tok GROUP BY term),
+      |newterms AS (SELECT fd AS doc_id, count(*) AS n_new FROM firsts GROUP BY 1),
+      |curve AS (
+      |  SELECT d.doc_id,
+      |    sum(d.n_tok) OVER (ORDER BY d.doc_id) AS cum_tok,
+      |    sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id) AS cum_vocab
+      |  FROM doclen d LEFT JOIN newterms n ON d.doc_id = n.doc_id),
+      |pts AS (
+      |  SELECT round(ln(CAST(cum_tok AS DOUBLE)), 12) AS x,
+      |    round(ln(CAST(cum_vocab AS DOUBLE)), 12) AS y,
+      |    cum_tok, cum_vocab
+      |  FROM curve),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(max(cum_tok) AS BIGINT) AS n_tokens,
+      |    CAST(max(cum_vocab) AS BIGINT) AS vocab,
+      |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM pts)
+      |SELECT n AS n_docs, n_tokens, vocab,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+      |  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6) AS k_coef,
+      |  round(power(n * sxy - sx * sy, 2)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------------- q249
+  /** TextRank damping / restart (PageRank's classic pair). */
+  val TextRankDamping = 0.85
+  val TextRankRestart = 0.15
+  /** Corpus-count floor for a word to enter the graph. */
+  val TextRankMinCount = 5L
+  val TextRankTopK = 50
+  val TextRankRounds = 3
+
+  /** TextRank corpus keyword extraction (Mihalcea & Tarau) — the
+    * reference's PageRank engine turned on LANGUAGE: words that
+    * co-occur adjacently become an undirected weighted graph, and the
+    * stationary walk scores rank words by how centrally they sit in
+    * the corpus' phrase structure — the graph-theoretic answer to the
+    * same question q145's RAKE heuristic and q48's TF-IDF answer by
+    * counting. Damping 0.85, weighted transitions w/Σw (q152's
+    * weighted-rank semantics on the word graph).
+    *
+    * Shape for 100 TB: tokenize + adjacent-bigram explode partial-agg
+    * to the O(vocab²-bounded, phrase-sparse) edge frame — the only
+    * corpus-sized exchanges; the rank loop then runs entirely on the
+    * vocabulary graph (per round ONE equi-join + partial-agged sum,
+    * q01's loop shape with words for URLs), per-round state
+    * localCheckpoint'ed; transition fractions are 12-dp-gridded
+    * DECIMAL sums so both engines add identical rationals. */
+  def q249TextRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val pairsArr = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b")))
+    val nodes = graft.Checkpoints.deferFree(docs
+      .select(explode(w).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TextRankMinCount)
+      .select(col("term").as("word"))
+      .localCheckpoint())
+    val und = graft.Checkpoints.deferFree(docs.filter(size(w) >= 2)
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(nodes.select(col("word").as("a")), Seq("a"), "left_semi")
+      .join(nodes.select(col("word").as("b")), Seq("b"), "left_semi")
+      .select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint())
+    val edges = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val eside = graft.Checkpoints.deferFree(edges.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
+      .localCheckpoint())
+    var prev = nodes.select(col("word"), lit(1.0).as("score"))
+    for (_ <- 1 to TextRankRounds) {
+      prev = graft.Checkpoints.deferFree(eside
+        .join(prev.select(col("word").as("src"), col("score")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(round(lit(TextRankRestart) + lit(TextRankDamping) *
+          sum(round(col("frac") * col("score"), 12)
+            .cast(DecimalType(38, 12))).cast("double"), 12).as("score"))
+        .select(col("dst").as("word"), col("score"))
+        .localCheckpoint())
+    }
+    prev.orderBy(round(col("score"), 6).desc, col("word"))
+      .limit(TextRankTopK)
+      .select(col("word"), round(col("score"), 6).as("score"))
+  }
+
+  val q249Sql: String = {
+    val rounds = new StringBuilder("r0 AS (SELECT word, 1.0 AS score FROM nodes)")
+    var prev = "r0"
+    for (i <- 1 to TextRankRounds) {
+      rounds.append(s""",
+        |r$i AS (
+        |  SELECT e.dst AS word,
+        |    round($TextRankRestart + $TextRankDamping * CAST(sum(CAST(round(e.w / o.outw * p.score, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS score
+        |  FROM edges e JOIN outw o ON e.src = o.src JOIN $prev p ON e.src = p.word
+        |  GROUP BY 1)""".stripMargin)
+      prev = s"r$i"
+    }
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |adj AS (
+      |  SELECT w[i] AS a, w[i+1] AS b
+      |  FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cnt AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) GROUP BY 1),
+      |nodes AS (SELECT term AS word FROM cnt WHERE c >= $TextRankMinCount),
+      |und AS (
+      |  SELECT CASE WHEN a < b THEN a ELSE b END AS x,
+      |    CASE WHEN a < b THEN b ELSE a END AS y, count(*) AS w
+      |  FROM adj
+      |  WHERE a <> b AND a IN (SELECT word FROM nodes)
+      |    AND b IN (SELECT word FROM nodes)
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT x AS src, y AS dst, CAST(w AS DOUBLE) AS w FROM und
+      |  UNION ALL
+      |  SELECT y AS src, x AS dst, CAST(w AS DOUBLE) AS w FROM und),
+      |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+      |${rounds.toString}
+      |SELECT word, round(score, 6) AS score
+      |FROM $prev
+      |ORDER BY round(score, 6) DESC, word LIMIT $TextRankTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_heaps" -> q247Heaps,
+    "q249_textrank" -> q249TextRank,
     "q183_bpe_merges" -> q183BpeMerges,
     "q176_dp_release" -> q176DpRelease,
     "q167_heavy_hitters" -> q167HeavyHitters,
@@ -2315,6 +2532,8 @@ FROM res ORDER BY round"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q247_heaps" -> q247Sql,
+    "q249_textrank" -> q249Sql,
     "q183_bpe_merges" -> q183Sql,
     "q176_dp_release" -> q176Sql,
     "q167_heavy_hitters" -> q167Sql,
