@@ -1727,7 +1727,244 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
       |GROUP BY base.n, base.point_mean""".stripMargin
   }
 
+  // --------------------------------------------------------------- q251
+  /** Grid cell sizes: price units per x-cell, days per y-cell. */
+  val DbscanPriceCell = 20000L
+  val DbscanDayCell = 28L
+  /** Synchronized min-label propagation rounds (≡ the oracle's
+    * unrolled chain; the subcritical grid converges well inside it —
+    * the dry-run measured 0 unconverged cells at every SF). */
+  val DbscanRounds = 12
+
+  /** Grid-density clustering (DBSCAN's distributed shape) of orders in
+    * (price, order-month) space: points land in fixed grid cells, a
+    * cell is DENSE if its count clears the 75th percentile of cell
+    * counts (a quantile threshold, so the operator self-calibrates at
+    * any SF instead of carrying an absolute minPts that degenerates at
+    * 10× the data), and clusters are connected components of dense
+    * cells under 8-neighbor adjacency — classic GriDBSCAN: density
+    * estimation and connectivity both become bounded-cardinality
+    * problems. The quantile keeps density subcritical for Moore-
+    * neighborhood site percolation (p=0.25 < p_c≈0.407), so the output
+    * is MANY clusters, not one blob, at every SF.
+    *
+    * Shape for 100 TB: the corpus collapses to O(cells) in ONE
+    * partial-agged pass (the only corpus-sized exchange); the
+    * threshold is a 1-row broadcast percentile; adjacency is an
+    * 8-offset explode + equi-join of the O(cells) dense frame (never
+    * a distance self-join); the label loop runs `DbscanRounds`
+    * synchronized rounds on O(cells) rows with per-round
+    * localCheckpoint. */
+  def q251GridDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(
+        expr(s"CAST(o_totalprice AS BIGINT) div $DbscanPriceCell").as("x"),
+        expr("(unix_micros(CAST(o_orderdate AS timestamp)) div 86400000000)" +
+          s" div $DbscanDayCell").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val thr = cells.agg(percentile(col("cnt").cast("double"), lit(0.75)).as("t"))
+    val dense = graft.Checkpoints.deferFree(cells.crossJoin(broadcast(thr))
+      .filter(col("cnt").cast("double") > col("t"))
+      .select(col("x"), col("y"), col("cnt"),
+        (col("x") * 1000000L + col("y")).as("cid"))
+      .localCheckpoint())
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val adj = graft.Checkpoints.deferFree(dense
+      .select(col("cid"), explode(array(offs: _*)).as("o"), col("x"), col("y"))
+      .select(col("cid"), (col("x") + col("o.dx")).as("nx"),
+        (col("y") + col("o.dy")).as("ny"))
+      .join(dense.select(col("x").as("nx"), col("y").as("ny"),
+        col("cid").as("nid")), Seq("nx", "ny"))
+      .select(col("cid"), col("nid"))
+      .localCheckpoint())
+    var labels = dense.select(col("cid"), col("cid").as("lbl"))
+    for (_ <- 1 to DbscanRounds) {
+      val mins = adj
+        .join(labels.select(col("cid").as("nid"), col("lbl")), Seq("nid"))
+        .groupBy(col("cid")).agg(min(col("lbl")).as("ml"))
+      labels = graft.Checkpoints.deferFree(labels
+        .join(mins, Seq("cid"), "left")
+        .select(col("cid"),
+          least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+        .localCheckpoint())
+    }
+    labels.join(dense, Seq("cid"))
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("n_points").desc, col("cluster"))
+  }
+
+  val q251Sql: String = {
+    val rounds = new StringBuilder(
+      "l0 AS MATERIALIZED (SELECT cid, cid AS lbl FROM dense)")
+    var prev = "l0"
+    for (i <- 1 to DbscanRounds) {
+      rounds.append(s""",
+l$i AS MATERIALIZED (
+  SELECT v.cid, least(v.lbl, coalesce(m.ml, v.lbl)) AS lbl
+  FROM $prev v LEFT JOIN (
+    SELECT a.cid AS mid, min(p.lbl) AS ml
+    FROM adj a JOIN $prev p ON a.nid = p.cid GROUP BY a.cid) m
+  ON v.cid = m.mid)""")
+      prev = s"l$i"
+    }
+    s"""WITH cells AS (
+  SELECT CAST(o_totalprice AS BIGINT) // $DbscanPriceCell AS x,
+    epoch_us(o_orderdate) // 86400000000 // $DbscanDayCell AS y,
+    count(*) AS cnt
+  FROM orders GROUP BY 1, 2),
+thr AS (SELECT quantile_cont(CAST(cnt AS DOUBLE), 0.75) AS t FROM cells),
+dense AS MATERIALIZED (
+  SELECT x, y, cnt, x * 1000000 + y AS cid
+  FROM cells CROSS JOIN thr WHERE CAST(cnt AS DOUBLE) > t),
+adj AS MATERIALIZED (
+  SELECT a.cid, b.cid AS nid
+  FROM dense a JOIN dense b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND a.cid <> b.cid),
+${rounds.toString}
+SELECT l.lbl AS cluster, count(*) AS n_cells,
+  CAST(sum(d.cnt) AS BIGINT) AS n_points,
+  min(d.x) AS min_x, max(d.x) AS max_x,
+  min(d.y) AS min_y, max(d.y) AS max_y
+FROM $prev l JOIN dense d ON l.cid = d.cid
+GROUP BY 1 ORDER BY n_points DESC, cluster"""
+  }
+
+  // --------------------------------------------------------------- q256
+  /** Channel bit assignment, alphabetical: click=1, error=2, signup=4,
+    * view=8. */
+  val ShapleyChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+
+  /** Exact Shapley-value channel attribution — the OTHER canonical
+    * attribution beside q182's Markov removal effect: each channel's
+    * credit for conversions is its average marginal contribution over
+    * all 4! orderings of the channel set (the unique allocation that
+    * is efficient, symmetric and dummy-free). Exposure is the set of
+    * channels a user touched BEFORE their first purchase (the
+    * attribution window — post-conversion noise does not earn credit);
+    * the coalition value v(S) counts conversions of users whose whole
+    * exposure set fits inside S. With 4 channels the 16 coalition
+    * values are exact integers and the 24·φ weights (6,2,2,6) make
+    * every Shapley value an exact integer rational — the hash needs no
+    * float convention at all until the two final divisions.
+    *
+    * Shape for 100 TB: the corpus collapses to a ≤16-row (mask →
+    * conversions) frame in ONE partial-agged pass over the event scan
+    * joined to the O(users) first-purchase frame; everything after is
+    * a bounded 16×16 coalition enumeration of broadcast literals. */
+  def q256Shapley(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .localCheckpoint())
+    val firstp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("fp"))
+    val before = col("fp").isNull || col("ts_us") < col("fp")
+    val maskExpr = ShapleyChannels.map { case (c, b) =>
+      max(when(col("event_type") === c && before, 1L).otherwise(0L)) * b
+    }.reduce(_ + _)
+    val bymask = ev.join(firstp, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(maskExpr.as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .groupBy(col("mask")).agg(sum(col("conv")).as("n_conv"))
+    val coal = spark.range(16).select(col("id").cast("long").as("s"))
+    val v = graft.Checkpoints.deferFree(coal
+      .join(broadcast(bymask),
+        col("mask").bitwiseAND(lit(15L) - col("s")) === 0L,
+        "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+      .localCheckpoint())
+    val chan = ShapleyChannels.map { case (c, b) =>
+      struct(lit(c).as("channel"), lit(b.toLong).as("bit")) }
+    val chanDf = spark.range(1)
+      .select(explode(array(chan: _*)).as("c"))
+      .select(col("c.channel").as("channel"), col("c.bit").as("bit"))
+    val ssize = Seq(1L, 2L, 4L, 8L).map(b =>
+      when(col("s").bitwiseAND(lit(b)) === b, 1).otherwise(0)).reduce(_ + _)
+    val weight = when(col("ssize") === 0, 6L).when(col("ssize") === 1, 2L)
+      .when(col("ssize") === 2, 2L).otherwise(6L)
+    val marg = chanDf.join(broadcast(coal),
+      col("s").bitwiseAND(col("bit")) === 0L)
+      .withColumn("ssize", ssize)
+      .join(broadcast(v.select((col("s")).as("sw"), col("v").as("v_with"))),
+        col("sw") === (col("s").bitwiseOR(col("bit"))))
+      .join(broadcast(v.select(col("s").as("so"), col("v").as("v_without"))),
+        col("so") === col("s"))
+    val phi = marg.groupBy(col("channel"))
+      .agg(sum(weight * (col("v_with") - col("v_without"))).as("phi24"))
+    val tot = phi.agg(sum(col("phi24")).as("tot24"))
+    val vf = v.filter(col("s") === 15L).select(col("v").as("v_full"))
+    val ve = v.filter(col("s") === 0L).select(col("v").as("v_empty"))
+    phi.crossJoin(broadcast(tot)).crossJoin(broadcast(vf))
+      .crossJoin(broadcast(ve))
+      .select(col("channel"), col("phi24"),
+        round(col("phi24") / lit(24.0), 6).as("phi"),
+        round(col("phi24").cast("double") / col("tot24"), 6).as("share"),
+        col("v_full"), col("v_empty"))
+      .orderBy(col("channel"))
+  }
+
+  val q256Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |firstp AS (
+      |  SELECT user_id, min(ts_us) AS fp FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |peruser AS (
+      |  SELECT e.user_id,
+      |    max(CASE WHEN e.event_type = 'click'
+      |        AND (f.fp IS NULL OR e.ts_us < f.fp) THEN 1 ELSE 0 END)
+      |      + 2 * max(CASE WHEN e.event_type = 'error'
+      |        AND (f.fp IS NULL OR e.ts_us < f.fp) THEN 1 ELSE 0 END)
+      |      + 4 * max(CASE WHEN e.event_type = 'signup'
+      |        AND (f.fp IS NULL OR e.ts_us < f.fp) THEN 1 ELSE 0 END)
+      |      + 8 * max(CASE WHEN e.event_type = 'view'
+      |        AND (f.fp IS NULL OR e.ts_us < f.fp) THEN 1 ELSE 0 END) AS mask,
+      |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM ev e LEFT JOIN firstp f USING (user_id) GROUP BY 1),
+      |bymask AS (
+      |  SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv FROM peruser GROUP BY 1),
+      |coal AS (SELECT unnest(generate_series(0, 15)) AS s),
+      |v AS (
+      |  SELECT c.s, CAST(coalesce(sum(b.n_conv), 0) AS BIGINT) AS v
+      |  FROM coal c LEFT JOIN bymask b ON (b.mask & (15 - c.s)) = 0
+      |  GROUP BY 1),
+      |chan AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |  ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |marg AS (
+      |  SELECT ch.channel,
+      |    CASE WHEN (c.s & 1 = 1) THEN 1 ELSE 0 END
+      |      + CASE WHEN (c.s & 2 = 2) THEN 1 ELSE 0 END
+      |      + CASE WHEN (c.s & 4 = 4) THEN 1 ELSE 0 END
+      |      + CASE WHEN (c.s & 8 = 8) THEN 1 ELSE 0 END AS ssize,
+      |    vs.v AS v_with, vwo.v AS v_without
+      |  FROM chan ch JOIN coal c ON (c.s & ch.bit) = 0
+      |  JOIN v vs ON vs.s = (c.s | ch.bit) JOIN v vwo ON vwo.s = c.s),
+      |phi AS (
+      |  SELECT channel,
+      |    CAST(sum((CASE ssize WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+      |      * (v_with - v_without)) AS BIGINT) AS phi24
+      |  FROM marg GROUP BY 1),
+      |tot AS (SELECT CAST(sum(phi24) AS BIGINT) AS tot24,
+      |  (SELECT v FROM v WHERE s = 15) AS v_full,
+      |  (SELECT v FROM v WHERE s = 0) AS v_empty FROM phi)
+      |SELECT p.channel, p.phi24,
+      |  round(p.phi24 / 24.0, 6) AS phi,
+      |  round(CAST(p.phi24 AS DOUBLE) / t.tot24, 6) AS share,
+      |  t.v_full, t.v_empty
+      |FROM phi p CROSS JOIN tot t ORDER BY p.channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_grid_dbscan" -> q251GridDbscan,
+    "q256_shapley" -> q256Shapley,
     "q246_kruskal" -> q246Kruskal,
     "q250_bootstrap" -> q250Bootstrap,
     "q243_ranksum" -> q243RankSum,
@@ -1752,6 +1989,8 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q251_grid_dbscan" -> q251Sql,
+    "q256_shapley" -> q256Sql,
     "q246_kruskal" -> q246Sql,
     "q250_bootstrap" -> q250Sql,
     "q243_ranksum" -> q243Sql,

@@ -1371,7 +1371,89 @@ ORDER BY c.cohort, c.offset_days"""
       |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
       |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q254
+  /** Benford first-digit probabilities log10(1 + 1/d), 6-dp grid —
+    * shared literal constants so both engines expand the identical
+    * expected counts. */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+  /** Chi-square critical value, df = 8, alpha .05. */
+  val BenfordChi2Crit = 15.507313
+
+  /** Benford's-law first-digit audit of event values — the forensic
+    * data-quality screen (fabricated, clipped, or unit-mixed numeric
+    * columns bend the leading-digit curve long before any magnitude
+    * statistic moves): observed vs log10(1+1/d) expected counts per
+    * digit 1–9 plus the chi-square conformance call. The leading digit
+    * is taken from the EXACT micro-unit integer (round(value·10⁶) as
+    * int64 → first character of its decimal string), never from
+    * float log10 arithmetic whose off-by-ulp at exact powers of 10
+    * would flip a digit cross-engine (q109's bucket lesson).
+    *
+    * Shape for 100 TB: one map-side digit projection + a 9-bucket
+    * partial agg — the exchange carries ≤9 rows per partition; the
+    * chi-square is a 9-term gridded DECIMAL sum against a broadcast
+    * literal table. */
+  def q254Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = Tables.events(spark, sfDir)
+      .filter(col("value") > 0)
+      .select(round(col("value") * lit(1000000.0)).cast("long").as("i"))
+      .filter(col("i") > 0)
+      .select(substring(col("i").cast("string"), 1, 1).cast("long").as("digit"))
+    val obs = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expLits = BenfordP.map { case (d, p) =>
+      struct(lit(d.toLong).as("digit"), lit(p).as("p")) }
+    val expDf = spark.range(1).select(explode(array(expLits: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.p").as("p"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val cells = graft.Checkpoints.deferFree(expDf
+      .join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n"), round(col("n") * col("p"), 6).as("n_exp"))
+      .localCheckpoint())
+    val chi = cells.agg(
+      sum(round((col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp"))
+        / col("n_exp"), 6).cast(DecimalType(38, 6))).as("chi2d"))
+    cells.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"), col("n_exp"),
+        round(col("n_obs").cast("double") / col("n"), 6).as("obs_share"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        (col("chi2d").cast("double") > BenfordChi2Crit).as("nonconforming"))
+      .orderBy(col("digit"))
+  }
+
+  val q254Sql: String = {
+    val plist = BenfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH micro AS (
+      |  SELECT CAST(round(value * 1000000) AS BIGINT) AS i
+      |  FROM events WHERE value > 0),
+      |digits AS (
+      |  SELECT CAST(substr(CAST(i AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM micro WHERE i > 0),
+      |obs AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+      |exp AS (SELECT digit, CAST(p AS DOUBLE) AS p
+      |  FROM (VALUES $plist) AS t(digit, p)),
+      |cells AS (
+      |  SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs, t.n,
+      |    round(t.n * e.p, 6) AS n_exp
+      |  FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot t),
+      |chi AS (
+      |  SELECT CAST(sum(CAST(round((n_obs - n_exp) * (n_obs - n_exp) / n_exp, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+      |  FROM cells)
+      |SELECT c.digit, c.n_obs, c.n_exp,
+      |  round(CAST(c.n_obs AS DOUBLE) / c.n, 6) AS obs_share,
+      |  round(ch.chi2, 6) AS chi2, ch.chi2 > $BenfordChi2Crit AS nonconforming
+      |FROM cells c CROSS JOIN chi ch
+      |ORDER BY c.digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_benford" -> q254Benford,
     "q193_shipping_priority" -> q193ShippingPriority,
     "q180_salt_plan" -> q180SaltPlan,
     "q168_waiting_suppliers" -> q168WaitingSuppliers,
@@ -1400,6 +1482,7 @@ ORDER BY c.cohort, c.offset_days"""
     "q59_setops" -> q59SetOps)
 
   val oracles: Map[String, String] = Map(
+    "q254_benford" -> q254Sql,
     "q193_shipping_priority" -> q193Sql,
     "q180_salt_plan" -> q180Sql,
     "q168_waiting_suppliers" -> q168Sql,

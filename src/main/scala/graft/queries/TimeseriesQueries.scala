@@ -1173,7 +1173,108 @@ object TimeseriesQueries {
       |        ELSE 'none' END) AS trend
       |FROM z ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q253
+  /** CUSUM slack = σ/2, alarm threshold = 4σ (the textbook tuning for
+    * detecting a 1σ mean shift). */
+  val CusumSlackSigma = 0.5
+  val CusumThreshSigma = 4.0
+
+  /** One-sided CUSUM drift detection over the hourly mean-value series
+    * per event type — the sequential change detector between q63's
+    * memoryless z-score and q77's single-jump test: small persistent
+    * shifts that never trip a per-hour threshold ACCUMULATE until the
+    * cusum S_t = max(0, S_{t−1} + (x_t − μ − k)) crosses h. The
+    * recursion is not window-expressible directly, but the classic
+    * identity S_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sum of the
+    * slack-adjusted deviations) turns it into TWO stacked running
+    * windows — a cumulative sum and a running minimum — so the whole
+    * detector stays declarative.
+    *
+    * Shape for 100 TB: the corpus collapses to the O(types × hours)
+    * hourly frame in ONE partial-agged pass; μ/σ are per-type scalars
+    * from 12-dp-gridded DECIMAL moments; both running windows are
+    * hash-partitioned per type and both engines accumulate the
+    * prefix sums in the identical ORDER BY h sequence, so the doubles
+    * agree bit for bit. */
+  def q253Cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(round(sum(round(col("value"), 6).cast(DecimalType(38, 6)))
+        .cast("double") / count(lit(1)), 6).as("m"))
+      .localCheckpoint())
+    val sd = sqrt((col("n") * col("smm") - col("sm") * col("sm"))
+      / (col("n").cast("double") * col("n")))
+    val params = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast(DecimalType(38, 12))).cast("double").as("sm"),
+        sum(round(col("m") * col("m"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("smm"))
+      .select(col("event_type"), col("n"),
+        round(col("sm") / col("n"), 6).as("mu"),
+        round(lit(CusumSlackSigma) * sd, 6).as("k"),
+        round(lit(CusumThreshSigma) * sd, 6).as("hthr"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = hourly.join(params, Seq("event_type"))
+      .select(col("event_type"), col("h"), col("n"), col("hthr"),
+        round(col("m") - col("mu") - col("k"), 6).as("dd"))
+      .withColumn("pt", sum(col("dd")).over(wRun))
+      .withColumn("minp", min(col("pt")).over(wRun))
+      .withColumn("st", col("pt") - least(lit(0.0), col("minp")))
+    st.groupBy(col("event_type"), col("n").as("n_hours"), col("hthr"))
+      .agg(sum(when(col("st") > col("hthr"), 1L).otherwise(0L)).as("n_alarms"),
+        round(max(col("st")), 6).as("max_s"),
+        coalesce(min(when(col("st") > col("hthr"), col("h"))), lit(-1L))
+          .as("first_alarm_h"))
+      .select(col("event_type"), col("n_hours"), col("n_alarms"),
+        col("max_s"), col("first_alarm_h"), round(col("hthr"), 6).as("threshold"))
+      .orderBy(col("event_type"))
+  }
+
+  val q253Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      / count(*), 6) AS m
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+      |    CAST(sum(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS smm
+      |  FROM hourly GROUP BY 1),
+      |params AS (
+      |  SELECT event_type, n,
+      |    round(sm / n, 6) AS mu,
+      |    round($CusumSlackSigma * sqrt((n * smm - sm * sm) / (CAST(n AS DOUBLE) * n)), 6) AS k,
+      |    round($CusumThreshSigma * sqrt((n * smm - sm * sm) / (CAST(n AS DOUBLE) * n)), 6) AS hthr
+      |  FROM stats),
+      |d AS (
+      |  SELECT h.event_type, h.h,
+      |    round(h.m - p.mu - p.k, 6) AS dd, p.hthr, p.n
+      |  FROM hourly h JOIN params p USING (event_type)),
+      |pre1 AS (
+      |  SELECT event_type, h, hthr, n,
+      |    sum(dd) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      |  FROM d),
+      |pre AS (
+      |  SELECT event_type, h, hthr, n, pt,
+      |    min(pt) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+      |  FROM pre1),
+      |s AS (
+      |  SELECT event_type, h, n, hthr,
+      |    pt - least(0.0, minp) AS st
+      |  FROM pre)
+      |SELECT event_type, n AS n_hours,
+      |  CAST(sum(CASE WHEN st > hthr THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |  round(max(st), 6) AS max_s,
+      |  coalesce(min(CASE WHEN st > hthr THEN h END), -1) AS first_alarm_h,
+      |  round(hthr, 6) AS threshold
+      |FROM s GROUP BY event_type, n, hthr ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_cusum" -> q253Cusum,
     "q248_mann_kendall" -> q248MannKendall,
     "q241_gap_fill" -> q241GapFill,
     "q244_theilsen" -> q244TheilSen,
@@ -1191,6 +1292,7 @@ object TimeseriesQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q253_cusum" -> q253Sql,
     "q248_mann_kendall" -> q248Sql,
     "q241_gap_fill" -> q241Sql,
     "q244_theilsen" -> q244Sql,

@@ -675,7 +675,73 @@ FROM scored ORDER BY user_id""".stripMargin
       |  lat AS avg_step_latency_s
       |FROM s ORDER BY stage""".stripMargin
 
+  // --------------------------------------------------------------- q252
+  /** Top-k sequential rules to report. */
+  val SeqMiningTopK = 20
+
+  /** Sequential-pattern mining over per-user clickstreams — frequent
+    * event-type TRIGRAMS with session-style support (distinct users
+    * exhibiting the pattern) and rule confidence vs their bigram
+    * prefix: the PrefixSpan-lite step past q96's Markov transitions
+    * (which see only order-1 structure) — a trigram whose confidence
+    * beats its prefix's base rate is a genuine order-2 behavioral
+    * rule, the thing a recommender or an anomaly model conditions on.
+    * Ordering is (ts, event_id) — total, so tied timestamps cannot
+    * make the mined patterns nondeterministic (the q223 lesson).
+    *
+    * Shape for 100 TB: ONE hash shuffle on user_id; trigrams
+    * materialize as two lead() columns inside the sorted partition
+    * (never an array build or a self-join); supports partial-agg to
+    * O(event_type³) rows; top-k is a TakeOrdered. */
+  def q252SeqMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tri = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("t1"), expr("ts div 1000").as("ts_us"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .localCheckpoint())
+    val tsup = tri.filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("support"))
+    val bsup = tri.filter(col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"))
+      .agg(countDistinct(col("user_id")).as("bi_support"))
+    tsup.join(bsup, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n_occ"), col("support"),
+        col("bi_support"),
+        round(col("support").cast("double") / col("bi_support"), 6)
+          .as("confidence"))
+      .orderBy(col("support").desc, col("t1"), col("t2"), col("t3"))
+      .limit(SeqMiningTopK)
+  }
+
+  val q252Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |tri AS (
+      |  SELECT user_id, event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |tsup AS (
+      |  SELECT t1, t2, t3, count(*) AS n_occ,
+      |    count(DISTINCT user_id) AS support
+      |  FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+      |bsup AS (
+      |  SELECT t1, t2, count(DISTINCT user_id) AS bi_support
+      |  FROM tri WHERE t2 IS NOT NULL GROUP BY 1, 2)
+      |SELECT t.t1, t.t2, t.t3, t.n_occ, t.support, b.bi_support,
+      |  round(CAST(t.support AS DOUBLE) / b.bi_support, 6) AS confidence
+      |FROM tsup t JOIN bsup b ON t.t1 = b.t1 AND t.t2 = b.t2
+      |ORDER BY t.support DESC, t.t1, t.t2, t.t3 LIMIT $SeqMiningTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_seq_mining" -> q252SeqMining,
     "q223_path_perplexity" -> q223PathPerplexity,
     "q146_window_funnel" -> q146WindowFunnel,
     "q125_attribution" -> q125Attribution,
@@ -690,6 +756,7 @@ FROM scored ORDER BY user_id""".stripMargin
     "q71_sliding_window" -> q71SlidingWindow)
 
   val oracles: Map[String, String] = Map(
+    "q252_seq_mining" -> q252Sql,
     "q223_path_perplexity" -> q223Sql,
     "q146_window_funnel" -> q146Sql,
     "q125_attribution" -> q125Sql,

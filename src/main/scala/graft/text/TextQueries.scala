@@ -2489,7 +2489,87 @@ FROM res ORDER BY round"""
       |ORDER BY round(score, 6) DESC, word LIMIT $TextRankTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------- q255
+  /** Report rows for counts 1..cap (the smoothing regime; higher
+    * counts are reliable as-is). */
+  val GoodTuringRCap = 10L
+
+  /** Good–Turing frequency-of-frequencies smoothing over word 4-grams
+    * — the third leg of the LM-estimation family (q81 add-one, q245
+    * Kneser–Ney): S(r) = #grams seen exactly r times, the adjusted
+    * count r* = (r+1)·S(r+1)/S(r), and the headline P(unseen) =
+    * S(1)/N that tells a decontamination or novelty pipeline how much
+    * probability mass the NEXT corpus shard will spend on 4-grams
+    * never seen in this one. 4-grams (not unigrams) because the
+    * fixture's closed vocabulary saturates word counts — the sparse
+    * regime where Good–Turing is meaningful lives at n-gram level
+    * (p_unseen ≈ 0.88 at sf0.001, 0.67 at sf0.1).
+    *
+    * Shape for 100 TB: one gram explode partial-aggs to gram counts
+    * (grams ride the exchange as the portable 64-bit (hlo, hhi) md5
+    * pair — q22's convention — never ~25-byte strings), counts
+    * re-aggregate to the O(max count) frequency-of-frequencies frame,
+    * and everything after runs on ≤ cap rows with two 1-row
+    * broadcasts. */
+  def q255GoodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val gramsArr = transform(sequence(lit(1), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2), element_at(w, i + 3)))
+    val cnt = Tables.documents(spark, sfDir)
+      .filter(size(w) >= 4)
+      .select(explode(gramsArr).as("g"))
+      .select(MF.hash32(col("g")).as("hlo"), MF.hash32b(col("g")).as("hhi"))
+      .groupBy(col("hlo"), col("hhi")).agg(count(lit(1)).as("r"))
+    val fof = graft.Checkpoints.deferFree(cnt
+      .groupBy(col("r")).agg(count(lit(1)).as("s_r"))
+      .localCheckpoint())
+    val tot = fof.agg(sum(col("r") * col("s_r")).as("n_grams"),
+      sum(col("s_r")).as("vocab"))
+    val s1 = fof.filter(col("r") === 1L)
+      .agg(coalesce(sum(col("s_r")), lit(0L)).as("s1"))
+    fof.filter(col("r") <= GoodTuringRCap)
+      .join(fof.select((col("r") - 1).as("r"), col("s_r").as("s_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(s1))
+      .select(col("r"), col("s_r"),
+        round((col("r") + 1) * coalesce(col("s_next"), lit(0L))
+          .cast("double") / col("s_r"), 6).as("r_star"),
+        col("n_grams"), col("vocab"),
+        round(col("s1").cast("double") / col("n_grams"), 6).as("p_unseen"))
+      .orderBy(col("r"))
+  }
+
+  val q255Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+      |  FROM tok, unnest(generate_series(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 4),
+      |cnt AS (
+      |  SELECT ${Sql.hash32("g")} AS hlo, ${Sql.hash32OfHexAt("md5(g)", 9)} AS hhi,
+      |    count(*) AS r
+      |  FROM grams GROUP BY 1, 2),
+      |fof AS (SELECT r, count(*) AS s_r FROM cnt GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(r * s_r) AS BIGINT) AS n_grams,
+      |    CAST(sum(s_r) AS BIGINT) AS vocab
+      |  FROM fof),
+      |s1 AS (
+      |  SELECT CAST(coalesce(sum(s_r), 0) AS BIGINT) AS s1
+      |  FROM fof WHERE r = 1),
+      |capped AS (SELECT * FROM fof WHERE r <= $GoodTuringRCap)
+      |SELECT c.r, c.s_r,
+      |  round(CAST((c.r + 1) * coalesce(nx.s_r, 0) AS DOUBLE) / c.s_r, 6) AS r_star,
+      |  t.n_grams, t.vocab,
+      |  round(CAST(s1.s1 AS DOUBLE) / t.n_grams, 6) AS p_unseen
+      |FROM capped c LEFT JOIN fof nx ON nx.r = c.r + 1
+      |CROSS JOIN tot t CROSS JOIN s1
+      |ORDER BY c.r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_good_turing" -> q255GoodTuring,
     "q247_heaps" -> q247Heaps,
     "q249_textrank" -> q249TextRank,
     "q183_bpe_merges" -> q183BpeMerges,
@@ -2532,6 +2612,7 @@ FROM res ORDER BY round"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q255_good_turing" -> q255Sql,
     "q247_heaps" -> q247Sql,
     "q249_textrank" -> q249Sql,
     "q183_bpe_merges" -> q183Sql,
