@@ -1842,7 +1842,267 @@ FROM club_sizes LEFT JOIN club_edges USING (k)
 ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q261
+  /** Brandes seed count and level budget (the dense host graph's BFS
+    * DAG is ≤ 3 levels deep at every SF; 8 is headroom). */
+  val BetweennessSeeds = 4
+  val BetweennessRounds = 8
+
+  /** Sampled Brandes betweenness centrality of the host graph — WHERE
+    * does rank flow THROUGH (q135's closeness says who is near
+    * everything; betweenness says who brokers it — the cut-vertex /
+    * chokepoint signal behind crawl-frontier router placement): per
+    * seed a forward BFS builds the shortest-path DAG with exact int64
+    * path counts σ, then dependencies δ(v) = Σ σ(v)/σ(w)·(1+δ(w))
+    * accumulate backward level by level (`graph/Betweenness`, Brandes
+    * 2001); betweenness = Σ_seeds δ. K seeds ARE the scale path —
+    * exact betweenness is all-pairs.
+    *
+    * Shape for 100 TB: MultiBfs' loop with a σ payload — per round one
+    * equi-join of the cached edge side + partial-agged σ + anti-join;
+    * the backward pass replays the same joins in reverse on the
+    * O(n·K) level-sliced frame; δ terms 12-dp-gridded DECIMAL. */
+  def q261Betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val seeds = WebGraph.vertices(hedges).orderBy(col("id"))
+      .limit(BetweennessSeeds)
+    graft.graph.Betweenness.run(hedges, seeds, BetweennessRounds)
+      .select(col("id").as("host"), col("betweenness"))
+      .orderBy(col("host"))
+  }
+
+  val q261Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT $BetweennessSeeds),
+r AS (
+  SELECT id AS seed, id, 0 AS d FROM seeds
+  UNION
+  SELECT r.seed, h.dst, r.d + 1 FROM r JOIN hedges h ON h.src = r.id
+  WHERE r.d < $BetweennessRounds),
+dm AS MATERIALIZED (SELECT seed, id, CAST(min(d) AS BIGINT) AS d FROM r GROUP BY 1, 2),
+sig0 AS MATERIALIZED (SELECT seed, id, CAST(1 AS BIGINT) AS sigma FROM dm WHERE d = 0)"""
+    for (l <- 1 to BetweennessRounds) {
+      sb ++= s""",
+sig$l AS MATERIALIZED (
+  SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM dm m JOIN hedges h ON h.dst = m.id
+  JOIN sig${l - 1} p ON p.seed = m.seed AND p.id = h.src
+  WHERE m.d = $l GROUP BY 1, 2)"""
+    }
+    sb ++= ",\nsigall AS MATERIALIZED (" + (0 to BetweennessRounds)
+      .map(l => s"SELECT seed, id, sigma, CAST($l AS BIGINT) AS lvl FROM sig$l")
+      .mkString(" UNION ALL ") + ")"
+    sb ++= s""",
+del$BetweennessRounds AS MATERIALIZED (
+  SELECT seed, id, 0.0 AS delta FROM sigall WHERE lvl = $BetweennessRounds)"""
+    for (l <- (BetweennessRounds - 1) to 0 by -1) {
+      sb ++= s""",
+del$l AS MATERIALIZED (
+  SELECT s.seed, s.id,
+    CAST(coalesce(sum(CAST(round(s.sigma / CAST(w.sigma AS DOUBLE) * (1.0 + coalesce(dw.delta, 0.0)), 12) AS DECIMAL(38,12))), 0) AS DOUBLE) AS delta
+  FROM sigall s
+  JOIN hedges h ON h.src = s.id
+  JOIN sigall w ON w.seed = s.seed AND w.id = h.dst AND w.lvl = ${l + 1}
+  LEFT JOIN del${l + 1} dw ON dw.seed = s.seed AND dw.id = w.id
+  WHERE s.lvl = $l
+  GROUP BY 1, 2)"""
+    }
+    sb ++= ",\ndelall AS (" + (0 until BetweennessRounds)
+      .map(l => s"SELECT seed, id, delta FROM del$l").mkString(" UNION ALL ") + ")"
+    sb ++= """
+SELECT v.id AS host,
+  round(coalesce(CAST(sum(CASE WHEN d.id <> d.seed
+    THEN CAST(d.delta AS DECIMAL(38,12)) END) AS DOUBLE), 0.0), 6) AS betweenness
+FROM verts v LEFT JOIN delall d ON d.id = v.id
+GROUP BY 1 ORDER BY host"""
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- q262
+  /** Seed count for the sampled distance fields and the quantile that
+    * defines "effective". */
+  val EffDiamSeeds = 8
+  val EffDiamMaxRounds = 32
+
+  /** Effective diameter (90th-percentile hop distance) of the host
+    * graph from sampled BFS fields — the Leskovec-style "how small is
+    * this world" census that SIZES loop budgets (q66/q69/q87 round
+    * counts) before any iterative job runs, refining q119's two-sweep
+    * lower bound into a full distance distribution: per-hop counts,
+    * cumulative share, the smallest d covering ≥90% of reached pairs,
+    * and the mean distance.
+    *
+    * Shape for 100 TB: [[graft.graph.MultiBfs]]'s K-seed loop (the
+    * q135 engine, appends-only state, fixed-point early exit ≡ the
+    * oracle's capped recursion); everything after the O(n·K) distance
+    * frame is an O(diameter)-row histogram + windows over ≤ 32 rows. */
+  def q262EffDiameter(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val seeds = WebGraph.vertices(hedges).orderBy(col("id")).limit(EffDiamSeeds)
+    val pairs = graft.graph.MultiBfs.run(hedges, seeds, EffDiamMaxRounds)
+    val hist = graft.Checkpoints.deferFree(pairs.filter(col("dist") > 0)
+      .groupBy(col("dist").as("d")).agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val tot = hist.agg(sum(col("n")).as("nt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("d"), col("n"), sum(col("n")).over(w).as("c"))
+      .crossJoin(broadcast(tot))
+    val eff = cum
+      .agg(min(when(col("c") >= ceil(lit(0.9) * col("nt")).cast("long"),
+        col("d"))).as("eff_d"))
+    val mean = hist.crossJoin(broadcast(tot))
+      .agg(round(sum(col("d") * col("n")).cast("double") / max(col("nt")), 6)
+        .as("mean_d"))
+    cum.crossJoin(broadcast(eff)).crossJoin(broadcast(mean))
+      .select(col("d"), col("n"),
+        round(col("c").cast("double") / col("nt"), 6).as("cum_share"),
+        col("eff_d"), col("mean_d"))
+      .orderBy(col("d"))
+  }
+
+  val q262Sql: String =
+    s"""WITH RECURSIVE $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT $EffDiamSeeds),
+r AS (
+  SELECT id AS seed, id, 0 AS d FROM seeds
+  UNION
+  SELECT r.seed, h.dst, r.d + 1 FROM r JOIN hedges h ON h.src = r.id
+  WHERE r.d < $EffDiamMaxRounds),
+dm AS (SELECT seed, id, CAST(min(d) AS BIGINT) AS d FROM r GROUP BY 1, 2),
+hist AS (SELECT d, count(*) AS n FROM dm WHERE d > 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist),
+cum AS (
+  SELECT d, n, CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS c FROM hist),
+eff AS (
+  SELECT min(d) AS eff_d FROM cum CROSS JOIN tot
+  WHERE c >= CAST(ceil(0.9 * nt) AS BIGINT)),
+mean AS (
+  SELECT round(CAST(sum(d * n) AS DOUBLE) / sum(n), 6) AS mean_d FROM hist)
+SELECT c.d, c.n, round(CAST(c.c AS DOUBLE) / t.nt, 6) AS cum_share,
+  e.eff_d, m.mean_d
+FROM cum c CROSS JOIN tot t CROSS JOIN eff e CROSS JOIN mean m
+ORDER BY c.d""".stripMargin
+
+  // ---------------------------------------------------------------- q263
+  /** Luby rounds (the dense fixture graph resolves in ≤ 3). */
+  val MisRounds = 6
+
+  /** Luby's maximal independent set over the undirected host graph —
+    * the conflict-free SCHEDULING primitive beside q214's matching
+    * (matching pairs hosts; MIS picks a maximum antichain — hosts that
+    * can all be crawled/updated simultaneously because none neighbors
+    * another): each round every alive vertex draws a deterministic
+    * hash priority, strict local minima (ties broken by id — a total
+    * order, so the rounds are replayable) enter the set, and winners
+    * plus their neighborhoods leave. Reports membership, the selecting
+    * round, and the unresolved count after the budget (0 PROVES
+    * maximality).
+    *
+    * Shape for 100 TB: per round two hash equi-joins (neighbor
+    * priority compare) + two anti-joins on the shrinking alive frame —
+    * the q214 loop shape; pure-hash priorities, so the oracle replays
+    * the identical set over `MisRounds` unrolled MATERIALIZED rounds. */
+  def q263Mis(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val und = graft.Checkpoints.deferFree(hedges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(hedges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint())
+    val verts = WebGraph.vertices(hedges)
+    var alive = graft.Checkpoints.deferFree(verts.localCheckpoint())
+    val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to MisRounds) {
+      val pri = graft.Checkpoints.deferFree(alive
+        .withColumn("p", graft.functions.MathFunctions.hash32(
+          concat(lit(s"mis:$r:"), col("id"))))
+        .localCheckpoint())
+      val nbr = pri.select(col("id").as("nid"), col("p").as("np"))
+      val losers = pri.join(und, col("id") === col("a"))
+        .join(nbr, col("b") === col("nid"))
+        .filter(col("np") < col("p") ||
+          (col("np") === col("p") && col("nid") < col("id")))
+        .select(col("id")).distinct()
+      val sel = graft.Checkpoints.deferFree(pri.select(col("id"))
+        .join(losers, Seq("id"), "left_anti")
+        .withColumn("rnd", lit(r))
+        .localCheckpoint())
+      sels += sel
+      val removed = sel.select(col("id"))
+        .unionByName(und.join(sel.select(col("id").as("a")), Seq("a"))
+          .select(col("b").as("id")))
+        .distinct()
+      alive = graft.Checkpoints.deferFree(alive
+        .join(removed, Seq("id"), "left_anti")
+        .localCheckpoint())
+    }
+    val mis = sels.reduce(_ unionByName _)
+    val unresolved = alive.agg(count(lit(1)).as("n_unresolved"))
+    verts.join(mis.select(col("id"), col("rnd")), Seq("id"), "left")
+      .crossJoin(broadcast(unresolved))
+      .select(col("id").as("host"), col("rnd").isNotNull.as("in_mis"),
+        coalesce(col("rnd"), lit(-1)).as("selected_round"),
+        col("n_unresolved"))
+      .orderBy(col("host"))
+  }
+
+  val q263Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM hedges UNION SELECT dst FROM hedges)),
+und AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM hedges UNION SELECT dst AS a, src AS b FROM hedges)
+  WHERE a <> b),
+alive0 AS MATERIALIZED (SELECT id FROM verts)"""
+    for (r <- 1 to MisRounds) {
+      val h = Sql.hash32(s"'mis:$r:' || a.id")
+      sb ++= s""",
+pri$r AS MATERIALIZED (SELECT a.id, $h AS p FROM alive${r - 1} a),
+sel$r AS MATERIALIZED (
+  SELECT a.id FROM pri$r a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und e JOIN pri$r n ON n.id = e.b
+    WHERE e.a = a.id AND (n.p < a.p OR (n.p = a.p AND n.id < a.id)))),
+alive$r AS MATERIALIZED (
+  SELECT a.id FROM alive${r - 1} a
+  WHERE a.id NOT IN (SELECT id FROM sel$r)
+    AND NOT EXISTS (SELECT 1 FROM und e JOIN sel$r s ON s.id = e.b WHERE e.a = a.id))"""
+    }
+    sb ++= ",\nmis AS (" + (1 to MisRounds)
+      .map(r => s"SELECT id, $r AS rnd FROM sel$r").mkString(" UNION ALL ") + ")"
+    sb ++= s"""
+SELECT v.id AS host, (m.id IS NOT NULL) AS in_mis,
+  coalesce(m.rnd, -1) AS selected_round,
+  (SELECT count(*) FROM alive$MisRounds) AS n_unresolved
+FROM verts v LEFT JOIN mis m ON m.id = v.id
+ORDER BY v.id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_betweenness" -> q261Betweenness,
+    "q262_eff_diameter" -> q262EffDiameter,
+    "q263_mis" -> q263Mis,
     "q214_matching" -> q214Matching,
     "q224_richclub" -> q224RichClub,
     "q170_mirror_hosts" -> q170MirrorHosts,
@@ -1881,6 +2141,9 @@ ORDER BY k""".stripMargin
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q261_betweenness" -> q261Sql,
+    "q262_eff_diameter" -> q262Sql,
+    "q263_mis" -> q263Sql,
     "q214_matching" -> q214Sql,
     "q224_richclub" -> q224Sql,
     "q170_mirror_hosts" -> q170Sql,

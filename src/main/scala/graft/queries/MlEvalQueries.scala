@@ -1962,7 +1962,166 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
       |  t.v_full, t.v_empty
       |FROM phi p CROSS JOIN tot t ORDER BY p.channel""".stripMargin
 
+  // --------------------------------------------------------------- q257
+  /** Kolmogorov–Smirnov critical coefficient c(α) at α = .05. */
+  val KsCrit = 1.358
+
+  /** Two-sample Kolmogorov–Smirnov test on purchase-vs-click values —
+    * the DISTRIBUTION-shape test beside q243's location test: D =
+    * max |F1 − F2| over the pooled support sees variance, skew and
+    * bimodality shifts that leave the rank-sum's location statistic
+    * untouched. Reports D, the max location, the scaled KS statistic
+    * and the c(α)·√((n1+n2)/n1n2) significance call.
+    *
+    * Shape for 100 TB: q243's rank-block engine again — the pool
+    * partial-aggs to O(distinct 6-dp values) (v, t1, t2) blocks, ONE
+    * running-count window yields both empirical CDFs, and D is found
+    * on the EXACT INTEGER lattice |c1·n2 − c2·n1| (the float division
+    * happens once, after the argmax), so the max and its location are
+    * deterministic on both engines by construction. */
+  def q257KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value"), 6).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.Checkpoints.deferFree(pool.groupBy(col("v"))
+      .agg(sum(col("g1")).as("t1"), sum(lit(1L) - col("g1")).as("t2"))
+      .select(col("v"), sum(col("t1")).over(w).as("c1"),
+        sum(col("t2")).over(w).as("c2"))
+      .localCheckpoint())
+    val n = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+    val dnum = graft.Checkpoints.deferFree(cum.crossJoin(broadcast(n))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dn"))
+      .localCheckpoint())
+    val mx = dnum.agg(max(col("dn")).as("dmax"))
+    val loc = dnum.crossJoin(broadcast(mx))
+      .filter(col("dn") === col("dmax"))
+      .agg(min(col("v")).as("d_location"))
+    val d = col("dmax").cast("double") / (col("n1") * col("n2"))
+    val scale = sqrt((col("n1") + col("n2"))
+      / (col("n1").cast("double") * col("n2")))
+    n.crossJoin(broadcast(mx)).crossJoin(broadcast(loc))
+      .select(col("n1"), col("n2"), round(d, 6).as("d"), col("d_location"),
+        round(d / scale, 6).as("ks_stat"),
+        (d > lit(KsCrit) * scale).as("significant"))
+  }
+
+  val q257Sql: String =
+    s"""WITH pool AS (
+      |  SELECT round(value, 6) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |byv AS (
+      |  SELECT v, CAST(sum(g1) AS BIGINT) AS t1,
+      |    CAST(sum(1 - g1) AS BIGINT) AS t2
+      |  FROM pool GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(t1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+      |    CAST(sum(t2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+      |  FROM byv),
+      |n AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cum),
+      |dnum AS (
+      |  SELECT c.v, abs(c.c1 * n.n2 - c.c2 * n.n1) AS dn
+      |  FROM cum c CROSS JOIN n),
+      |mx AS (SELECT max(dn) AS dmax FROM dnum),
+      |loc AS (SELECT min(v) AS d_location FROM dnum CROSS JOIN mx WHERE dn = dmax)
+      |SELECT n.n1, n.n2,
+      |  round(CAST(mx.dmax AS DOUBLE) / (n.n1 * n.n2), 6) AS d,
+      |  loc.d_location,
+      |  round(CAST(mx.dmax AS DOUBLE) / (n.n1 * n.n2)
+      |    / sqrt((n.n1 + n.n2) / (CAST(n.n1 AS DOUBLE) * n.n2)), 6) AS ks_stat,
+      |  (CAST(mx.dmax AS DOUBLE) / (n.n1 * n.n2)
+      |    > $KsCrit * sqrt((n.n1 + n.n2) / (CAST(n.n1 AS DOUBLE) * n.n2))) AS significant
+      |FROM n CROSS JOIN mx CROSS JOIN loc""".stripMargin
+
+  // --------------------------------------------------------------- q258
+  /** BH false-discovery rate and the hypothesis count (24 hour-of-day
+    * cells). */
+  val BhAlpha = 0.05
+  val BhM = 24
+
+  /** Benjamini–Hochberg FDR control over 24 simultaneous hour-of-day
+    * purchase-share tests — the multiple-testing correction every
+    * metrics dashboard needs and almost none apply: 24 two-sided
+    * two-proportion z-tests (is this hour's conversion share off the
+    * corpus base rate?) produce 24 p-values; naively, at α=.05 one of
+    * them "fires" by luck every morning. BH sorts the p-ladder,
+    * finds the largest i with p(i) ≤ i·α/m, and declares everything
+    * below it a discovery — bounding the EXPECTED false-discovery
+    * share at α instead of the per-test error. On the uniform fixture
+    * the correct output is ZERO discoveries at every SF (the audit
+    * declines to fire on null data — q254's conforming-result twin).
+    *
+    * Shape for 100 TB: the corpus collapses to 24 (n, k) cells in ONE
+    * partial-agged pass; p-values use the shared A&S erf polynomial
+    * (identical Horner ordering both engines); the sort, ladder and
+    * cutoff all run on exactly 24 rows. */
+  def q258BhFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byh = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(expr("(ts div 3600000000000) % 24").as("hod"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"))
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("nh"), sum(col("isp")).as("kh"))
+      .localCheckpoint())
+    val tot = byh.agg((sum(col("kh")).cast("double") / sum(col("nh"))).as("p0"))
+    val zv = (col("kh") / col("nh").cast("double") - col("p0")) /
+      sqrt(col("p0") * (lit(1.0) - col("p0")) / col("nh"))
+    val scored = byh.crossJoin(broadcast(tot))
+      .select(col("hod"), col("nh"), col("kh"),
+        round(col("kh") / col("nh").cast("double"), 6).as("rate"),
+        round(zv, 6).as("zv"),
+        round(lit(2.0) * (lit(1.0) - MF.normalCdf(abs(zv), lit(0.0), lit(1.0))), 6)
+          .as("p"))
+    val ranked = graft.Checkpoints.deferFree(scored
+      .withColumn("rnk", row_number().over(Window.orderBy(col("p"), col("hod"))))
+      .localCheckpoint())
+    val cutoff = ranked.agg(coalesce(max(
+      when(col("p") <= col("rnk") * BhAlpha / BhM, col("rnk"))), lit(0))
+      .as("kstar"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("hod"), col("nh"), col("kh"), col("rate"), col("zv"),
+        col("p"), col("rnk"),
+        round(col("rnk") * BhAlpha / BhM, 6).as("bh_thresh"),
+        (col("rnk") <= col("kstar")).as("discovery"))
+      .orderBy(col("hod"))
+  }
+
+  val q258Sql: String = {
+    val z = "((kh / CAST(nh AS DOUBLE) - p0) / sqrt(p0 * (1.0 - p0) / nh))"
+    val phi = graft.oracle.Sql.normalCdf(s"abs($z)", "0.0", "1.0")
+    s"""WITH ev AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      |  FROM events),
+      |byh AS (
+      |  SELECT hod, count(*) AS nh, CAST(sum(isp) AS BIGINT) AS kh
+      |  FROM ev GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(kh) AS DOUBLE) / sum(nh) AS p0 FROM byh),
+      |scored AS (
+      |  SELECT hod, nh, kh, round(kh / CAST(nh AS DOUBLE), 6) AS rate,
+      |    round($z, 6) AS zv,
+      |    round(2.0 * (1.0 - $phi), 6) AS p
+      |  FROM byh CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY p, hod) AS rnk FROM scored),
+      |cutoff AS (
+      |  SELECT coalesce(max(CASE WHEN p <= rnk * $BhAlpha / $BhM THEN rnk END), 0) AS kstar
+      |  FROM ranked)
+      |SELECT r.hod, r.nh, r.kh, r.rate, r.zv, r.p, r.rnk,
+      |  round(r.rnk * $BhAlpha / $BhM, 6) AS bh_thresh,
+      |  (r.rnk <= c.kstar) AS discovery
+      |FROM ranked r CROSS JOIN cutoff c
+      |ORDER BY r.hod""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_ks_test" -> q257KsTest,
+    "q258_bh_fdr" -> q258BhFdr,
     "q251_grid_dbscan" -> q251GridDbscan,
     "q256_shapley" -> q256Shapley,
     "q246_kruskal" -> q246Kruskal,
@@ -1989,6 +2148,8 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q257_ks_test" -> q257Sql,
+    "q258_bh_fdr" -> q258Sql,
     "q251_grid_dbscan" -> q251Sql,
     "q256_shapley" -> q256Sql,
     "q246_kruskal" -> q246Sql,

@@ -740,7 +740,125 @@ FROM scored ORDER BY user_id""".stripMargin
       |FROM tsup t JOIN bsup b ON t.t1 = b.t1 AND t.t2 = b.t2
       |ORDER BY t.support DESC, t.t1, t.t2, t.t3 LIMIT $SeqMiningTopK""".stripMargin
 
+  // --------------------------------------------------------------- q259
+  /** Power-iteration rounds for the stationary distribution (the 5×5
+    * chain mixes in far fewer; both engines unroll the same count). */
+  val EntropyRatePiRounds = 6
+
+  /** Entropy rate of the session-behavior Markov chain — the single
+    * number that says how PREDICTABLE user journeys are: q96 publishes
+    * the transition matrix; this weights each row's conditional
+    * entropy by the chain's stationary distribution π (6 synchronized
+    * power-iteration rounds from uniform — q01's loop engine on a
+    * 5-state chain) into H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ and the walk
+    * perplexity e^H — the behavioral twin of q81's text perplexity
+    * (4.99 ≈ the 5-state uniform bound on the fixture's near-uniform
+    * chain; a real product's journeys sit far lower).
+    *
+    * Shape for 100 TB: the corpus collapses to the O(types²)
+    * transition-count frame through q96's one-shuffle sessionized
+    * window pass; everything after — P, π rounds, row entropies, H —
+    * runs on ≤ 25 rows with 12-dp-gridded DECIMAL sums. */
+  def q259EntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cnt = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowtot = Window.partitionBy(col("from_type"))
+    val trans = graft.Checkpoints.deferFree(cnt
+      .select(col("from_type"), col("to_type"),
+        round(col("n").cast("double") / sum(col("n")).over(rowtot), 12).as("pr"))
+      .localCheckpoint())
+    var pi = trans.select(col("from_type").as("st")).distinct()
+      .select(col("st"), lit(0.2).as("pi"))
+    for (_ <- 1 to EntropyRatePiRounds) {
+      pi = graft.Checkpoints.deferFree(trans
+        .join(pi.select(col("st").as("from_type"), col("pi")), Seq("from_type"))
+        .groupBy(col("to_type").as("st"))
+        .agg(round(sum(round(col("pi") * col("pr"), 12)
+          .cast(DecimalType(38, 12))).cast("double"), 12).as("pi"))
+        .localCheckpoint())
+    }
+    val hrow = trans.groupBy(col("from_type").as("st"))
+      .agg(round(-sum(round(col("pr") * log(col("pr")), 12)
+        .cast(DecimalType(38, 12))).cast("double"), 12).as("h_row"))
+    val joined = graft.Checkpoints.deferFree(pi.join(hrow, Seq("st"))
+      .localCheckpoint())
+    val hall = joined.agg(round(sum(round(col("pi") * col("h_row"), 12)
+      .cast(DecimalType(38, 12))).cast("double"), 6).as("h_rate"))
+    joined.crossJoin(broadcast(hall))
+      .select(col("st").as("state"), round(col("pi"), 6).as("pi"),
+        round(col("h_row"), 6).as("h_row"), col("h_rate"),
+        round(exp(col("h_rate")), 6).as("perplexity"))
+      .orderBy(col("state"))
+  }
+
+  val q259Sql: String = {
+    val rounds = new StringBuilder(
+      "pi0 AS (SELECT from_type AS st, 0.2 AS pi FROM states)")
+    var prev = "pi0"
+    for (i <- 1 to EntropyRatePiRounds) {
+      rounds.append(s""",
+pi$i AS (
+  SELECT t.to_type AS st,
+    round(CAST(sum(CAST(round(p.pi * t.pr, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS pi
+  FROM trans t JOIN $prev p ON t.from_type = p.st
+  GROUP BY 1)""")
+      prev = s"pi$i"
+    }
+    s"""WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, event_id
+  FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_type, event_id,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT user_id, ts_us, event_type, event_id,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+  FROM flagged),
+pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS to_type
+  FROM sess),
+cnt AS MATERIALIZED (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+rowtot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT c.from_type, c.to_type, round(c.n / CAST(r.tot AS DOUBLE), 12) AS pr
+  FROM cnt c JOIN rowtot r USING (from_type)),
+states AS (SELECT DISTINCT from_type FROM trans),
+${rounds.toString},
+hrow AS (
+  SELECT from_type AS st,
+    round(-CAST(sum(CAST(round(pr * ln(pr), 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS h_row
+  FROM trans GROUP BY 1),
+hall AS (
+  SELECT round(CAST(sum(CAST(round(p.pi * h.h_row, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_rate
+  FROM $prev p JOIN hrow h USING (st))
+SELECT p.st AS state, round(p.pi, 6) AS pi, round(h.h_row, 6) AS h_row,
+  a.h_rate, round(exp(a.h_rate), 6) AS perplexity
+FROM $prev p JOIN hrow h USING (st) CROSS JOIN hall a
+ORDER BY p.st"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_entropy_rate" -> q259EntropyRate,
     "q252_seq_mining" -> q252SeqMining,
     "q223_path_perplexity" -> q223PathPerplexity,
     "q146_window_funnel" -> q146WindowFunnel,
@@ -756,6 +874,7 @@ FROM scored ORDER BY user_id""".stripMargin
     "q71_sliding_window" -> q71SlidingWindow)
 
   val oracles: Map[String, String] = Map(
+    "q259_entropy_rate" -> q259Sql,
     "q252_seq_mining" -> q252Sql,
     "q223_path_perplexity" -> q223Sql,
     "q146_window_funnel" -> q146Sql,

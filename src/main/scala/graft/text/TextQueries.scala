@@ -2568,7 +2568,116 @@ FROM res ORDER BY round"""
       |CROSS JOIN tot t CROSS JOIN s1
       |ORDER BY c.r""".stripMargin
 
+  // --------------------------------------------------------------- q260
+  /** RRF constant (Cormack et al.'s 60), per-system candidate depth,
+    * fused report size, BM25 parameters, and the fixed query terms. */
+  val RrfK = 60
+  val RrfCandidates = 200
+  val RrfTopK = 20
+  val RrfBm25K1 = 1.2
+  val RrfBm25B = 0.75
+  val RrfQueryTerms = Seq("join", "filter")
+
+  /** Reciprocal-rank fusion of two retrieval systems — the standard
+    * hybrid-search combiner (Cormack–Clarke–Büttcher): a lexical BM25
+    * ranking for a fixed query and a document-quality prior ranking
+    * (length, the q41-family signal) each nominate their top-C
+    * candidates; a doc scores Σ 1/(k + rankᵢ) over the lists it
+    * appears in, and the fused top-k is the retrieval set a RAG or
+    * training-data-selection pipeline actually consumes. Absent ranks
+    * contribute nothing (reported as −1), so neither system can veto
+    * the other's strong candidates.
+    *
+    * Shape for 100 TB: each system reduces corpus-side to its top-C by
+    * (6-dp score, doc_id) — a TakeOrdered, never a global rank window
+    * over the doc axis; ranks are row_numbers over the C-row bounded
+    * frames, the fusion is a C-vs-C full outer join, and the RRF sum
+    * is an exact small-rational grid both engines round identically. */
+  def q260RrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val dl = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), size(w).cast("long").as("dlen"),
+        col("text"))
+      .localCheckpoint())
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+    val qArr = array(RrfQueryTerms.map(lit): _*)
+    val tf = dl
+      .select(col("doc_id"), col("dlen"),
+        explode(filter(split(col("text"), " "),
+          x => array_contains(qArr, x))).as("term"))
+      .groupBy(col("doc_id"), col("dlen"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val bmScore = round(
+      log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        * col("tf") * (lit(RrfBm25K1) + 1.0)
+        / (col("tf") + lit(RrfBm25K1) * (lit(1.0) - lit(RrfBm25B)
+          + lit(RrfBm25B) * col("dlen") / col("avgdl"))), 12)
+    val bm = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), bmScore.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s").cast(DecimalType(38, 12))).cast("double"), 6)
+        .as("score"))
+    val bmTop = bm.orderBy(col("score").desc, col("doc_id"))
+      .limit(RrfCandidates)
+      .withColumn("ra", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("ra"))
+    val qTop = dl.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(RrfCandidates)
+      .withColumn("rb", row_number()
+        .over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rb"))
+    bmTop.join(qTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("ra"), lit(-1)).as("bm25_rank"),
+        coalesce(col("rb"), lit(-1)).as("quality_rank"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfTopK)
+  }
+
+  val q260Sql: String = {
+    val terms = RrfQueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, n_chars, len(w) AS dlen FROM tok),
+      |stats AS (
+      |  SELECT count(*) AS nd, CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS term FROM tok)
+      |  WHERE term IN ($terms) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |bm AS (
+      |  SELECT t.doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |        * t.tf * ($RrfBm25K1 + 1.0)
+      |        / (t.tf + $RrfBm25K1 * (1.0 - $RrfBm25B + $RrfBm25B * l.dlen / s.avgdl)), 12)
+      |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+      |  GROUP BY 1),
+      |bmtop AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+      |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT $RrfCandidates)),
+      |qtop AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+      |  FROM (SELECT doc_id, n_chars FROM dl ORDER BY n_chars DESC, doc_id LIMIT $RrfCandidates))
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |  coalesce(a.ra, -1) AS bm25_rank, coalesce(b.rb, -1) AS quality_rank,
+      |  round(coalesce(1.0 / ($RrfK + a.ra), 0.0)
+      |    + coalesce(1.0 / ($RrfK + b.rb), 0.0), 6) AS rrf
+      |FROM bmtop a FULL OUTER JOIN qtop b ON a.doc_id = b.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_rrf_fusion" -> q260RrfFusion,
     "q255_good_turing" -> q255GoodTuring,
     "q247_heaps" -> q247Heaps,
     "q249_textrank" -> q249TextRank,
@@ -2612,6 +2721,7 @@ FROM res ORDER BY round"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q260_rrf_fusion" -> q260Sql,
     "q255_good_turing" -> q255Sql,
     "q247_heaps" -> q247Sql,
     "q249_textrank" -> q249Sql,
