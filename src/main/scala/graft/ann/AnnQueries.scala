@@ -1026,7 +1026,106 @@ SELECT l.label, count(*) AS n_panel,
 FROM predicted p JOIN embeddings l ON l.vec_id = p.qid
 GROUP BY l.label ORDER BY l.label""".stripMargin
 
+  // ---------------------------------------------------------------- q266
+  /** MMR relevance/diversity mix, candidate depth, picks. The two
+    * weights are SEPARATE literal constants so both engines expand the
+    * identical doubles (1 − 0.7 is not 0.3 in IEEE). */
+  val MmrLambda = 0.7
+  val MmrDiversity = 0.3
+  val MmrCandidates = 24
+  val MmrPicks = 8
+
+  /** Maximal Marginal Relevance diversified retrieval (Carbonell &
+    * Goldstein) — the DEDUP-AWARE top-k: plain cosine top-k (q30)
+    * returns near-duplicates of the best hit; MMR greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_sim(c, selected), so each pick is
+    * relevant AND far from what's already chosen — the retrieval set a
+    * RAG context window or a diverse training batch actually wants.
+    * Reports pick order, relevance, the similarity-to-selected at pick
+    * time, and the MMR score.
+    *
+    * Shape for 100 TB: relevance reduces the corpus to a top-C
+    * TakeOrdered candidate frame (C is the knob; the corpus never
+    * meets itself); the greedy loop then runs k−1 rounds of a
+    * (≤C × ≤k) broadcast pair scoring + a 1-row argmax — bounded work
+    * independent of corpus size, the q183 per-round-argmax shape. */
+  def q266Mmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = graft.Checkpoints.deferFree(e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates)
+      .localCheckpoint())
+    var sel = graft.Checkpoints.deferFree(cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"),
+        lit(1).as("pick"), col("rel").as("mmr"), lit(0.0).as("max_sim"))
+      .localCheckpoint())
+    for (r <- 2 to MmrPicks) {
+      val s = sel.select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("sn"))
+      val mmrScore = round(lit(MmrLambda) * col("rel")
+        - lit(MmrDiversity) * col("max_sim"), 6)
+      val pick = cand
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(s))
+        .groupBy(col("vec_id"), col("v"), col("nrm"), col("rel"))
+        .agg(max(round(VF.cosineByNorm(col("v"), col("sv"), col("nrm"),
+          col("sn")), 6)).as("max_sim"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"),
+          lit(r).as("pick"), mmrScore.as("mmr"), col("max_sim"))
+        .orderBy(mmrScore.desc, col("vec_id")).limit(1)
+      sel = graft.Checkpoints.deferFree(sel.unionByName(pick).localCheckpoint())
+    }
+    sel.select(col("pick"), col("vec_id"), col("rel"),
+      round(col("max_sim"), 6).as("max_sim"), col("mmr"))
+      .orderBy(col("pick"))
+  }
+
+  val q266Sql: String = {
+    def paircos(a: String, b: String): String =
+      s"round(${Sql.listCosineByNorm(s"$a.v", s"$b.v", s"$a.nrm", s"$b.nrm")}, 6)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $vecsCte,
+q AS (SELECT v AS qv, nrm AS qn FROM ed WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.v, e.nrm,
+    round(${Sql.listCosineByNorm("e.v", "q.qv", "e.nrm", "q.qn")}, 6) AS rel
+  FROM ed e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT $MmrCandidates),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, v, nrm, rel, 1 AS pick, rel AS mmr, 0.0 AS max_sim
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    var prev = "sel1"
+    for (r <- 2 to MmrPicks) {
+      sb ++= s""",
+rest$r AS MATERIALIZED (
+  SELECT c.vec_id, c.v, c.nrm, c.rel,
+    max(${paircos("c", "s")}) AS max_sim
+  FROM cand c JOIN $prev s ON true
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+  GROUP BY c.vec_id, c.v, c.nrm, c.rel),
+pick$r AS MATERIALIZED (
+  SELECT vec_id, v, nrm, rel, $r AS pick,
+    round($MmrLambda * rel - $MmrDiversity * max_sim, 6) AS mmr, max_sim
+  FROM rest$r
+  ORDER BY round($MmrLambda * rel - $MmrDiversity * max_sim, 6) DESC, vec_id LIMIT 1),
+sel$r AS MATERIALIZED (
+  SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)"""
+      prev = s"sel$r"
+    }
+    sb ++= s"""
+SELECT pick, vec_id, rel, round(max_sim, 6) AS max_sim, mmr
+FROM $prev ORDER BY pick"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_mmr" -> q266Mmr,
     "q227_knn_classify" -> q227KnnClassify,
     "q190_class_separability" -> q190ClassSeparability,
     "q166_pq" -> q166Pq,
@@ -1041,6 +1140,7 @@ GROUP BY l.label ORDER BY l.label""".stripMargin
     "q65_ann_recall" -> q65AnnRecall)
 
   val oracles: Map[String, String] = Map(
+    "q266_mmr" -> q266Sql,
     "q227_knn_classify" -> q227Sql,
     "q190_class_separability" -> q190Sql,
     "q166_pq" -> q166Sql,

@@ -1452,7 +1452,55 @@ ORDER BY c.cohort, c.offset_days"""
       |ORDER BY c.digit""".stripMargin
   }
 
+  // --------------------------------------------------------------- q264
+  /** Arbitrary GROUPING SETS — the third grouping-set shape beside
+    * q38's ROLLUP (prefix chain) and q76's CUBE (power set): the
+    * PAIRWISE-MARGINALS report ((status, year), (status, priority),
+    * (year, priority)) that neither shorthand can express — exactly
+    * the contingency slices a dashboard refresh computes, in ONE pass.
+    *
+    * Shape for 100 TB: the grouping-set expansion happens BEFORE the
+    * exchange and partial aggregation still combines map-side (the
+    * q76 property) — one scan, one shuffle of expanded partial rows,
+    * never three separate jobs; grouping nulls are projected to
+    * sentinels so the cross-engine hash is null-convention-free. */
+  def q264GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      col("o_totalprice").as("price"))
+    base.groupingSets(
+      Seq(Seq(col("status"), col("yr")),
+        Seq(col("status"), col("priority")),
+        Seq(col("yr"), col("priority"))),
+      col("status"), col("priority"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price").cast(DecimalType(38, 6))).cast("double"), 6)
+          .as("revenue"))
+      .select(coalesce(col("status"), lit("(all)")).as("status"),
+        coalesce(col("priority"), lit("(all)")).as("priority"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status"), col("priority"), col("yr"))
+  }
+
+  val q264Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    o_totalprice AS price
+      |  FROM orders)
+      |SELECT coalesce(status, '(all)') AS status,
+      |  coalesce(priority, '(all)') AS priority,
+      |  coalesce(yr, -1) AS yr,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+      |FROM base
+      |GROUP BY GROUPING SETS ((status, yr), (status, priority), (yr, priority))
+      |ORDER BY status, priority, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_grouping_sets" -> q264GroupingSets,
     "q254_benford" -> q254Benford,
     "q193_shipping_priority" -> q193ShippingPriority,
     "q180_salt_plan" -> q180SaltPlan,
@@ -1482,6 +1530,7 @@ ORDER BY c.cohort, c.offset_days"""
     "q59_setops" -> q59SetOps)
 
   val oracles: Map[String, String] = Map(
+    "q264_grouping_sets" -> q264Sql,
     "q254_benford" -> q254Sql,
     "q193_shipping_priority" -> q193Sql,
     "q180_salt_plan" -> q180Sql,

@@ -857,7 +857,69 @@ FROM $prev p JOIN hrow h USING (st) CROSS JOIN hall a
 ORDER BY p.st"""
   }
 
+  // --------------------------------------------------------------- q265
+  /** Trailing window width in days (a 7-day WAU). */
+  val WindowDistinctDays = 7L
+
+  /** EXACT trailing-7-day distinct active users per day (WAU) — the
+    * sliding COUNT(DISTINCT) that naive SQL cannot window (a running
+    * distinct over a moving frame double-counts re-appearing users)
+    * and sketches only approximate (q120's KMV path): the classic
+    * exact rewrite expands each distinct (user, activity-day) to the
+    * ≤7 window-end days it covers, and ONE distinct aggregation per
+    * (user, window) collapses multi-day users before counting.
+    * Reports both n_active (distinct) and n_user_days (the naive sum)
+    * — their gap IS the re-appearance mass a naive rollup overstates.
+    *
+    * Shape for 100 TB: the corpus collapses to distinct (user, day) in
+    * one partial-agged pass; the ×7 expansion is map-side `sequence`
+    * explode (bounded by the window width, the knob); the exchange
+    * carries (user, window) pairs — 7× the user-day frame, never the
+    * event stream. */
+  def q265WindowDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .localCheckpoint())
+    val span = ud.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val expanded = graft.Checkpoints.deferFree(ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"),
+          col("day") + (WindowDistinctDays - 1))).as("win"))
+      .crossJoin(broadcast(span))
+      .filter(col("win") >= col("dmin") && col("win") <= col("dmax"))
+      .localCheckpoint())
+    val winu = expanded.groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val wind = expanded.groupBy(col("win")).agg(count(lit(1)).as("n_user_days"))
+    winu.join(wind, Seq("win"))
+      .select(col("win").as("day"), col("n_active"), col("n_user_days"))
+      .orderBy(col("day"))
+  }
+
+  val q265Sql: String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud),
+      |expanded AS (
+      |  SELECT u.user_id, u.day, u.day + i AS win
+      |  FROM ud u, unnest(generate_series(0, ${WindowDistinctDays - 1})) AS t(i)),
+      |winu AS (
+      |  SELECT win, count(DISTINCT user_id) AS n_active
+      |  FROM expanded CROSS JOIN span WHERE win BETWEEN dmin AND dmax
+      |  GROUP BY 1),
+      |wind AS (
+      |  SELECT win, count(*) AS n_user_days
+      |  FROM expanded CROSS JOIN span WHERE win BETWEEN dmin AND dmax
+      |  GROUP BY 1)
+      |SELECT u.win AS day, u.n_active, d.n_user_days
+      |FROM winu u JOIN wind d USING (win)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_window_distinct" -> q265WindowDistinct,
     "q259_entropy_rate" -> q259EntropyRate,
     "q252_seq_mining" -> q252SeqMining,
     "q223_path_perplexity" -> q223PathPerplexity,
@@ -874,6 +936,7 @@ ORDER BY p.st"""
     "q71_sliding_window" -> q71SlidingWindow)
 
   val oracles: Map[String, String] = Map(
+    "q265_window_distinct" -> q265Sql,
     "q259_entropy_rate" -> q259Sql,
     "q252_seq_mining" -> q252Sql,
     "q223_path_perplexity" -> q223Sql,

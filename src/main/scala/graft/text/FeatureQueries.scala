@@ -423,7 +423,78 @@ object FeatureQueries {
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q267
+  /** Frozen-vocabulary size (top-K train tokens). */
+  val OovVocabK = 20
+
+  /** Out-of-vocabulary rate audit — the tokenizer-coverage check run
+    * before freezing any vocab-dependent artifact (q201's feature
+    * hashes, q212's negative table, q183's BPE base vocab): freeze the
+    * top-K vocabulary on the deterministic 80% train split (q245's
+    * split, so the LM and its vocab audit see the SAME data), then
+    * measure what share of HELD-OUT tokens (and distinct types) fall
+    * outside it, per language — the number that says whether K is too
+    * small before a training run discovers it the expensive way.
+    *
+    * Shape for 100 TB: one tokenize partial-aggs to (split, lang,
+    * term) counts; the vocab is a top-K TakeOrdered broadcast; the
+    * held-out side is a left-semi-style membership flag + one
+    * aggregate per language. */
+  def q267OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        (pmod(MF.hash32(concat(lit("lm:"), col("doc_id"))), lit(LmTrainMod))
+          < LmTrainPct).as("is_train"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("is_train"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val vocab = toks.filter(col("is_train"))
+      .groupBy(col("term")).agg(sum(col("n")).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(OovVocabK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.filter(!col("is_train"))
+      .groupBy(col("lang"), col("term")).agg(sum(col("n")).as("n"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .as("oov_tokens"),
+        round(sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .cast("double") / sum(col("n")), 6).as("oov_rate"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_types"),
+        round(sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("type_oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val q267Sql: String = {
+    val h = Sql.hash32("'lm:' || doc_id")
+    s"""WITH toks AS (
+      |  SELECT lang, $h % $LmTrainMod < $LmTrainPct AS is_train,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS MATERIALIZED (
+      |  SELECT term FROM (
+      |    SELECT term, count(*) AS c FROM toks WHERE is_train GROUP BY 1)
+      |  ORDER BY c DESC, term LIMIT $OovVocabK),
+      |held AS (
+      |  SELECT lang, term, count(*) AS n,
+      |    (term IN (SELECT term FROM vocab)) AS in_vocab
+      |  FROM toks WHERE NOT is_train GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN in_vocab THEN 0 ELSE n END) AS BIGINT) AS oov_tokens,
+      |  round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE n END) AS DOUBLE) / sum(n), 6) AS oov_rate,
+      |  count(*) AS n_types,
+      |  CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS oov_types,
+      |  round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS type_oov_rate
+      |FROM held GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_oov_rate" -> q267OovRate,
     "q245_kn_bigram" -> q245KnBigram,
     "q199_chi2" -> q199Chi2,
     "q200_nb_langid" -> q200NbLangid,
@@ -433,6 +504,7 @@ object FeatureQueries {
     "q212_negative_table" -> q212NegativeTable)
 
   val oracles: Map[String, String] = Map(
+    "q267_oov_rate" -> q267Sql,
     "q245_kn_bigram" -> q245Sql,
     "q199_chi2" -> q199Sql,
     "q200_nb_langid" -> q200Sql,
