@@ -2119,7 +2119,73 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
       |ORDER BY r.hod""".stripMargin
   }
 
+  // --------------------------------------------------------------- q270
+  /** Two-sided z at α=.05, z at power .8, and the relative lift a
+    * planned test must detect. */
+  val PowerZAlpha = 1.959964
+  val PowerZBeta = 0.841621
+  val PowerLift = 1.1
+
+  /** A/B-test power analysis — the PLANNING operator in front of
+    * q155's z-test, q258's FDR sweep and q269's sequential monitor:
+    * for each event type's observed share, the two-proportion sample
+    * size n = (z_α + z_β)²·(p(1−p) + p'(1−p'))/δ² needed to detect a
+    * 10% relative lift, and how many days of the observed traffic
+    * that takes — the number that decides whether an experiment is
+    * even worth starting.
+    *
+    * Shape for 100 TB: two partial-agged aggregates (per-type counts;
+    * corpus total + day span) and O(types) closed-form arithmetic on
+    * broadcast scalars. */
+  def q270PowerAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .localCheckpoint())
+    val tot = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("day")).as("n_days"))
+    val share = col("n_type").cast("double") / col("n")
+    val shareL = least(share * PowerLift, lit(0.999))
+    val delta = round(lit(PowerLift - 1.0) * share, 6)
+    val zsum = lit(PowerZAlpha) + lit(PowerZBeta)
+    val nReq = ceil(zsum * zsum
+      * (round(share, 6) * (lit(1.0) - round(share, 6))
+        + shareL * (lit(1.0) - shareL)) / (delta * delta)).cast("long")
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_type"),
+        round(share, 6).as("share"), delta.as("delta"),
+        nReq.as("n_required"),
+        ceil(nReq.cast("double") / (col("n").cast("double") / col("n_days")))
+          .cast("long").as("days_required"))
+      .orderBy(col("event_type"))
+  }
+
+  val q270Sql: String =
+    s"""WITH tot AS (
+      |  SELECT count(*) AS n,
+      |    CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS BIGINT) AS n_days
+      |  FROM events),
+      |byt AS (
+      |  SELECT event_type, count(*) AS n_type FROM events GROUP BY 1),
+      |calc AS (
+      |  SELECT b.event_type, b.n_type,
+      |    round(CAST(b.n_type AS DOUBLE) / t.n, 6) AS share,
+      |    round(${PowerLift - 1.0} * CAST(b.n_type AS DOUBLE) / t.n, 6) AS delta,
+      |    least(CAST(b.n_type AS DOUBLE) / t.n * $PowerLift, 0.999) AS sl,
+      |    t.n, t.n_days
+      |  FROM byt b CROSS JOIN tot t),
+      |req AS (
+      |  SELECT event_type, n_type, share, delta, n, n_days,
+      |    CAST(ceil(($PowerZAlpha + $PowerZBeta) * ($PowerZAlpha + $PowerZBeta)
+      |      * (share * (1.0 - share) + sl * (1.0 - sl))
+      |      / (delta * delta)) AS BIGINT) AS n_required
+      |  FROM calc)
+      |SELECT event_type, n_type, share, delta, n_required,
+      |  CAST(ceil(CAST(n_required AS DOUBLE) / (CAST(n AS DOUBLE) / n_days)) AS BIGINT) AS days_required
+      |FROM req ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_power_analysis" -> q270PowerAnalysis,
     "q257_ks_test" -> q257KsTest,
     "q258_bh_fdr" -> q258BhFdr,
     "q251_grid_dbscan" -> q251GridDbscan,
@@ -2148,6 +2214,7 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q270_power_analysis" -> q270Sql,
     "q257_ks_test" -> q257Sql,
     "q258_bh_fdr" -> q258Sql,
     "q251_grid_dbscan" -> q251Sql,

@@ -1273,7 +1273,108 @@ object TimeseriesQueries {
       |  round(hthr, 6) AS threshold
       |FROM s GROUP BY event_type, n, hthr ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q269
+  /** SPRT error rates and the H1 relative lift under test. */
+  val SprtAlpha = 0.05
+  val SprtBeta = 0.2
+  val SprtLift = 1.1
+
+  /** Wald's Sequential Probability Ratio Test over DAILY conversion
+    * batches — the always-valid monitoring test that q155's fixed-
+    * horizon z-test is not (peeking at a z-test daily inflates α; the
+    * SPRT's log-likelihood-ratio walk with Wald boundaries
+    * A = ln((1−β)/α), B = ln(β/(1−α)) is DESIGNED to be read every
+    * day): H1 = a 10% relative conversion lift over the corpus base
+    * rate; the cumulative LLR crosses a boundary at the first day the
+    * evidence suffices, and on the null fixture it correctly walks to
+    * accept_h0 once daily batches are large enough (sf0.01+) — the
+    * sequential sibling of q253's CUSUM (detect drift) and q258's BH
+    * (batch multiplicity).
+    *
+    * Shape for 100 TB: the corpus collapses to O(days) (n, k) batches
+    * in ONE partial-agged pass; constants are a 1-row broadcast; the
+    * LLR walk is one ordered prefix-sum window over the O(days) frame
+    * — both engines accumulate in the identical day order. */
+  def q269Sprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val byday = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("isp")).as("k"))
+      .localCheckpoint())
+    val p0c = col("k_tot").cast("double") / col("n_tot")
+    val p1c = least(lit(SprtLift) * p0c, lit(0.999))
+    val consts = byday.agg(sum(col("k")).as("k_tot"), sum(col("n")).as("n_tot"))
+      .select(round(log(p1c / p0c), 12).as("c1"),
+        round(log((lit(1.0) - p1c) / (lit(1.0) - p0c)), 12).as("c2"),
+        round(log(lit(1.0 - SprtBeta) / lit(SprtAlpha)), 12).as("a_bound"),
+        round(log(lit(SprtBeta) / lit(1.0 - SprtAlpha)), 12).as("b_bound"),
+        round(p0c, 6).as("p0r"), round(p1c, 6).as("p1r"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = graft.Checkpoints.deferFree(byday.crossJoin(broadcast(consts))
+      .select(col("day"), col("n"), col("k"),
+        round(col("k") * col("c1") + (col("n") - col("k")) * col("c2"), 12)
+          .as("llr0"),
+        col("a_bound"), col("b_bound"), col("p0r"), col("p1r"))
+      .withColumn("cum_llr", round(sum(col("llr0")).over(w), 6))
+      .withColumn("state",
+        when(col("cum_llr") >= col("a_bound"), "accept_h1")
+          .when(col("cum_llr") <= col("b_bound"), "accept_h0")
+          .otherwise("continue"))
+      .localCheckpoint())
+    val dec = st.agg(coalesce(min(when(col("state") =!= "continue",
+      col("day"))), lit(-1L)).as("decision_day"))
+    st.crossJoin(broadcast(dec))
+      .select(col("day"), col("n"), col("k"), round(col("llr0"), 6).as("llr"),
+        col("cum_llr"), col("state"), col("decision_day"),
+        col("p0r").as("p0"), col("p1r").as("p1"))
+      .orderBy(col("day"))
+  }
+
+  val q269Sql: String =
+    s"""WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      |  FROM events),
+      |byday AS (
+      |  SELECT day, count(*) AS n, CAST(sum(isp) AS BIGINT) AS k
+      |  FROM ev GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS p0,
+      |    least($SprtLift * CAST(sum(k) AS DOUBLE) / sum(n), 0.999) AS p1
+      |  FROM byday),
+      |consts AS (
+      |  SELECT round(ln(p1 / p0), 12) AS c1,
+      |    round(ln((1.0 - p1) / (1.0 - p0)), 12) AS c2,
+      |    round(ln(${1.0 - SprtBeta} / $SprtAlpha), 12) AS a_bound,
+      |    round(ln($SprtBeta / ${1.0 - SprtAlpha}), 12) AS b_bound,
+      |    round(p0, 6) AS p0r, round(p1, 6) AS p1r
+      |  FROM tot),
+      |llr AS (
+      |  SELECT b.day, b.n, b.k,
+      |    round(b.k * c.c1 + (b.n - b.k) * c.c2, 12) AS llr0,
+      |    c.a_bound, c.b_bound, c.p0r, c.p1r
+      |  FROM byday b CROSS JOIN consts c),
+      |cum AS (
+      |  SELECT day, n, k, llr0,
+      |    round(sum(llr0) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_llr,
+      |    a_bound, b_bound, p0r, p1r
+      |  FROM llr),
+      |st AS (
+      |  SELECT *, (CASE WHEN cum_llr >= a_bound THEN 'accept_h1'
+      |                  WHEN cum_llr <= b_bound THEN 'accept_h0'
+      |                  ELSE 'continue' END) AS state
+      |  FROM cum),
+      |dec AS (
+      |  SELECT coalesce(min(CASE WHEN state <> 'continue' THEN day END), -1) AS decision_day
+      |  FROM st)
+      |SELECT s.day, s.n, s.k, round(s.llr0, 6) AS llr, s.cum_llr, s.state,
+      |  d.decision_day, s.p0r AS p0, s.p1r AS p1
+      |FROM st s CROSS JOIN dec d ORDER BY s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_sprt" -> q269Sprt,
     "q253_cusum" -> q253Cusum,
     "q248_mann_kendall" -> q248MannKendall,
     "q241_gap_fill" -> q241GapFill,
@@ -1292,6 +1393,7 @@ object TimeseriesQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q269_sprt" -> q269Sql,
     "q253_cusum" -> q253Sql,
     "q248_mann_kendall" -> q248Sql,
     "q241_gap_fill" -> q241Sql,

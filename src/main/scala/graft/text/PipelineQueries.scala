@@ -623,7 +623,168 @@ object PipelineQueries {
       |FROM cls CROSS JOIN total t
       |GROUP BY class_size ORDER BY class_size""".stripMargin
 
+  // --------------------------------------------------------------- q268
+  /** Power-iteration rounds per component and terms reported. */
+  val LsaRounds = 4
+  val LsaTopTerms = 8
+
+  /** Two-component LSA (truncated SVD of the TF-IDF doc-term matrix)
+    * by DEFLATED power iteration — the topic-structure summary between
+    * q48's per-doc TF-IDF vectors and q205's dense-embedding PCA: the
+    * top right-singular vectors of the SPARSE doc-term matrix are the
+    * corpus' dominant term axes ("topics"), and the second component
+    * is found by re-orthogonalizing against the first every round
+    * (q209's deflation on the term space). Reports each component's
+    * top terms by |loading| and its singular value σ = ‖A·v‖.
+    *
+    * Shape for 100 TB: the matvec AᵀA·v is TWO partial-agged sparse
+    * joins per round (doc-side then term-side — nnz-linear, never a
+    * d×d or n×n materialization; q205's audit on a sparse matrix);
+    * projections and norms are 1-row broadcasts; per-round state
+    * localCheckpoint'ed; every term 12-dp-gridded into DECIMAL sums
+    * so the oracle replays all rounds exactly; top terms via
+    * TakeOrdered, never a vocab-wide rank window. */
+  def q268LsaTopics(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tfidf = graft.Checkpoints.deferFree {
+      val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df") + 1.0), 12)
+            .as("a"))
+        .localCheckpoint()
+    }
+    val terms = graft.Checkpoints.deferFree(
+      tfidf.select(col("term")).distinct().localCheckpoint())
+    val v0 = terms.crossJoin(broadcast(terms.agg(count(lit(1)).as("nt"))))
+      .select(col("term"),
+        round(lit(1.0) / sqrt(col("nt").cast("double")), 12).as("v"))
+    def powerLoop(deflateAgainst: Option[DataFrame]): DataFrame = {
+      var v = v0
+      for (_ <- 1 to LsaRounds) {
+        val u = graft.Checkpoints.deferFree(tfidf.join(v, Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(sum(round(col("a") * col("v"), 12).cast(dec12))
+            .cast("double").as("u"))
+          .localCheckpoint())
+        var w = graft.Checkpoints.deferFree(tfidf.join(u, Seq("doc_id"))
+          .groupBy(col("term"))
+          .agg(sum(round(col("a") * col("u"), 12).cast(dec12))
+            .cast("double").as("w"))
+          .localCheckpoint())
+        deflateAgainst.foreach { v1f =>
+          val v1 = v1f.select(col("term"), col("v").as("v1"))
+          val pr = w.join(v1, Seq("term"))
+            .agg(sum(round(col("w") * col("v1"), 12).cast(dec12))
+              .cast("double").as("pr"))
+          w = graft.Checkpoints.deferFree(w.join(v1, Seq("term"), "left")
+            .crossJoin(broadcast(pr))
+            .select(col("term"),
+              round(col("w") - col("pr") * coalesce(col("v1"), lit(0.0)), 12)
+                .as("w"))
+            .localCheckpoint())
+        }
+        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 12).cast(dec12))
+          .cast("double")).as("n"))
+        v = graft.Checkpoints.deferFree(w.crossJoin(broadcast(nrm))
+          .select(col("term"), round(col("w") / col("n"), 12).as("v"))
+          .localCheckpoint())
+      }
+      v
+    }
+    def sigma(v: DataFrame): DataFrame =
+      tfidf.join(v, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(round(col("a") * col("v"), 12).cast(dec12))
+          .cast("double").as("u"))
+        .agg(sqrt(sum(round(col("u") * col("u"), 12).cast(dec12))
+          .cast("double")).as("s"))
+    val vc1 = powerLoop(None)
+    val vc2 = powerLoop(Some(vc1))
+    def top(comp: Int, v: DataFrame): DataFrame =
+      v.crossJoin(broadcast(sigma(v)))
+        .orderBy(abs(col("v")).desc, col("term")).limit(LsaTopTerms)
+        .select(lit(comp).as("component"), col("term"),
+          round(col("v"), 6).as("loading"), round(col("s"), 6).as("sigma"))
+    top(1, vc1).unionByName(top(2, vc2))
+      .orderBy(col("component"), abs(col("loading")).desc, col("term"))
+  }
+
+  val q268Sql: String = {
+    def rounds(comp: Int, v0: String, deflate: Boolean): (String, String) = {
+      val sb = new StringBuilder
+      var prev = v0
+      for (r <- 1 to LsaRounds) {
+        val (defl, wsrc) =
+          if (deflate) (s""",
+proj${comp}_$r AS MATERIALIZED (
+  SELECT CAST(sum(CAST(round(w.w * v1.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS pr
+  FROM w${comp}_$r w JOIN vc1 v1 USING (term)),
+wd${comp}_$r AS MATERIALIZED (
+  SELECT w.term, round(w.w - (SELECT pr FROM proj${comp}_$r) * coalesce(v1.v, 0.0), 12) AS w
+  FROM w${comp}_$r w LEFT JOIN vc1 v1 USING (term))""", s"wd${comp}_$r")
+          else ("", s"w${comp}_$r")
+        sb ++= s""",
+u${comp}_$r AS MATERIALIZED (
+  SELECT a.doc_id, CAST(sum(CAST(round(a.a * p.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+  FROM tfidf a JOIN $prev p USING (term) GROUP BY 1),
+w${comp}_$r AS MATERIALIZED (
+  SELECT a.term, CAST(sum(CAST(round(a.a * u.u, 12) AS DECIMAL(38,12))) AS DOUBLE) AS w
+  FROM tfidf a JOIN u${comp}_$r u USING (doc_id) GROUP BY 1)$defl,
+nrm${comp}_$r AS MATERIALIZED (
+  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS n
+  FROM $wsrc),
+v${comp}_$r AS MATERIALIZED (
+  SELECT term, round(w / (SELECT n FROM nrm${comp}_$r), 12) AS v FROM $wsrc)"""
+        prev = s"v${comp}_$r"
+      }
+      (sb.toString, prev)
+    }
+    def sig(name: String, vc: String): String =
+      s"""$name AS (
+  SELECT sqrt(CAST(sum(CAST(round(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS s
+  FROM (SELECT a.doc_id, CAST(sum(CAST(round(a.a * p.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+        FROM tfidf a JOIN $vc p USING (term) GROUP BY 1) q)"""
+    val (s1, last1) = rounds(1, "v0a", deflate = false)
+    val (s2, last2) = rounds(2, "v0b", deflate = true)
+    s"""WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+tfidf AS MATERIALIZED (
+  SELECT t.doc_id, t.term,
+    round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df + 1.0), 12) AS a
+  FROM tf t JOIN df d USING (term) CROSS JOIN nd n),
+terms AS (SELECT DISTINCT term FROM tfidf),
+ntm AS (SELECT count(*) AS nt FROM terms),
+v0a AS (SELECT term, round(1.0 / sqrt((SELECT CAST(nt AS DOUBLE) FROM ntm)), 12) AS v FROM terms)$s1,
+vc1 AS MATERIALIZED (SELECT term, v FROM $last1),
+${sig("sig1", "vc1")},
+v0b AS (SELECT term, round(1.0 / sqrt((SELECT CAST(nt AS DOUBLE) FROM ntm)), 12) AS v FROM terms)$s2,
+vc2 AS MATERIALIZED (SELECT term, v FROM $last2),
+${sig("sig2", "vc2")},
+ranked AS (
+  SELECT 1 AS component, term, round(v, 6) AS loading,
+    round((SELECT s FROM sig1), 6) AS sigma,
+    row_number() OVER (ORDER BY abs(v) DESC, term) AS rk
+  FROM vc1
+  UNION ALL
+  SELECT 2, term, round(v, 6),
+    round((SELECT s FROM sig2), 6),
+    row_number() OVER (ORDER BY abs(v) DESC, term)
+  FROM vc2)
+SELECT component, term, loading, sigma FROM ranked
+WHERE rk <= $LsaTopTerms ORDER BY component, abs(loading) DESC, term"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_lsa_topics" -> q268LsaTopics,
     "q239_kanonymity" -> q239KAnonymity,
     "q203_seq_packing" -> q203SeqPacking,
     "q204_quality_gate" -> q204QualityGate,
@@ -637,6 +798,7 @@ object PipelineQueries {
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
+    "q268_lsa_topics" -> q268Sql,
     "q239_kanonymity" -> q239Sql,
     "q203_seq_packing" -> q203Sql,
     "q204_quality_gate" -> q204Sql,
