@@ -1005,8 +1005,13 @@ object TimeseriesQueries {
       |FROM br ORDER BY event_type, h""".stripMargin
 
   // --------------------------------------------------------------- q244
-  /** 1-in-`TheilSenSampleMod` deterministic sample for the pair set. */
-  val TheilSenSampleMod = 4L
+  /** 1-in-`TheilSenSampleMod` deterministic sample for the pair set.
+    * 16 holds the sf0.1 sample at ~1.3k rows (~790k pairs) — the r9
+    * bench showed mod 4's 5k-row sample costs 56s isolated (12.6M
+    * pairs through the exact boxed `percentile`); the pair count is
+    * quadratic in this knob's inverse, and ~1.3k points is already
+    * far past the estimator's accuracy needs for a trend line. */
+  val TheilSenSampleMod = 16L
   /** Loud cap on the sampled frame — the pair join is quadratic in the
     * sample BY DESIGN (the sample size is the accuracy knob, the
     * corpus size is not a factor), so a mis-tuned mod must fail with a
