@@ -345,6 +345,23 @@ object Graft {
     graph.LinkPrediction.adamicAdar(edges.select(src.as("src"), dst.as("dst")),
       degreeCap)
 
+  /** Co-citation + bibliographic coupling over any directed (src, dst)
+    * edge frame: (a, b, cocitation, coupling) for a < b pairs sharing
+    * ≥1 citer, wedges through hubs above `degreeCap` dropped
+    * (0 = no cap; see graph.CoCitation). */
+  def coCitation(edges: DataFrame, src: Column, dst: Column,
+                 degreeCap: Int = 0): DataFrame =
+    graph.CoCitation.run(edges.sparkSession,
+      edges.select(src.as("src"), dst.as("dst")), degreeCap)
+
+  /** SALSA hubs & authorities over any directed (src, dst) edge frame:
+    * (id, auth, hub), L1-normalized after `iters` degree-normalized
+    * update rounds (see graph.Salsa — HITS without the TKC effect). */
+  def salsa(edges: DataFrame, src: Column, dst: Column,
+            iters: Int = 5): DataFrame =
+    graph.Salsa.run(edges.sparkSession,
+      edges.select(src.as("src"), dst.as("dst")), iters)
+
   /** HITS hubs & authorities over any directed (src, dst) edge frame:
     * (id, auth, hub), sum-normalized after `iters` full update rounds
     * (see graph.Hits). */

@@ -2099,7 +2099,121 @@ ORDER BY v.id"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q274
+  /** Hub degree-cap for the co-citation wedge fan-out; ≤0 disables it
+    * on the bounded 200-host projection (q79's convention — the cap is
+    * implemented and spec-exercised, the fixture default keeps every
+    * center). */
+  val CoCiteDegreeCap = 0
+  val CoCiteTopK = 50
+
+  /** Co-citation + bibliographic coupling over the host graph
+    * (graph/CoCitation, `Graft.coCitation`): host pairs ranked by how
+    * many common sources cite BOTH (co-citation, Small 1973), with the
+    * number of common targets they both cite (coupling, Kessler 1963)
+    * carried alongside — the pair-similarity complement to q79's
+    * Adamic–Adar (which weights wedges; this counts them, split by
+    * direction). Top [[CoCiteTopK]] by (cocitation desc, a, b).
+    *
+    * Shape for 100 TB: see CoCitation.run — broadcast wedge self-joins
+    * on 8-byte vids, map-side collapse before any exchange, optional
+    * hub cap ahead of the quadratic fan-out; the top-k is a
+    * TakeOrdered on the aggregated pair frame, never a global sort. */
+  def q274Cocitation(spark: SparkSession, sfDir: String): DataFrame = {
+    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+    val top = graft.graph.CoCitation
+      .run(spark, hedges, CoCiteDegreeCap, cacheKey = Some(s"host:$sfDir"))
+      .orderBy(col("cocitation").desc, col("a"), col("b"))
+      .limit(CoCiteTopK)
+    val w = Window.orderBy(col("cocitation").desc, col("a"), col("b"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("a"), col("b"), col("cocitation"),
+        col("coupling"))
+      .orderBy(col("rank"))
+  }
+
+  val q274Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+cocite AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocitation
+  FROM hedges e1 JOIN hedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2),
+couple AS (
+  SELECT e1.src AS a, e2.src AS b, count(*) AS coupling
+  FROM hedges e1 JOIN hedges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c.a, c.b, c.cocitation,
+    CAST(coalesce(p.coupling, 0) AS BIGINT) AS coupling,
+    row_number() OVER (ORDER BY c.cocitation DESC, c.a, c.b) AS rank
+  FROM cocite c LEFT JOIN couple p ON c.a = p.a AND c.b = p.b)
+SELECT rank, a, b, cocitation, coupling FROM ranked
+WHERE rank <= $CoCiteTopK ORDER BY rank"""
+
+  // --------------------------------------------------------------- q276
+  /** SALSA round budget (≡ the oracle's unrolled rounds). */
+  val SalsaRounds = 5
+
+  /** SALSA hubs & authorities on the page graph (`graph/Salsa`,
+    * `Graft.salsa`) — Lempel–Moran's degree-normalized repair of
+    * HITS's topic-drift: the same mutual-reinforcement loop as q70 on
+    * the SAME graph, but every hop divides by the degree it walks
+    * through, so a tightly-knit community can't absorb all the mass
+    * (the TKC effect q70 exhibits by construction). Reading q70 and
+    * q276 side by side is the classic link-analysis comparison.
+    *
+    * Shape for 100 TB: Hits.run's loop audit plus loop-invariant
+    * degree weights pre-joined onto the cached edge sides; neighbor
+    * sums 12dp-gridded DECIMAL (q261's association-free discipline);
+    * final L1 normalizers are 1-row broadcasts. */
+  def q276Salsa(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Salsa.run(spark, WebGraph.cachedEdges(spark, sfDir),
+        SalsaRounds, cacheKey = Some(s"page:$sfDir"))
+      .select(col("id"), round(col("auth"), 6).as("auth"),
+        round(col("hub"), 6).as("hub"))
+      .orderBy(col("id"))
+
+  val q276Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+vertices AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+indeg AS MATERIALIZED (SELECT dst, count(*) AS idg FROM edges GROUP BY dst),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM vertices),
+"""
+    for (k <- 1 to SalsaRounds) {
+      sb ++= s"""a$k AS MATERIALIZED (
+  SELECT v.id, coalesce(r.a, 0.0) AS a
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS rid,
+      CAST(sum(CAST(round(p.h / d.od, 12) AS DECIMAL(38,12))) AS DOUBLE) AS a
+    FROM edges e JOIN h${k - 1} p ON e.src = p.id JOIN outdeg d ON e.src = d.src
+    GROUP BY e.dst) r ON v.id = r.rid),
+h$k AS MATERIALIZED (
+  SELECT v.id, coalesce(r.h, 0.0) AS h
+  FROM vertices v LEFT JOIN (
+    SELECT e.src AS rid,
+      CAST(sum(CAST(round(p.a / d.idg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS h
+    FROM edges e JOIN a$k p ON e.dst = p.id JOIN indeg d ON e.dst = d.dst
+    GROUP BY e.src) r ON v.id = r.rid),
+"""
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+SELECT a.id, round(a.a / (SELECT sum(a) FROM a$SalsaRounds), 6) AS auth,
+  round(h.h / (SELECT sum(h) FROM h$SalsaRounds), 6) AS hub
+FROM a$SalsaRounds a JOIN h$SalsaRounds h ON a.id = h.id ORDER BY a.id"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_salsa" -> q276Salsa,
+    "q274_cocitation" -> q274Cocitation,
     "q261_betweenness" -> q261Betweenness,
     "q262_eff_diameter" -> q262EffDiameter,
     "q263_mis" -> q263Mis,
@@ -2141,6 +2255,8 @@ ORDER BY v.id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q276_salsa" -> q276Sql,
+    "q274_cocitation" -> q274Sql,
     "q261_betweenness" -> q261Sql,
     "q262_eff_diameter" -> q262Sql,
     "q263_mis" -> q263Sql,

@@ -2371,7 +2371,175 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS var_reduction
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q273
+  /** Isotonic calibration (PAVA) of q156's reliability curve — the fix
+    * q156's docstring promises: the weighted isotonic regression of
+    * per-bin observed conversion on the activity-score bins, i.e. the
+    * monotone map a scorer would serve instead of raw bin rates. The
+    * fit uses the minimax identity
+    * iso(i) = max_{j≤i} min_{k≥i} wmean(j..k) (Ayer et al. 1955, the
+    * closed form of pool-adjacent-violators), which turns the
+    * inherently sequential PAVA pass into three joins on the O(B)=10
+    * bin frame; the spec recomputes via the actual PAVA pooling loop —
+    * an independent formulation. `pooled` flags bins whose isotonic
+    * value differs from the raw rate (a monotonicity violation got
+    * pooled away).
+    *
+    * Shape for 100 TB: identical to q156 up to the bin frame (one
+    * partial-agged per-user pass, 1-row broadcast max, tiny
+    * groupBy(bin)); the whole isotonic solve then runs on ≤10 rows of
+    * integer sums — the O(B³) interval enumeration is a broadcast
+    * nested-loop join of three ≤10-row frames, invisible at any SF.
+    * Exactness: wmean is one IEEE division of exact integer sums, and
+    * min/max over identical doubles agree bit-for-bit cross-engine. */
+  def q273Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("converted"))
+    val mx = perUser.agg(max(col("n_ev")).as("max_ev"))
+    val bins = graft.Checkpoints.deferFree(perUser.crossJoin(broadcast(mx))
+      .withColumn("bin", expr("least((n_ev * 10) div max_ev, 9)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_ev")).as("s_ev"),
+        sum(col("converted")).as("s_conv"),
+        max(col("max_ev")).as("max_ev"))
+      .localCheckpoint())
+    val bj = bins.select(col("bin").as("jb"))
+    val bk = bins.select(col("bin").as("kb"))
+    val bt = bins.select(col("bin").as("tb"), col("n_users").as("tn"),
+      col("s_conv").as("tc"))
+    val ivals = bj.join(broadcast(bk), col("jb") <= col("kb"))
+      .join(broadcast(bt), col("tb").between(col("jb"), col("kb")))
+      .groupBy(col("jb"), col("kb"))
+      .agg((sum(col("tc")).cast("double") / sum(col("tn"))).as("wmean"))
+    val bi = bins.select(col("bin").as("ib"))
+    val iso = ivals.join(broadcast(bi),
+        col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy(col("jb"), col("ib")).agg(min(col("wmean")).as("m"))
+      .groupBy(col("ib").as("bin")).agg(max(col("m")).as("iso_rate"))
+    bins.join(broadcast(iso), "bin")
+      .select(col("bin"), col("n_users"),
+        round(col("s_ev").cast("double") / (col("max_ev") * col("n_users")), 6)
+          .as("mean_predicted"),
+        round(col("s_conv").cast("double") / col("n_users"), 6)
+          .as("observed_rate"),
+        round(col("iso_rate"), 6).as("iso_rate"),
+        (abs(col("iso_rate") - col("s_conv").cast("double") / col("n_users"))
+          > 1e-12).as("pooled"))
+      .orderBy(col("bin"))
+  }
+
+  val q273Sql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+      |             THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(n_ev) AS max_ev FROM per_user),
+      |bins AS MATERIALIZED (
+      |  SELECT least((n_ev * 10) // max_ev, 9) AS bin,
+      |    count(*) AS n_users,
+      |    CAST(sum(n_ev) AS BIGINT) AS s_ev,
+      |    CAST(sum(converted) AS BIGINT) AS s_conv,
+      |    max(max_ev) AS max_ev
+      |  FROM per_user CROSS JOIN mx GROUP BY 1),
+      |ivals AS MATERIALIZED (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(sum(t.s_conv) AS DOUBLE) / sum(t.n_users) AS wmean
+      |  FROM bins j JOIN bins k ON j.bin <= k.bin
+      |  JOIN bins t ON t.bin BETWEEN j.bin AND k.bin
+      |  GROUP BY 1, 2),
+      |step1 AS (
+      |  SELECT v.j, i.bin AS i, min(v.wmean) AS m
+      |  FROM ivals v JOIN bins i ON v.j <= i.bin AND v.k >= i.bin
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i AS bin, max(m) AS iso_rate FROM step1 GROUP BY 1)
+      |SELECT b.bin, b.n_users,
+      |  round(CAST(b.s_ev AS DOUBLE) / (b.max_ev * b.n_users), 6) AS mean_predicted,
+      |  round(CAST(b.s_conv AS DOUBLE) / b.n_users, 6) AS observed_rate,
+      |  round(iso.iso_rate, 6) AS iso_rate,
+      |  (abs(iso.iso_rate - CAST(b.s_conv AS DOUBLE) / b.n_users) > 1e-12) AS pooled
+      |FROM bins b JOIN iso ON b.bin = iso.bin
+      |ORDER BY b.bin""".stripMargin
+
+  // --------------------------------------------------------------- q278
+  /** Delete-one-group jackknife for a RATIO estimator (Quenouille /
+    * Tukey; Efron–Stein for grouped data) — the uncertainty tool the
+    * bootstrap family (q250) doesn't cover: mean-per-unit KPIs like
+    * revenue-per-purchase are ratios of two correlated sums, so
+    * neither term's SE applies; the delete-one-DAY jackknife gives the
+    * bias and standard error of the ratio itself while respecting
+    * within-day correlation (days, not events, are the exchangeable
+    * units — the cluster-jackknife convention). Reports the plain
+    * ratio, the jackknife mean, the bias estimate (D−1)(r̄ − R), and
+    * SE = √((D−1)/D · Σ(r_d − r̄)²).
+    *
+    * Shape for 100 TB: ONE partial-agged pass collapses the corpus to
+    * the O(days) frame (counts + DECIMAL(38,6) sums of the 6dp-gridded
+    * money column — exact, order-free); everything after runs on ≤D
+    * rows with 1-row broadcast totals; the two small double sums grid
+    * their terms round(,12) into DECIMAL(38,12) so even the tiny
+    * exchanges are association-free. */
+  def q278JackknifeRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_d"),
+        dsum(round(col("value"), 6)).as("s_d"))
+      .localCheckpoint())
+    val tot = daily.agg(sum(col("n_d")).as("n"),
+      sum(col("s_d")).cast(DecimalType(38, 6)).as("s"),
+      count(lit(1)).as("d"))
+    val loo = graft.Checkpoints.deferFree(daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        ((col("s") - col("s_d")).cast("double") / (col("n") - col("n_d")))
+          .as("r"),
+        col("n"), col("s"), col("d"))
+      .localCheckpoint())
+    val jm = loo.agg((sum(round(col("r"), 12).cast(DecimalType(38, 12)))
+      .cast("double") / max(col("d"))).as("rbar"))
+    loo.crossJoin(broadcast(jm))
+      .agg(max(col("d")).as("n_days"), max(col("n")).as("n_events"),
+        round(max(col("s")).cast("double") / max(col("n")), 6).as("ratio"),
+        round(max(col("rbar")), 6).as("jack_mean"),
+        round((max(col("d")) - 1) * (max(col("rbar"))
+          - max(col("s")).cast("double") / max(col("n"))), 6).as("jack_bias"),
+        round(sqrt((max(col("d")) - lit(1.0)) / max(col("d"))
+          * sum(round((col("r") - col("rbar")) * (col("r") - col("rbar")), 12)
+            .cast(DecimalType(38, 12))).cast("double")), 6).as("jack_se"))
+  }
+
+  val q278Sql: String =
+    s"""WITH daily AS MATERIALIZED (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS n_d,
+      |    sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS s_d
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n, CAST(sum(s_d) AS DECIMAL(38,6)) AS s,
+      |               count(*) AS d FROM daily),
+      |loo AS MATERIALIZED (
+      |  SELECT day, CAST(t.s - s_d AS DOUBLE) / (t.n - n_d) AS r, t.n, t.s, t.d
+      |  FROM daily CROSS JOIN tot t),
+      |jm AS (SELECT CAST(sum(CAST(round(r, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |         / max(d) AS rbar FROM loo)
+      |SELECT max(l.d) AS n_days, CAST(max(l.n) AS BIGINT) AS n_events,
+      |  round(CAST(max(l.s) AS DOUBLE) / max(l.n), 6) AS ratio,
+      |  round(max(j.rbar), 6) AS jack_mean,
+      |  round((max(l.d) - 1) * (max(j.rbar) - CAST(max(l.s) AS DOUBLE) / max(l.n)), 6)
+      |    AS jack_bias,
+      |  round(sqrt((max(l.d) - 1.0) / max(l.d)
+      |    * CAST(sum(CAST(round((l.r - j.rbar) * (l.r - j.rbar), 12)
+      |                    AS DECIMAL(38,12))) AS DOUBLE)), 6) AS jack_se
+      |FROM loo l CROSS JOIN jm j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_jackknife_ratio" -> q278JackknifeRatio,
+    "q273_isotonic" -> q273Isotonic,
     "q271_conformal" -> q271Conformal,
     "q272_cuped" -> q272Cuped,
     "q270_power_analysis" -> q270PowerAnalysis,
@@ -2403,6 +2571,8 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q278_jackknife_ratio" -> q278Sql,
+    "q273_isotonic" -> q273Sql,
     "q271_conformal" -> q271Sql,
     "q272_cuped" -> q272Sql,
     "q270_power_analysis" -> q270Sql,

@@ -1378,7 +1378,103 @@ object TimeseriesQueries {
       |  d.decision_day, s.p0r AS p0, s.p1r AS p1
       |FROM st s CROSS JOIN dec d ORDER BY s.day""".stripMargin
 
+  // --------------------------------------------------------------- q277
+  /** Brown's double exponential smoothing (α = 1/2) over the hourly
+    * event grid — the trend-aware extension of q85's EWMA: smoothing
+    * the smoother (s2 = EWMA(s1)) yields Brown's level
+    * a = 2s1 − s2, trend b = s1 − s2 (α/(1−α) = 1 at the dyadic α),
+    * and the one-step forecast ŷ = 3s1 − 2s2, with the realized
+    * next-hour error alongside (the backtest column q173 reports for
+    * its daily models). The dyadic α keeps BOTH recursions exact
+    * integer arithmetic via nested closed forms:
+    * S1_t = 2^t·s1_t is q85's cumulative scaled sum, and
+    * s2_t = x₀/2^t + (Σ_{i=1..t} S1_i)/2^{t+1} — derived from
+    * T2_t = 2^{t−1}·S1_t + 2·T2_{t−1} — so s2 is TWO nested window
+    * sums of int64s and two exact power-of-two divisions; no libm, no
+    * association sensitivity (the int64→double conversions and the
+    * single double add are IEEE-identical cross-engine).
+    *
+    * Shape for 100 TB: identical to q85 — the only full-data pass is
+    * the hourly partial-agg; the grid/windows run on (types×days×24)
+    * rows, partitioned by (type, day). */
+  def q277DoubleSmoothing(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hr"))
+    val x = grid.join(hourly, Seq("event_type", "day", "hr"), "left")
+      .select(col("event_type"), col("day"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = when(col("hr") === 0, col("cnt"))
+      .otherwise(col("cnt") * expr("shiftleft(1L, cast(hr - 1 as int))"))
+    val s1f = x.withColumn("x0", first(col("cnt")).over(w))
+      .withColumn("s1u", sum(u).over(w))
+    val vf = s1f.withColumn("v",
+      sum(when(col("hr") === 0, 0L).otherwise(col("s1u"))).over(w))
+    val s1 = col("s1u").cast("double") / expr("shiftleft(1L, cast(hr as int))")
+    val s2 = col("x0").cast("double") / expr("shiftleft(1L, cast(hr as int))") +
+      col("v").cast("double") / expr("shiftleft(1L, cast(hr + 1 as int))")
+    val lw = Window.partitionBy(col("event_type"), col("day")).orderBy(col("hr"))
+    vf.select(col("event_type"), col("day"), col("hr"), col("cnt"),
+        round(s1, 6).as("s1"), round(s2, 6).as("s2"),
+        round(lit(2.0) * s1 - s2, 6).as("level"),
+        round(s1 - s2, 6).as("trend"),
+        round(lit(3.0) * s1 - lit(2.0) * s2, 6).as("forecast_next"),
+        round(lead(col("cnt"), 1).over(lw) - (lit(3.0) * s1 - lit(2.0) * s2), 6)
+          .as("fc_err"))
+      .orderBy(col("event_type"), col("day"), col("hr"))
+  }
+
+  val q277Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT event_type, day, CAST(h AS BIGINT) AS hr
+      |  FROM (SELECT DISTINCT event_type, day FROM hourly)
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h)),
+      |x AS (
+      |  SELECT g.event_type, g.day, g.hr, coalesce(h.c, 0) AS cnt
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.event_type = h.event_type AND g.day = h.day AND g.hr = h.hr),
+      |s1f AS (
+      |  SELECT event_type, day, hr, cnt,
+      |    first_value(cnt) OVER w AS x0,
+      |    sum(CASE WHEN hr = 0 THEN cnt
+      |             ELSE cnt * (1::BIGINT << CAST(hr - 1 AS INT)) END) OVER w AS s1u
+      |  FROM x
+      |  WINDOW w AS (PARTITION BY event_type, day ORDER BY hr
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |vf AS (
+      |  SELECT event_type, day, hr, cnt, x0, s1u,
+      |    sum(CASE WHEN hr = 0 THEN 0 ELSE s1u END) OVER
+      |      (PARTITION BY event_type, day ORDER BY hr
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |  FROM s1f),
+      |sm AS (
+      |  SELECT event_type, day, hr, cnt,
+      |    CAST(s1u AS DOUBLE) / (1::BIGINT << CAST(hr AS INT)) AS s1,
+      |    CAST(x0 AS DOUBLE) / (1::BIGINT << CAST(hr AS INT))
+      |      + CAST(v AS DOUBLE) / (1::BIGINT << CAST(hr + 1 AS INT)) AS s2
+      |  FROM vf)
+      |SELECT event_type, day, hr, cnt,
+      |  round(s1, 6) AS s1, round(s2, 6) AS s2,
+      |  round(2.0 * s1 - s2, 6) AS level,
+      |  round(s1 - s2, 6) AS trend,
+      |  round(3.0 * s1 - 2.0 * s2, 6) AS forecast_next,
+      |  round(lead(cnt) OVER (PARTITION BY event_type, day ORDER BY hr)
+      |    - (3.0 * s1 - 2.0 * s2), 6) AS fc_err
+      |FROM sm ORDER BY event_type, day, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_double_smoothing" -> q277DoubleSmoothing,
     "q269_sprt" -> q269Sprt,
     "q253_cusum" -> q253Cusum,
     "q248_mann_kendall" -> q248MannKendall,
@@ -1398,6 +1494,7 @@ object TimeseriesQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q277_double_smoothing" -> q277Sql,
     "q269_sprt" -> q269Sql,
     "q253_cusum" -> q253Sql,
     "q248_mann_kendall" -> q248Sql,

@@ -918,7 +918,140 @@ ORDER BY p.st"""
       |FROM winu u JOIN wind d USING (win)
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q281
+  /** Step horizon for the absorption recursion (≡ the oracle's
+    * unrolled rounds). */
+  val AbsorbSteps = 8
+
+  /** Absorbing-chain conversion probability — the MISSING third leg of
+    * the session-Markov family: q96 gives one-step transition
+    * probabilities, q259 the chain's entropy rate, q182 the
+    * removal-effect attribution; this answers the product question —
+    * FROM each state, what is the probability a session reaches
+    * 'purchase' within [[AbsorbSteps]] more steps? Purchase is
+    * absorbing (p ≡ 1), session end is absorbing failure (p ≡ 0), and
+    * p_k(s) = Σ_t P(s→t)·p_{k−1}(t) iterates on the O(|states|²)
+    * transition matrix from q96's session transitions (same (ts_us,
+    * event_id) total order, '__end' sentinel for terminal events).
+    * Output per state: direct-conversion count/probability and the
+    * K-step absorption probability (≥ p_direct by construction).
+    *
+    * Shape for 100 TB: one corpus pass (q96's windowed lead) collapses
+    * to the ≤(types+1)² count matrix; the K iterations run on that
+    * O(1) frame with 12dp-gridded DECIMAL dot products — the loop
+    * costs K tiny local joins regardless of SF. */
+  def q281Absorption(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cnts = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("to_type",
+        coalesce(lead(col("event_type"), 1).over(bySess), lit("__end")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val wf = Window.partitionBy(col("from_type"))
+    val probs = graft.Checkpoints.deferFree(cnts
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(wf)).as("p"))
+      .localCheckpoint())
+    val states = graft.Checkpoints.deferFree(
+      cnts.select(col("from_type").as("s")).distinct().localCheckpoint())
+    var ph = states.select(col("s"),
+      when(col("s") === "purchase", lit(1.0)).otherwise(lit(0.0)).as("ph"))
+      .localCheckpoint()
+    for (_ <- 1 to AbsorbSteps) {
+      val nxt = states
+        .join(probs.filter(col("from_type") =!= "purchase")
+            .join(ph.select(col("s").as("to_type"), col("ph").as("pv")),
+              "to_type")
+            .groupBy(col("from_type"))
+            .agg(sum(round(col("p") * col("pv"), 12)
+              .cast(DecimalType(38, 12))).cast("double").as("np")),
+          col("s") === col("from_type"), "left")
+        .select(col("s"),
+          when(col("s") === "purchase", lit(1.0))
+            .otherwise(coalesce(col("np"), lit(0.0))).as("ph"))
+      ph = graft.Checkpoints.rotate(nxt, ph)
+    }
+    val direct = cnts.filter(col("to_type") === "purchase")
+      .select(col("from_type").as("s"), col("n").as("n_direct"))
+    val outdeg = cnts.groupBy(col("from_type").as("s"))
+      .agg(sum(col("n")).as("n_out"))
+    val pdir = probs.filter(col("to_type") === "purchase")
+      .select(col("from_type").as("s"), col("p").as("pd"))
+    val out = states
+      .join(direct, Seq("s"), "left").join(outdeg, Seq("s"))
+      .join(pdir, Seq("s"), "left").join(ph, Seq("s"))
+      .select(col("s").as("state"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"), col("n_out"),
+        round(coalesce(col("pd"), lit(0.0)), 6).as("p_direct"),
+        round(col("ph"), 6).as("p_hit"))
+      .orderBy(col("state"))
+    graft.Checkpoints.deferFree(ph)
+    out
+  }
+
+  val q281Sql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, event_id FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+trans AS MATERIALIZED (
+  SELECT event_type AS from_type,
+    coalesce(lead(event_type) OVER (PARTITION BY user_id, session_id
+      ORDER BY ts_us, event_id), '__end') AS to_type
+  FROM sess),
+cnts AS MATERIALIZED (
+  SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2),
+probs AS MATERIALIZED (
+  SELECT from_type, to_type, n,
+    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM cnts),
+states AS MATERIALIZED (SELECT DISTINCT from_type AS s FROM cnts),
+p0 AS MATERIALIZED (
+  SELECT s, CAST(CASE WHEN s = 'purchase' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS ph
+  FROM states)
+"""
+    for (k <- 1 to AbsorbSteps) {
+      sb ++= s""",
+p$k AS MATERIALIZED (
+  SELECT st.s,
+    CASE WHEN st.s = 'purchase' THEN 1.0 ELSE coalesce(r.ph, 0.0) END AS ph
+  FROM states st LEFT JOIN (
+    SELECT pr.from_type AS s,
+      CAST(sum(CAST(round(pr.p * pv.ph, 12) AS DECIMAL(38,12))) AS DOUBLE) AS ph
+    FROM probs pr JOIN p${k - 1} pv ON pr.to_type = pv.s
+    WHERE pr.from_type <> 'purchase'
+    GROUP BY pr.from_type) r ON st.s = r.s)
+"""
+    }
+    sb ++= s"""SELECT st.s AS state,
+  CAST(coalesce((SELECT n FROM cnts c WHERE c.from_type = st.s AND c.to_type = 'purchase'), 0) AS BIGINT) AS n_direct,
+  CAST((SELECT sum(n) FROM cnts c WHERE c.from_type = st.s) AS BIGINT) AS n_out,
+  round(coalesce((SELECT p FROM probs c WHERE c.from_type = st.s AND c.to_type = 'purchase'), 0.0), 6) AS p_direct,
+  round(pk.ph, 6) AS p_hit
+FROM states st JOIN p$AbsorbSteps pk ON st.s = pk.s ORDER BY st.s"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_absorption" -> q281Absorption,
     "q265_window_distinct" -> q265WindowDistinct,
     "q259_entropy_rate" -> q259EntropyRate,
     "q252_seq_mining" -> q252SeqMining,
@@ -936,6 +1069,7 @@ ORDER BY p.st"""
     "q71_sliding_window" -> q71SlidingWindow)
 
   val oracles: Map[String, String] = Map(
+    "q281_absorption" -> q281Sql,
     "q265_window_distinct" -> q265Sql,
     "q259_entropy_rate" -> q259Sql,
     "q252_seq_mining" -> q252Sql,

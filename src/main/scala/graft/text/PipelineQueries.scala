@@ -783,7 +783,211 @@ SELECT component, term, loading, sigma FROM ranked
 WHERE rk <= $LsaTopTerms ORDER BY component, abs(loading) DESC, term"""
   }
 
+  // --------------------------------------------------------------- q279
+  /** Cross-shard quantile normalization (the microarray-era
+    * harmonizer applied to corpus curation): every source's n_chars
+    * distribution is mapped onto the REFERENCE source's empirical
+    * quantile function (reference = largest source, deterministic
+    * tie-break), so per-shard quality thresholds mean the same thing
+    * on every shard — the fix for "source A's median is source B's
+    * p90" before any global quality gate (q204) mixes shards. Midrank
+    * probe p per (source, value) group; reference order statistic at
+    * i = p·(n_ref−1) by linear interpolation between the bracketing
+    * order stats. Output: per (source, decile) census — n_docs, mean
+    * raw value, mean mapped value (the reference maps to itself —
+    * the identity sanity row).
+    *
+    * Shape for 100 TB: the corpus collapses in ONE partial-agged pass
+    * to (source, value, count) — every window and join after runs on
+    * O(distinct values) VALUE-LEVEL frames (the q161 histogram-rank
+    * discipline: per-doc rank windows would force one task per
+    * source); the reference's order-stat intervals are a broadcast
+    * range join (O(distinct) rows); means are count-weighted sums on
+    * the value level, the mapped mean 12dp-gridded DECIMAL. */
+  def q279QuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wsrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wv = graft.Checkpoints.deferFree(vals
+      .withColumn("cb", coalesce(sum(col("c")).over(wsrc), lit(0L)))
+      .withColumn("nsrc", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .localCheckpoint())
+    val ref = wv.select(col("source").as("rsource"), col("nsrc").as("na"))
+      .distinct().orderBy(col("na").desc, col("rsource")).limit(1)
+    val a = wv.join(broadcast(ref), col("source") === col("rsource"))
+      .select(col("v").as("av"), col("cb").as("acb"), col("c").as("ac"))
+    val probes = wv.crossJoin(broadcast(ref))
+      .select(col("source"), col("v"), col("c"),
+        when(col("nsrc") === 1, lit(0.5))
+          .otherwise((col("cb") + (col("c") + 1) / lit(2.0) - 1.0)
+            / (col("nsrc") - 1)).as("p"),
+        col("na"))
+    val idx = probes
+      .withColumn("i", col("p") * (col("na") - 1))
+      .withColumn("ilo", floor(col("i")).cast("long"))
+      .withColumn("ihi", least(ceil(col("i")).cast("long"), col("na") - 1))
+    val mapped = idx
+      .join(broadcast(a.select(col("av").as("lov"), col("acb").as("locb"),
+          col("ac").as("loc"))),
+        col("ilo") >= col("locb") && col("ilo") < col("locb") + col("loc"))
+      .join(broadcast(a.select(col("av").as("hiv"), col("acb").as("hicb"),
+          col("ac").as("hic"))),
+        col("ihi") >= col("hicb") && col("ihi") < col("hicb") + col("hic"))
+      .select(col("source"), col("v"), col("c"), col("p"),
+        (col("lov") + (col("i") - col("ilo")) * (col("hiv") - col("lov")))
+          .as("m"))
+    mapped
+      .groupBy(col("source"),
+        least(floor(col("p") * 10).cast("long"), lit(9L)).as("decile"))
+      .agg(sum(col("c")).as("n_docs"),
+        round(sum(col("v") * col("c")).cast("double") / sum(col("c")), 6)
+          .as("mean_raw"),
+        round(sum(round(col("m") * col("c"), 12).cast(DecimalType(38, 12)))
+          .cast("double") / sum(col("c")), 6).as("mean_mapped"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val q279Sql: String =
+    """WITH vals AS MATERIALIZED (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+wv AS MATERIALIZED (
+  SELECT source, v, c,
+    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    sum(c) OVER (PARTITION BY source) AS nsrc
+  FROM vals),
+ref AS (
+  SELECT source AS rsource, nsrc AS na
+  FROM wv GROUP BY 1, 2 ORDER BY nsrc DESC, rsource LIMIT 1),
+a AS MATERIALIZED (
+  SELECT w.v AS av, w.cb AS acb, w.c AS ac
+  FROM wv w JOIN ref r ON w.source = r.rsource),
+probes AS MATERIALIZED (
+  SELECT w.source, w.v, w.c,
+    CASE WHEN w.nsrc = 1 THEN 0.5
+         ELSE (w.cb + (w.c + 1) / 2.0 - 1.0) / (w.nsrc - 1)
+    END AS p, r.na
+  FROM wv w CROSS JOIN ref r),
+idx AS (
+  SELECT source, v, c, p, p * (na - 1) AS i,
+    CAST(floor(p * (na - 1)) AS BIGINT) AS ilo,
+    least(CAST(ceil(p * (na - 1)) AS BIGINT), na - 1) AS ihi
+  FROM probes),
+mapped AS (
+  SELECT x.source, x.v, x.c, x.p,
+    lo.av + (x.i - x.ilo) * (hi.av - lo.av) AS m
+  FROM idx x
+  JOIN a lo ON x.ilo >= lo.acb AND x.ilo < lo.acb + lo.ac
+  JOIN a hi ON x.ihi >= hi.acb AND x.ihi < hi.acb + hi.ac)
+SELECT source, least(CAST(floor(p * 10) AS BIGINT), 9) AS decile,
+  CAST(sum(c) AS BIGINT) AS n_docs,
+  round(CAST(sum(v * c) AS DOUBLE) / sum(c), 6) AS mean_raw,
+  round(CAST(sum(CAST(round(m * c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+    / sum(c), 6) AS mean_mapped
+FROM mapped GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- q280
+  /** Annotation budget for the allocation plan. */
+  val NeymanBudget = 1000
+
+  /** Neyman (optimal) stratified-sampling allocation vs proportional —
+    * the survey-statistics planner for any label/eval budget over a
+    * heterogeneous corpus (strata = language): n_h ∝ N_h·σ_h minimizes
+    * the stratified-mean variance for a fixed total budget
+    * [[NeymanBudget]]; integerized by largest-remainder (exact-total,
+    * deterministic (remainder, lang) tie-break); per stratum the
+    * report carries N_h, σ_h, both allocations, and the per-stratum
+    * variance term (N_h/N)²σ_h²/n_h under each — the Σ of which is
+    * what Neyman provably minimizes (the spec asserts ≤).
+    *
+    * Shape for 100 TB: one partial-agged moment pass (int64 Σx, Σx²)
+    * to O(strata) rows; everything after is closed-form arithmetic
+    * with 1-row broadcast totals and a rank window over O(strata). */
+  def q280NeymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val sd = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"), col("nh"),
+        sqrt(greatest(col("s2").cast("double") / col("nh")
+          - (col("s1").cast("double") / col("nh"))
+            * (col("s1").cast("double") / col("nh")), lit(0.0))).as("sigma"))
+      .localCheckpoint())
+    val tot = sd.agg(sum(col("nh")).as("n"),
+      sum(round(col("nh") * col("sigma"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("wsum"))
+    val alloc = sd.crossJoin(broadcast(tot))
+      .select(col("lang"), col("nh"), col("sigma"), col("n"),
+        (lit(NeymanBudget) * col("nh") * col("sigma") / col("wsum"))
+          .as("neyman_raw"),
+        (lit(NeymanBudget) * col("nh").cast("double") / col("n"))
+          .as("prop_raw"))
+      .withColumn("nfloor", floor(col("neyman_raw")).cast("long"))
+      .withColumn("rem", col("neyman_raw") - floor(col("neyman_raw")))
+    val flo = graft.Checkpoints.deferFree(alloc.localCheckpoint())
+    val short = flo.agg((lit(NeymanBudget.toLong) - sum(col("nfloor"))).as("k"))
+    val rw = Window.orderBy(col("rem").desc, col("lang"))
+    val nAlloc = col("nfloor") +
+      when(row_number().over(rw) <= col("k"), 1L).otherwise(0L)
+    flo.crossJoin(broadcast(short))
+      .select(col("lang"), col("nh"), col("sigma"), col("n"),
+        col("prop_raw"), col("neyman_raw"), col("nfloor"), col("rem"), col("k"))
+      .withColumn("neyman_alloc", nAlloc)
+      .select(col("lang"), col("nh"), round(col("sigma"), 6).as("sigma"),
+        round(col("prop_raw"), 6).as("prop_alloc"),
+        col("neyman_alloc"),
+        round(col("sigma") * col("sigma")
+          * (col("nh").cast("double") / col("n"))
+          * (col("nh").cast("double") / col("n")) / col("neyman_alloc"), 12)
+          .as("var_term"),
+        round(col("sigma") * col("sigma")
+          * (col("nh").cast("double") / col("n"))
+          * (col("nh").cast("double") / col("n")) / col("prop_raw"), 12)
+          .as("var_term_prop"))
+      .orderBy(col("lang"))
+  }
+
+  val q280Sql: String =
+    s"""WITH strata AS MATERIALIZED (
+  SELECT lang, count(*) AS nh,
+    CAST(sum(n_chars) AS BIGINT) AS s1,
+    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY 1),
+sd AS MATERIALIZED (
+  SELECT lang, nh,
+    sqrt(greatest(CAST(s2 AS DOUBLE) / nh
+      - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh), 0.0)) AS sigma
+  FROM strata),
+tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n,
+  CAST(sum(CAST(round(nh * sigma, 12) AS DECIMAL(38,12))) AS DOUBLE) AS wsum
+  FROM sd),
+flo AS MATERIALIZED (
+  SELECT s.lang, s.nh, s.sigma, t.n,
+    $NeymanBudget * s.nh * s.sigma / t.wsum AS neyman_raw,
+    $NeymanBudget * CAST(s.nh AS DOUBLE) / t.n AS prop_raw,
+    CAST(floor($NeymanBudget * s.nh * s.sigma / t.wsum) AS BIGINT) AS nfloor,
+    $NeymanBudget * s.nh * s.sigma / t.wsum
+      - floor($NeymanBudget * s.nh * s.sigma / t.wsum) AS rem
+  FROM sd s CROSS JOIN tot t),
+short AS (SELECT $NeymanBudget - CAST(sum(nfloor) AS BIGINT) AS k FROM flo),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM flo)
+SELECT r.lang, r.nh, round(r.sigma, 6) AS sigma,
+  round(r.prop_raw, 6) AS prop_alloc,
+  r.nfloor + (CASE WHEN r.rr <= s.k THEN 1 ELSE 0 END) AS neyman_alloc,
+  round(r.sigma * r.sigma * (CAST(r.nh AS DOUBLE) / r.n) * (CAST(r.nh AS DOUBLE) / r.n)
+    / (r.nfloor + (CASE WHEN r.rr <= s.k THEN 1 ELSE 0 END)), 12) AS var_term,
+  round(r.sigma * r.sigma * (CAST(r.nh AS DOUBLE) / r.n) * (CAST(r.nh AS DOUBLE) / r.n)
+    / r.prop_raw, 12) AS var_term_prop
+FROM ranked r CROSS JOIN short s ORDER BY r.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_quantile_norm" -> q279QuantileNorm,
+    "q280_neyman_alloc" -> q280NeymanAllocation,
     "q268_lsa_topics" -> q268LsaTopics,
     "q239_kanonymity" -> q239KAnonymity,
     "q203_seq_packing" -> q203SeqPacking,
@@ -798,6 +1002,8 @@ WHERE rk <= $LsaTopTerms ORDER BY component, abs(loading) DESC, term"""
     "q210_pad_batching" -> q210PadBatching)
 
   val oracles: Map[String, String] = Map(
+    "q279_quantile_norm" -> q279Sql,
+    "q280_neyman_alloc" -> q280Sql,
     "q268_lsa_topics" -> q268Sql,
     "q239_kanonymity" -> q239Sql,
     "q203_seq_packing" -> q203Sql,

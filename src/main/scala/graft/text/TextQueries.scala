@@ -2676,7 +2676,96 @@ FROM res ORDER BY round"""
       |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------- q275
+  /** Minimum adjacent-bigram occurrences and pairs kept. */
+  val G2MinSupport = 5
+  val G2TopK = 50
+
+  /** Dunning log-likelihood-ratio (G²) collocations over ADJACENT word
+    * bigrams — the significance-tested complement to q90's PMI (which
+    * scores doc-level co-occurrence and over-rewards rare pairs): G²
+    * asks how strongly the bigram's 2×2 contingency table rejects
+    * independence, so high-count collocations rank by evidence, not
+    * lift. Dunning's entropy form over row/column marginals uses only
+    * S(x) = x·ln(x) of INTEGER counts:
+    * G² = 2·(S(k₁₁)+S(k₁₂)+S(k₂₁)+S(k₂₂) − S(r₁) − S(n−r₁) − S(c₁)
+    *         − S(n−c₁) + S(n)).
+    * Pairs below [[G2MinSupport]] occurrences are dropped; top
+    * [[G2TopK]] by round(,6)-gridded G² (the q48 rank-after-grid
+    * convention, (w1, w2) tiebreak).
+    *
+    * Shape for 100 TB: ONE bigram explode partial-aggs to the
+    * (w1, w2, n11) type frame — the only corpus-sized exchange (q245's
+    * shape); marginals and the 1-row total are re-aggregations of that
+    * frame joined back by key (AQE broadcasts them when small, shuffles
+    * when vocabulary-scale — either is linear); the support filter runs
+    * BEFORE the marginal joins; the G² math is a single per-row
+    * expression with fixed evaluation order, and top-k is a
+    * TakeOrdered. */
+  def q275Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val pairs = transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val big = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n11"))
+      .localCheckpoint())
+    val leftM = big.groupBy(col("w1")).agg(sum(col("n11")).as("r1"))
+    val rightM = big.groupBy(col("w2")).agg(sum(col("n11")).as("c1"))
+    val tot = big.agg(sum(col("n11")).as("n"))
+    def S(x: Column): Column =
+      when(x > 0, x.cast("double") * log(x.cast("double"))).otherwise(lit(0.0))
+    val cells = big.filter(col("n11") >= G2MinSupport)
+      .join(leftM, "w1").join(rightM, "w2").crossJoin(broadcast(tot))
+      .withColumn("n12", col("r1") - col("n11"))
+      .withColumn("n21", col("c1") - col("n11"))
+      .withColumn("n22", col("n") - col("r1") - col("c1") + col("n11"))
+    val g2 = round(lit(2.0) * (S(col("n11")) + S(col("n12")) + S(col("n21"))
+      + S(col("n22")) - S(col("r1")) - S(col("n") - col("r1"))
+      - S(col("c1")) - S(col("n") - col("c1")) + S(col("n"))), 6)
+    val top = cells.select(col("w1"), col("w2"), col("n11"), g2.as("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2")).limit(G2TopK)
+    val win = Window.orderBy(col("g2").desc, col("w1"), col("w2"))
+    top.withColumn("rank", row_number().over(win))
+      .select(col("rank"), col("w1"), col("w2"), col("n11"), col("g2"))
+      .orderBy(col("rank"))
+  }
+
+  val q275Sql: String = {
+    def S(x: String): String =
+      s"(CASE WHEN $x > 0 THEN $x * ln(CAST($x AS DOUBLE)) ELSE 0.0 END)"
+    s"""WITH big AS MATERIALIZED (
+  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS n11
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+    UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n11) AS BIGINT) AS n FROM big),
+left_m AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS r1 FROM big GROUP BY 1),
+right_m AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS c1 FROM big GROUP BY 1),
+cells AS (
+  SELECT b.w1, b.w2, b.n11, l.r1, r.c1, t.n,
+    l.r1 - b.n11 AS n12, r.c1 - b.n11 AS n21,
+    t.n - l.r1 - r.c1 + b.n11 AS n22
+  FROM big b JOIN left_m l ON b.w1 = l.w1
+  JOIN right_m r ON b.w2 = r.w2 CROSS JOIN tot t
+  WHERE b.n11 >= $G2MinSupport),
+scored AS (
+  SELECT w1, w2, n11,
+    round(2.0 * (${S("n11")} + ${S("n12")} + ${S("n21")} + ${S("n22")}
+      - ${S("r1")} - ${S("(n - r1)")} - ${S("c1")} - ${S("(n - c1)")}
+      + ${S("n")}), 6) AS g2
+  FROM cells),
+ranked AS (
+  SELECT w1, w2, n11, g2,
+    row_number() OVER (ORDER BY g2 DESC, w1, w2) AS rank
+  FROM scored)
+SELECT rank, w1, w2, n11, g2 FROM ranked WHERE rank <= $G2TopK ORDER BY rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_collocations" -> q275Collocations,
     "q260_rrf_fusion" -> q260RrfFusion,
     "q255_good_turing" -> q255GoodTuring,
     "q247_heaps" -> q247Heaps,
@@ -2721,6 +2810,7 @@ FROM res ORDER BY round"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q275_collocations" -> q275Sql,
     "q260_rrf_fusion" -> q260Sql,
     "q255_good_turing" -> q255Sql,
     "q247_heaps" -> q247Sql,
