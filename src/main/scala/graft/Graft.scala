@@ -362,6 +362,15 @@ object Graft {
     graph.Salsa.run(edges.sparkSession,
       edges.select(src.as("src"), dst.as("dst")), iters)
 
+  /** Katz centrality over any directed (src, dst) edge frame:
+    * (id, katz) — the attenuated-walk status index after `iters`
+    * rounds of x' = 1 + α·Σ_in x (see graph.Katz; no out-degree
+    * normalization, unlike pageRank). */
+  def katz(edges: DataFrame, src: Column, dst: Column,
+           alpha: Double = 0.125, iters: Int = 5): DataFrame =
+    graph.Katz.run(edges.sparkSession,
+      edges.select(src.as("src"), dst.as("dst")), alpha, iters)
+
   /** HITS hubs & authorities over any directed (src, dst) edge frame:
     * (id, auth, hub), sum-normalized after `iters` full update rounds
     * (see graph.Hits). */

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.{MathFunctions => MF, VectorFunctions => VF}
 import graft.oracle.Sql
@@ -1341,7 +1342,239 @@ ORDER BY f.vec_id"""
       |  JOIN doctot tb ON p.doc_b = tb.doc_id
       |ORDER BY p.shared DESC, p.doc_a, p.doc_b LIMIT $SharedTopK""".stripMargin
 
+  // --------------------------------------------------------------- q285
+  /** Top-k budget for the blocked tf-idf cosine pair join. */
+  val TfidfPairTopK = 50
+
+  /** Blocked tf-idf cosine similarity join — the WEIGHTED-vector
+    * sibling of q149's set-Jaccard AllPairs join and the EXACT lexical
+    * complement to q21's MinHash-LSH candidates: document pairs scored
+    * by the cosine of their L2-normalized tf-idf vectors (q48's
+    * weighting, ln((N+1)/(df+1))), blocked by `source` — the standard
+    * entity-resolution discipline (q139's blocking) that a 100 TB
+    * similarity join always starts with: provenance blocks bound the
+    * quadratic to Σ_b |block_b|² and score EXACTLY inside each block.
+    * Top [[TfidfPairTopK]] pairs by (cosine desc, da, db).
+    *
+    * Shape for 100 TB: ONE tokenize pass collapses to the (doc, term,
+    * tf) frame (localCheckpoint'ed — it feeds df and the weighting);
+    * df rides a broadcast; the pair scores come from a postings
+    * self-join on (source, term) whose products collapse map-side
+    * into per-pair partial sums (12dp-gridded DECIMAL — shuffle-order
+    * free) — a wedge row never rides an exchange un-aggregated; the
+    * top-k is a TakeOrdered, never a global sort. Cross-block recall
+    * is q21's LSH job, by design. */
+  def q285TfidfCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val tf = graft.Checkpoints.deferFree(docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint())
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = graft.Checkpoints.deferFree(tf
+      .join(broadcast(dfq), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"), col("term"),
+        (col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))).as("w"))
+      .localCheckpoint())
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(dec12(col("w") * col("w"))).as("nm"))
+    val wn = graft.Checkpoints.deferFree(w.join(nrm, "doc_id")
+      .filter(col("nm") > 0)
+      .select(col("doc_id"), col("source"), col("term"),
+        (col("w") / col("nm")).as("wn"))
+      .localCheckpoint())
+    val pairs = wn
+      .select(col("source"), col("term"), col("doc_id").as("da"), col("wn").as("wa"))
+      .join(wn.select(col("source"), col("term"), col("doc_id").as("db"),
+        col("wn").as("wb")), Seq("source", "term"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("source"), col("da"), col("db"))
+      .agg(dec12(col("wa") * col("wb")).as("cosine"))
+    val top = pairs
+      .orderBy(col("cosine").desc, col("da"), col("db")).limit(TfidfPairTopK)
+    val wr = Window.orderBy(col("cosine").desc, col("da"), col("db"))
+    top.withColumn("rank", row_number().over(wr))
+      .select(col("rank"), col("source"), col("da"), col("db"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("rank"))
+  }
+
+  val q285Sql: String =
+    s"""WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, source, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.source, tf.term,
+    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+nrm AS MATERIALIZED (
+  SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nm
+  FROM w GROUP BY 1),
+wn AS MATERIALIZED (
+  SELECT w.doc_id, w.source, w.term, w.w / nrm.nm AS wn
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nm > 0),
+pairs AS MATERIALIZED (
+  SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+    CAST(sum(CAST(round(a.wn * b.wn, 12) AS DECIMAL(38,12))) AS DOUBLE) AS cosine
+  FROM wn a JOIN wn b ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT source, da, db, cosine,
+    row_number() OVER (ORDER BY cosine DESC, da, db) AS rank
+  FROM pairs)
+SELECT rank, source, da, db, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= $TfidfPairTopK ORDER BY rank"""
+
+  // --------------------------------------------------------------- q298
+  /** EM rounds and comparison-prefix width for Fellegi–Sunter. */
+  val LkEmRounds = 5
+  val LkEmPrefix = 8
+
+  /** Fellegi–Sunter EM — WHERE q139's match weights come from: the
+    * Winkler EM that estimates per-field agreement probabilities
+    * m (among true matches) and u (among non-matches) plus the match
+    * prevalence p, UNSUPERVISED, from nothing but the pattern counts
+    * of blocked candidate pairs. Comparison vector = (source equal,
+    * length within 10%, 8-char prefix equal) over same-`lang` blocked
+    * pairs; E-step scores P(M|pattern), M-step reweights — after
+    * [[LkEmRounds]] rounds the all-agree pattern carries posterior
+    * ≈0.79 and the final per-pattern match weight ln((Πm)/(Πu)) is
+    * the decision score q139 hard-codes. The 0/1 exponents make every
+    * pow() exact, so the whole EM is IEEE-identical cross-engine.
+    *
+    * Shape for 100 TB: candidate generation is BLOCKED (lang here;
+    * q139's banded signatures in production — the EM never sees raw
+    * pairs anyway); ONE pass collapses candidates to the 2³-row
+    * pattern-count frame, and all [[LkEmRounds]] EM rounds run on
+    * those 8 rows with 12dp-gridded DECIMAL sums — corpus size only
+    * ever touches the first collapse. */
+  def q298LinkageEm(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("len"),
+        substring(col("text"), 1, LkEmPrefix).as("pre"))
+    val a = d.select(col("lang"), col("doc_id").as("da"), col("source").as("sa"),
+      col("len").as("la"), col("pre").as("pa"))
+    val b = d.select(col("lang"), col("doc_id").as("db"), col("source").as("sb"),
+      col("len").as("lb"), col("pre").as("pb"))
+    val pat = graft.Checkpoints.deferFree(a.join(b, "lang")
+      .filter(col("da") < col("db"))
+      .select(
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g1"),
+        when(lit(10) * least(col("la"), col("lb")) >=
+          lit(9) * greatest(col("la"), col("lb")), 1L).otherwise(0L).as("g2"),
+        when(col("pa") === col("pb"), 1L).otherwise(0L).as("g3"))
+      .groupBy(col("g1"), col("g2"), col("g3")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint())
+    var em = spark.range(1).select(lit(0.05).as("p"),
+      lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+      lit(0.3).as("u1"), lit(0.3).as("u2"), lit(0.3).as("u3"))
+      .localCheckpoint()
+    def fac(prob: Column, g: Column): Column =
+      when(g === 1L, prob).otherwise(lit(1.0) - prob)
+    def post: Column = {
+      val num = col("p") * fac(col("m1"), col("g1")) *
+        fac(col("m2"), col("g2")) * fac(col("m3"), col("g3"))
+      val den = (lit(1.0) - col("p")) * fac(col("u1"), col("g1")) *
+        fac(col("u2"), col("g2")) * fac(col("u3"), col("g3"))
+      num / (num + den)
+    }
+    var scored: DataFrame = null
+    for (_ <- 1 to LkEmRounds) {
+      val g = pat.crossJoin(broadcast(em))
+        .select(col("g1"), col("g2"), col("g3"), col("cnt"), post.as("g"))
+      scored = if (scored == null) g.localCheckpoint()
+               else graft.Checkpoints.rotate(g, scored)
+      val ne = scored.agg(
+        round(dec12(col("cnt") * col("g")) / dec12(col("cnt")), 12).as("p"),
+        round(dec12(col("cnt") * col("g") * col("g1")) /
+          dec12(col("cnt") * col("g")), 12).as("m1"),
+        round(dec12(col("cnt") * col("g") * col("g2")) /
+          dec12(col("cnt") * col("g")), 12).as("m2"),
+        round(dec12(col("cnt") * col("g") * col("g3")) /
+          dec12(col("cnt") * col("g")), 12).as("m3"),
+        round(dec12(col("cnt") * (lit(1.0) - col("g")) * col("g1")) /
+          dec12(col("cnt") * (lit(1.0) - col("g"))), 12).as("u1"),
+        round(dec12(col("cnt") * (lit(1.0) - col("g")) * col("g2")) /
+          dec12(col("cnt") * (lit(1.0) - col("g"))), 12).as("u2"),
+        round(dec12(col("cnt") * (lit(1.0) - col("g")) * col("g3")) /
+          dec12(col("cnt") * (lit(1.0) - col("g"))), 12).as("u3"))
+      em = graft.Checkpoints.rotate(ne, em)
+    }
+    def wfac(m: Column, u: Column, g: Column): Column =
+      fac(m, g) / fac(u, g)
+    val out = scored.crossJoin(broadcast(em))
+      .select(col("g1"), col("g2"), col("g3"), col("cnt"),
+        round(col("g"), 6).as("posterior"),
+        round(log(wfac(col("m1"), col("u1"), col("g1")) *
+          wfac(col("m2"), col("u2"), col("g2")) *
+          wfac(col("m3"), col("u3"), col("g3"))), 6).as("match_weight"))
+      .orderBy(col("g1").desc, col("g2").desc, col("g3").desc)
+    graft.Checkpoints.deferFree(scored)
+    graft.Checkpoints.deferFree(em)
+    out
+  }
+
+  val q298Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, source, length(text) AS len,
+    substr(text, 1, $LkEmPrefix) AS pre FROM documents),
+cand AS MATERIALIZED (
+  SELECT
+    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+    CASE WHEN 10 * least(a.len, b.len) >= 9 * greatest(a.len, b.len) THEN 1 ELSE 0 END AS g2,
+    CASE WHEN a.pre = b.pre THEN 1 ELSE 0 END AS g3
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+pat AS MATERIALIZED (
+  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS cnt FROM cand GROUP BY 1, 2, 3),
+em0 AS (SELECT 0.05 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+               0.3 AS u1, 0.3 AS u2, 0.3 AS u3),
+"""
+    def fac(p: String, g: String) = s"(CASE WHEN $g = 1 THEN $p ELSE 1 - $p END)"
+    val num = s"(e.p * ${fac("e.m1", "g1")} * ${fac("e.m2", "g2")} * ${fac("e.m3", "g3")})"
+    val den = s"((1 - e.p) * ${fac("e.u1", "g1")} * ${fac("e.u2", "g2")} * ${fac("e.u3", "g3")})"
+    def ds(t: String) = s"CAST(sum(CAST(round($t, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    for (r <- 1 to LkEmRounds) {
+      sb ++= s"""g$r AS MATERIALIZED (
+  SELECT pat.g1, pat.g2, pat.g3, pat.cnt, $num / ($num + $den) AS g
+  FROM pat CROSS JOIN em${r - 1} e),
+em$r AS (
+  SELECT
+    round(${ds("cnt * g")} / ${ds("cnt")}, 12) AS p,
+    round(${ds("cnt * g * g1")} / ${ds("cnt * g")}, 12) AS m1,
+    round(${ds("cnt * g * g2")} / ${ds("cnt * g")}, 12) AS m2,
+    round(${ds("cnt * g * g3")} / ${ds("cnt * g")}, 12) AS m3,
+    round(${ds("cnt * (1 - g) * g1")} / ${ds("cnt * (1 - g)")}, 12) AS u1,
+    round(${ds("cnt * (1 - g) * g2")} / ${ds("cnt * (1 - g)")}, 12) AS u2,
+    round(${ds("cnt * (1 - g) * g3")} / ${ds("cnt * (1 - g)")}, 12) AS u3
+  FROM g$r),
+"""
+    }
+    sb.setLength(sb.length - 2)
+    def wf(m: String, u: String, g: String) =
+      s"(${fac(s"(SELECT $m FROM em$LkEmRounds)", g)} / ${fac(s"(SELECT $u FROM em$LkEmRounds)", g)})"
+    sb ++= s"""
+SELECT g1, g2, g3, cnt, round(g, 6) AS posterior,
+  round(ln(${wf("m1", "u1", "g1")} * ${wf("m2", "u2", "g2")} * ${wf("m3", "u3", "g3")}), 6) AS match_weight
+FROM g$LkEmRounds ORDER BY g1 DESC, g2 DESC, g3 DESC"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_linkage_em" -> q298LinkageEm,
+    "q285_tfidf_cosine" -> q285TfidfCosine,
     "q242_shared_ngrams" -> q242SharedNgrams,
     "q174_semdedup" -> q174SemDedup,
     "q157_lsh_recall" -> q157LshRecall,
@@ -1363,6 +1596,8 @@ ORDER BY f.vec_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q298_linkage_em" -> q298Sql,
+    "q285_tfidf_cosine" -> q285Sql,
     "q242_shared_ngrams" -> q242Sql,
     "q174_semdedup" -> q174Sql,
     "q157_lsh_recall" -> q157Sql,

@@ -673,7 +673,110 @@ GROUP BY s.doc_id, s.shot_id, s.shot_start, s.shot_end
 ORDER BY s.doc_id, s.shot_id"""
   }
 
+  // --------------------------------------------------------------- q288
+  /** Hamming radius for the banded perceptual near-dup join; with the
+    * 64-bit pHash split into 4 bands of 16 bits, pigeonhole GUARANTEES
+    * every pair within radius 3 shares at least one exact band — the
+    * candidate stage has perfect recall at this radius, no tuning. */
+  val PhashHammingMax = 3
+  private[graft] val PhashNearOffset: Long = 4000000000L
+
+  /** Banded pHash near-duplicate JOIN — the Hamming-near matching
+    * q80's doc promises on top of its exact perceptual groups, and the
+    * multimodal sibling of q21's MinHash-LSH: the 64-bit perceptual
+    * hash splits into 4×16-bit bands, candidates come from band
+    * equality (bucket join — NEVER all-pairs), and exact Hamming
+    * distance (bit_count of xor on the two 32-bit halves) verifies
+    * candidates at radius ≤ [[PhashHammingMax]], where 4-band
+    * pigeonhole makes the candidate stage lossless. The corpus adds
+    * single-character-substituted twins (doc_id%10==0 →
+    * +[[PhashNearOffset]]) — the LENGTH-PRESERVING perturbation a
+    * perceptual hash is designed to absorb (q80's append-marker twins
+    * shift every block boundary and land 19-39 bits away — measured;
+    * a one-char swap lands 0-4 bits away), so the op separates
+    * perceptual-near from textual-near exactly as pHash should.
+    *
+    * Shape for 100 TB: the pHash is the compiled kernel (one pass,
+    * map-side); bands explode 4× the signature frame and bucket-join
+    * on (band, value); verification touches only candidate pairs.
+    * Exchanges carry (doc_id, 64 bits) — never payloads. */
+  def q288PhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(
+      d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + PhashNearOffset).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) div 2)"), lit("Z"),
+            expr("substring(text, length(text) div 2 + 2, 2147483647)")).as("text")))
+    val sig = graft.Checkpoints.deferFree(corpus
+      .filter(length(col("text")) >= graft.plans.PhashMath.Pixels)
+      .select(col("doc_id"), call_function("graft_phash", col("text")).as("ph"))
+      .select(col("doc_id"),
+        element_at(col("ph"), 1).as("ph_lo"), element_at(col("ph"), 2).as("ph_hi"))
+      .localCheckpoint())
+    val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("bi"), expr("ph_lo div 65536").as("bv")),
+        struct(lit(1).as("bi"), pmod(col("ph_lo"), lit(65536L)).as("bv")),
+        struct(lit(2).as("bi"), expr("ph_hi div 65536").as("bv")),
+        struct(lit(3).as("bi"), pmod(col("ph_hi"), lit(65536L)).as("bv")))).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("da"))
+      .join(bands.select(col("bi"), col("bv"), col("doc_id").as("db")),
+        Seq("bi", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("ph_lo").as("la"),
+        col("ph_hi").as("ha")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("ph_lo").as("lb"),
+        col("ph_hi").as("hb")), "db")
+      .select(col("da"), col("db"),
+        expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("da"), col("db"), col("hamming"),
+        (col("hamming") === 0).as("is_exact"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q288Sql: String = {
+    val px = graft.plans.PhashMath.Pixels
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(range($off, ${off + 32}), b ->
+      CASE WHEN CAST(list_sum(list_transform(range((b*L)//$px + 1, ((b+1)*L)//$px + 1),
+                     i -> codes[i])) AS BIGINT) * L
+                > total * (((b+1)*L)//$px - (b*L)//$px)
+           THEN CAST(pow(2, b - $off) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+    s"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + $PhashNearOffset AS doc_id,
+    substr(text, 1, length(text)//2) || 'Z' || substr(text, length(text)//2 + 2) AS text
+  FROM documents WHERE doc_id % 10 = 0),
+c AS MATERIALIZED (
+  SELECT doc_id, length(text) AS L,
+    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS codes
+  FROM corpus WHERE length(text) >= $px),
+t AS MATERIALIZED (
+  SELECT doc_id, L, codes, CAST(list_sum(codes) AS BIGINT) AS total FROM c),
+sig AS MATERIALIZED (
+  SELECT doc_id, ${half(0)} AS ph_lo, ${half(32)} AS ph_hi FROM t),
+bands AS MATERIALIZED (
+  SELECT doc_id, 0 AS bi, ph_lo // 65536 AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, ph_lo % 65536 FROM sig
+  UNION ALL SELECT doc_id, 2, ph_hi // 65536 FROM sig
+  UNION ALL SELECT doc_id, 3, ph_hi % 65536 FROM sig),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.da, c.db,
+    CAST(bit_count(xor(sa.ph_lo, sb.ph_lo)) + bit_count(xor(sa.ph_hi, sb.ph_hi)) AS INT) AS hamming
+  FROM cand c JOIN sig sa ON c.da = sa.doc_id JOIN sig sb ON c.db = sb.doc_id)
+SELECT da, db, hamming, (hamming = 0) AS is_exact
+FROM verified WHERE hamming <= $PhashHammingMax ORDER BY da, db"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_phash_near" -> q288PhashNear,
     "q175_shot_chunks" -> q175ShotChunks,
     "q165_shots" -> q165Shots,
     "q153_vad" -> q153Vad,
@@ -684,6 +787,7 @@ ORDER BY s.doc_id, s.shot_id"""
     "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
+    "q288_phash_near" -> q288Sql,
     "q175_shot_chunks" -> q175Sql,
     "q165_shots" -> q165Sql,
     "q153_vad" -> q153Sql,

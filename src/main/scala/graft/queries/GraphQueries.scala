@@ -2211,7 +2211,115 @@ FROM a$SalsaRounds a JOIN h$SalsaRounds h ON a.id = h.id ORDER BY a.id"""
     sb.toString
   }
 
+  // --------------------------------------------------------------- q282
+  /** Katz attenuation factor and round budget (≡ the oracle's
+    * unrolled rounds). */
+  val KatzAlpha = 0.125
+  val KatzRounds = 5
+
+  /** Katz centrality of the host graph (`graph/Katz`, `Graft.katz`) —
+    * the attenuated-walk-census status index (Katz 1953), the THIRD
+    * classic recurrence beside the rank family's degree-normalized
+    * walk (q03 hostrank) and SALSA/HITS's two-role reinforcement
+    * (q276/q70): x'(v) = 1 + α·Σ_{u→v} x(u), so a host's status counts
+    * every inbound walk, length-k walks attenuated α^k — no division
+    * by the citer's out-degree, the defining difference from PageRank.
+    *
+    * Shape for 100 TB: Katz.run — 8-byte vids, the edge frame cached
+    * pre-partitioned by dvid so rounds shuffle only the O(hosts) score
+    * frame, neighbor sums 12dp-gridded DECIMAL, checkpoint rotation. */
+  def q282Katz(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Katz.run(spark, WebGraph.cachedHostEdges(spark, sfDir),
+        KatzAlpha, KatzRounds, cacheKey = Some(s"host:$sfDir"))
+      .select(col("id"), round(col("katz"), 6).as("katz"))
+      .orderBy(col("id"))
+
+  val q282Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+hverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM hedges UNION ALL SELECT dst FROM hedges)),
+x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM hverts),
+"""
+    for (k <- 1 to KatzRounds) {
+      sb ++= s"""x$k AS MATERIALIZED (
+  SELECT v.id, 1.0 + coalesce(r.s, 0.0) AS x
+  FROM hverts v LEFT JOIN (
+    SELECT e.dst AS rid,
+      CAST(sum(CAST(round(p.x * $KatzAlpha, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+    FROM hedges e JOIN x${k - 1} p ON e.src = p.id
+    GROUP BY e.dst) r ON v.id = r.rid),
+"""
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+SELECT id, round(x, 6) AS katz FROM x$KatzRounds ORDER BY id"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q291
+  /** Directed triad census of the host graph — cyclic (a→b→c→a)
+    * vs transitive (a→b→c with a→c) closed-triple counts, the
+    * Holland–Leinhardt motif signal q55's undirected triangles and
+    * q110's dyad reciprocity can't see: hierarchies close
+    * transitively (authority flows one way), tightly-knit mutual
+    * communities close cyclically — `cyclic_share` summarizes which
+    * regime the link graph is in. Each cycle counted once (rotation
+    * anchored at its minimum vertex); each transitive instance is
+    * uniquely labeled by its (source, middle, sink) roles.
+    *
+    * Shape for 100 TB: q55's wedge discipline — two equi-joins close
+    * wedges against the edge frame, never an all-triples enumeration;
+    * the wedge stream flows straight into a COUNT aggregate (partial
+    * map-side), so no pair/triple frame ever materializes; the two
+    * census scalars cross-join as 1-row broadcasts. */
+  def q291Triads(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = WebGraph.cachedHostEdges(spark, sfDir).select(col("src"), col("dst"))
+    val cyc = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .agg(count(lit(1)).as("n_cyclic"))
+    val tr = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .filter(col("a") =!= col("c"))
+      .agg(count(lit(1)).as("n_transitive"))
+    cyc.crossJoin(broadcast(tr))
+      .select(col("n_cyclic"), col("n_transitive"),
+        round(col("n_cyclic") /
+          (col("n_cyclic") + col("n_transitive")).cast("double"), 6)
+          .as("cyclic_share"))
+  }
+
+  val q291Sql: String =
+    s"""WITH $pageGraphCtes,
+hedges AS MATERIALIZED (
+  SELECT DISTINCT ${Sql.urlHost("src")} AS src, ${Sql.urlHost("dst")} AS dst
+  FROM edges
+  WHERE lower(${Sql.urlHost("dst")}) <> lower(${Sql.urlHost("src")})),
+cyc AS (
+  SELECT count(*) AS n_cyclic
+  FROM hedges e1 JOIN hedges e2 ON e1.dst = e2.src
+  JOIN hedges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst),
+tr AS (
+  SELECT count(*) AS n_transitive
+  FROM hedges e1 JOIN hedges e2 ON e1.dst = e2.src
+  JOIN hedges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src <> e2.dst)
+SELECT CAST(n_cyclic AS BIGINT) AS n_cyclic,
+  CAST(n_transitive AS BIGINT) AS n_transitive,
+  round(n_cyclic / CAST(n_cyclic + n_transitive AS DOUBLE), 6) AS cyclic_share
+FROM cyc CROSS JOIN tr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_triads" -> q291Triads,
+    "q282_katz" -> q282Katz,
     "q276_salsa" -> q276Salsa,
     "q274_cocitation" -> q274Cocitation,
     "q261_betweenness" -> q261Betweenness,
@@ -2255,6 +2363,8 @@ FROM a$SalsaRounds a JOIN h$SalsaRounds h ON a.id = h.id ORDER BY a.id"""
     "q35_host_trustrank" -> q35HostTrustRank)
 
   val oracles: Map[String, String] = Map(
+    "q291_triads" -> q291Sql,
+    "q282_katz" -> q282Sql,
     "q276_salsa" -> q276Sql,
     "q274_cocitation" -> q274Sql,
     "q261_betweenness" -> q261Sql,

@@ -2537,7 +2537,815 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
       |                    AS DECIMAL(38,12))) AS DOUBLE)), 6) AS jack_se
       |FROM loo l CROSS JOIN jm j""".stripMargin
 
+  // --------------------------------------------------------------- q283
+  /** Fuzzy c-means cluster count / fuzziness rounds / distance floor
+    * (≡ the oracle's unrolled rounds; δ guards the d→0 singularity of
+    * the inverse-square membership and is interpolated as the SAME
+    * literal into both engines). */
+  val FcmClusters = 3
+  val FcmRounds = 4
+  val FcmDelta = "0.000001"
+
+  /** Fuzzy c-means (Bezdek, m = 2) over order totals — SOFT clustering
+    * beside q36's hard k-means: every order belongs to every cluster
+    * with membership u_j ∝ 1/(d_j²+δ) (the m=2 closed form — pure
+    * rational arithmetic, no libm), centers are the u²-weighted means,
+    * so boundary orders split their mass instead of flipping sides
+    * (the price-band segmentation read: `mass` says how much demand
+    * each band really holds, counting the straddlers fractionally).
+    * Deterministic init at the 1/4, 1/2, 3/4 points of the price range
+    * (1-row broadcast min/max); [[FcmRounds]] update rounds then a
+    * final membership pass against the settled centers.
+    *
+    * Shape for 100 TB: the corpus collapses in ONE partial-agged pass
+    * to the O(distinct cents) value lattice (localCheckpoint'ed — it
+    * feeds every round); each round is a broadcast of the c-row center
+    * frame onto the lattice, a per-value window sum (12dp-gridded
+    * DECIMAL so membership normalizers are association-free), and an
+    * O(c)-row aggregate; round count fixed, never data-dependent. */
+  def q283FuzzyCmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = graft.Checkpoints.deferFree(Tables.orders(spark, sfDir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint())
+    val mm = vals.agg((min(col("cents")) / 100.0).as("lo"),
+      (max(col("cents")) / 100.0).as("hi"))
+    var centers = mm.select(explode(array((1 to FcmClusters).map { j =>
+        struct(lit(j).as("j"),
+          (col("lo") + (col("hi") - col("lo")) * lit(j * 0.25)).as("c"))
+      }: _*)).as("jc"))
+      .select(col("jc.j").as("j"), col("jc.c").as("c"))
+      .localCheckpoint()
+    // memberships are RATIOS of the inverse-square weights, so a
+    // constant rescale is identity math — but it moves the weights
+    // from ~1e-10 (where the 12dp grid keeps 2 significant digits)
+    // to ~1e2 (12 significant digits); without it the gridded
+    // normalizers visibly bias the centers (~3e-5 relative)
+    val d = col("cents") / 100.0 - col("c")
+    val wg = round(lit(1.0e12) / (d * d + lit(FcmDelta.toDouble)), 12)
+    def members(cs: DataFrame): DataFrame = vals.crossJoin(broadcast(cs))
+      .select(col("cents"), col("cnt"), col("j"), wg.as("wg"))
+      .withColumn("u", col("wg") /
+        sum(col("wg").cast(DecimalType(38, 12)))
+          .over(Window.partitionBy(col("cents"))).cast("double"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    for (_ <- 1 to FcmRounds) {
+      val nc = members(centers).groupBy(col("j"))
+        .agg(round(dec12(col("cnt") * col("u") * col("u") * (col("cents") / 100.0)) /
+          dec12(col("cnt") * col("u") * col("u")), 12).as("c"))
+      centers = graft.Checkpoints.rotate(nc, centers)
+    }
+    val out = members(centers).groupBy(col("j"))
+      .agg(round(dec12(col("cnt") * col("u")), 6).as("mass"))
+      .join(centers, "j")
+      .select(col("j"), round(col("c"), 6).as("center"), col("mass"))
+      .orderBy(col("j"))
+    graft.Checkpoints.deferFree(centers)
+    out
+  }
+
+  val q283Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH vals AS MATERIALIZED (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, count(*) AS cnt
+  FROM orders GROUP BY 1),
+mm AS (SELECT min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi FROM vals),
+c0 AS MATERIALIZED (
+"""
+    sb ++= (1 to FcmClusters).map { j =>
+      s"  SELECT $j AS j, lo + (hi - lo) * ${j * 0.25} AS c FROM mm"
+    }.mkString("", "\n  UNION ALL\n", "),\n")
+    def roundCtes(r: String, prev: String): String =
+      s"""w$r AS MATERIALIZED (
+  SELECT v.cents, v.cnt, c.j,
+    round(1000000000000.0 / (((v.cents / 100.0) - c.c) * ((v.cents / 100.0) - c.c) + $FcmDelta), 12) AS wg
+  FROM vals v CROSS JOIN $prev c),
+u$r AS MATERIALIZED (
+  SELECT cents, cnt, j,
+    wg / CAST(sum(CAST(wg AS DECIMAL(38,12))) OVER (PARTITION BY cents) AS DOUBLE) AS u
+  FROM w$r),
+"""
+    for (r <- 1 to FcmRounds) {
+      sb ++= roundCtes(r.toString, s"c${r - 1}")
+      sb ++= s"""c$r AS MATERIALIZED (
+  SELECT j, round(
+    CAST(sum(CAST(round(cnt * u * u * (cents / 100.0), 12) AS DECIMAL(38,12))) AS DOUBLE) /
+    CAST(sum(CAST(round(cnt * u * u, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS c
+  FROM u$r GROUP BY j),
+"""
+    }
+    sb ++= roundCtes("F", s"c$FcmRounds")
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+SELECT u.j, round(c.c, 6) AS center,
+  round(CAST(sum(CAST(round(u.cnt * u.u, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS mass
+FROM uF u JOIN c$FcmRounds c ON u.j = c.j
+GROUP BY u.j, c.c ORDER BY u.j"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q287
+  /** Cochran–Mantel–Haenszel stratified A/B test across day strata —
+    * the confounder-adjusted companion to q155's pooled z (pooling
+    * across days invites Simpson's paradox when traffic mix shifts;
+    * CMH tests the SAME arm split within every day and combines the
+    * evidence): per day the 2×2 of (arm × converted-that-day) user
+    * counts contributes a = x_A, E = n_A·m₁/n and the hypergeometric
+    * V = n_A·n_B·m₁·m₀/(n²(n−1)); χ² = (Σa − ΣE)²/ΣV, plus the
+    * Mantel–Haenszel pooled odds ratio Σ(a·d/n)/Σ(b·c/n). On the null
+    * fixture χ² stays below 3.84 — the audit correctly refuses a
+    * winner (q258/q254's discipline). Arm = q155's hash split.
+    *
+    * Shape for 100 TB: ONE corpus pass collapses to per-(user, day)
+    * conversion flags, a second partial-agg to the O(days × 2) arm
+    * frame (localCheckpoint'ed); the 2×2 assembly, the per-stratum
+    * rational terms (12dp-gridded DECIMAL), and the final 1-row
+    * combine all run on O(days) rows. */
+  def q287Cmh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val arms = graft.Checkpoints.deferFree(ud
+      .withColumn("arm",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, "A").otherwise("B"))
+      .groupBy(col("day"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      .localCheckpoint())
+    val t22 = arms.filter(col("arm") === "A")
+      .select(col("day"), col("n").as("na"), col("x").as("xa"))
+      .join(arms.filter(col("arm") === "B")
+        .select(col("day"), col("n").as("nb"), col("x").as("xb")), "day")
+      .filter(col("na") + col("nb") >= 2)
+    val terms = t22.select(col("xa"),
+      (col("na") * (col("xa") + col("xb")) /
+        (col("na") + col("nb")).cast("double")).as("e"),
+      (col("na") * col("nb").cast("double") * (col("xa") + col("xb")) *
+        ((col("na") - col("xa")) + (col("nb") - col("xb"))) /
+        ((col("na") + col("nb")).cast("double") * (col("na") + col("nb")) *
+          (col("na") + col("nb") - 1))).as("v"),
+      (col("xa") * (col("nb") - col("xb")).cast("double") /
+        (col("na") + col("nb"))).as("ornum"),
+      (col("xb") * (col("na") - col("xa")).cast("double") /
+        (col("na") + col("nb"))).as("orden"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    terms.agg(count(lit(1)).as("n_strata"), sum(col("xa")).as("sum_a"),
+        dec12(col("e")).as("sum_e"), dec12(col("v")).as("sum_v"),
+        dec12(col("ornum")).as("sor_n"), dec12(col("orden")).as("sor_d"))
+      .select(col("n_strata"), col("sum_a"),
+        round(col("sum_e"), 6).as("sum_e"), round(col("sum_v"), 6).as("sum_v"),
+        round((col("sum_a") - col("sum_e")) * (col("sum_a") - col("sum_e")) /
+          col("sum_v"), 6).as("chi2"),
+        round(col("sor_n") / col("sor_d"), 6).as("or_mh"))
+  }
+
+  val q287Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH ud AS MATERIALIZED (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2),
+arms AS MATERIALIZED (
+  SELECT day, (CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END) AS arm,
+    count(*) AS n, sum(conv) AS x
+  FROM ud GROUP BY 1, 2),
+t22 AS MATERIALIZED (
+  SELECT a.day, a.n AS na, a.x AS xa, b.n AS nb, b.x AS xb
+  FROM (SELECT day, n, x FROM arms WHERE arm = 'A') a
+  JOIN (SELECT day, n, x FROM arms WHERE arm = 'B') b USING (day)
+  WHERE a.n + b.n >= 2),
+terms AS (
+  SELECT day, xa,
+    na * (xa + xb) / CAST(na + nb AS DOUBLE) AS e,
+    (na * CAST(nb AS DOUBLE) * (xa + xb) * ((na - xa) + (nb - xb)))
+      / (CAST(na + nb AS DOUBLE) * (na + nb) * (na + nb - 1)) AS v,
+    xa * CAST(nb - xb AS DOUBLE) / (na + nb) AS ornum,
+    xb * CAST(na - xa AS DOUBLE) / (na + nb) AS orden
+  FROM t22),
+agg AS (
+  SELECT count(*) AS n_strata, CAST(sum(xa) AS BIGINT) AS sum_a,
+    CAST(sum(CAST(round(e, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sum_e,
+    CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sum_v,
+    CAST(sum(CAST(round(ornum, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sor_n,
+    CAST(sum(CAST(round(orden, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sor_d
+  FROM terms)
+SELECT n_strata, sum_a, round(sum_e, 6) AS sum_e, round(sum_v, 6) AS sum_v,
+  round((sum_a - sum_e) * (sum_a - sum_e) / sum_v, 6) AS chi2,
+  round(sor_n / sor_d, 6) AS or_mh
+FROM agg"""
+  }
+
+  // --------------------------------------------------------------- q289
+  /** Difference-in-differences over the hash A/B split × a pre/post
+    * split at the observed midpoint day — THE canonical
+    * parallel-trends causal baseline, completing the experimentation
+    * stack's identification ladder (q155 pooled z → q287 stratified
+    * CMH → q272 CUPED variance reduction → THIS when treatment turns
+    * on at a known date): DiD = (p̄_A,post − p̄_A,pre) − (p̄_B,post −
+    * p̄_B,pre) on user-day conversion, SE from the four binomial cells,
+    * z = DiD/SE. On the null fixture (nobody treated) |z| < 1.96 —
+    * the audit correctly reads "no differential shift" (q258/q287's
+    * refuse-to-fire discipline).
+    *
+    * Shape for 100 TB: one corpus pass → (user, day) flags, a second
+    * partial-agg to the FOUR (arm × period) cells; the midpoint is a
+    * 1-row broadcast; everything after is 1-row arithmetic. */
+  def q289Did(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .localCheckpoint())
+    val mid = ud.agg(expr("(min(day) + max(day)) div 2").as("m"))
+    val cells = ud
+      .withColumn("arm",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, "A").otherwise("B"))
+      .crossJoin(broadcast(mid))
+      .withColumn("post", when(col("day") > col("m"), 1).otherwise(0))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    def cell(a: String, p: Int, c: String) =
+      max(when(col("arm") === a && col("post") === p, col(c)))
+    val p = cells.agg(
+      cell("A", 0, "n").as("na0"), cell("A", 0, "x").as("xa0"),
+      cell("A", 1, "n").as("na1"), cell("A", 1, "x").as("xa1"),
+      cell("B", 0, "n").as("nb0"), cell("B", 0, "x").as("xb0"),
+      cell("B", 1, "n").as("nb1"), cell("B", 1, "x").as("xb1"))
+    val r = p.select(col("na0"), col("na1"), col("nb0"), col("nb1"),
+      (col("xa0") / col("na0").cast("double")).as("pa0"),
+      (col("xa1") / col("na1").cast("double")).as("pa1"),
+      (col("xb0") / col("nb0").cast("double")).as("pb0"),
+      (col("xb1") / col("nb1").cast("double")).as("pb1"))
+    val did = (col("pa1") - col("pa0")) - (col("pb1") - col("pb0"))
+    val se = sqrt(col("pa0") * (lit(1.0) - col("pa0")) / col("na0")
+      + col("pa1") * (lit(1.0) - col("pa1")) / col("na1")
+      + col("pb0") * (lit(1.0) - col("pb0")) / col("nb0")
+      + col("pb1") * (lit(1.0) - col("pb1")) / col("nb1"))
+    r.select(col("na0"), col("na1"), col("nb0"), col("nb1"),
+      round(col("pa0"), 6).as("pa0"), round(col("pa1"), 6).as("pa1"),
+      round(col("pb0"), 6).as("pb0"), round(col("pb1"), 6).as("pb1"),
+      round(did, 6).as("did"), round(se, 6).as("se"),
+      round(did / se, 6).as("z"))
+  }
+
+  val q289Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH ud AS MATERIALIZED (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2),
+mid AS (SELECT (min(day) + max(day)) // 2 AS m FROM ud),
+cells AS MATERIALIZED (
+  SELECT (CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END) AS arm,
+    CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END AS post,
+    count(*) AS n, sum(conv) AS x
+  FROM ud GROUP BY 1, 2),
+p AS (
+  SELECT
+    max(CASE WHEN arm='A' AND post=0 THEN n END) AS na0, max(CASE WHEN arm='A' AND post=0 THEN x END) AS xa0,
+    max(CASE WHEN arm='A' AND post=1 THEN n END) AS na1, max(CASE WHEN arm='A' AND post=1 THEN x END) AS xa1,
+    max(CASE WHEN arm='B' AND post=0 THEN n END) AS nb0, max(CASE WHEN arm='B' AND post=0 THEN x END) AS xb0,
+    max(CASE WHEN arm='B' AND post=1 THEN n END) AS nb1, max(CASE WHEN arm='B' AND post=1 THEN x END) AS xb1
+  FROM cells),
+r AS (
+  SELECT na0, na1, nb0, nb1,
+    xa0 / CAST(na0 AS DOUBLE) AS pa0, xa1 / CAST(na1 AS DOUBLE) AS pa1,
+    xb0 / CAST(nb0 AS DOUBLE) AS pb0, xb1 / CAST(nb1 AS DOUBLE) AS pb1
+  FROM p)
+SELECT na0, na1, nb0, nb1,
+  round(pa0, 6) AS pa0, round(pa1, 6) AS pa1,
+  round(pb0, 6) AS pb0, round(pb1, 6) AS pb1,
+  round((pa1 - pa0) - (pb1 - pb0), 6) AS did,
+  round(sqrt(pa0*(1.0-pa0)/na0 + pa1*(1.0-pa1)/na1 + pb0*(1.0-pb0)/nb0 + pb1*(1.0-pb1)/nb1), 6) AS se,
+  round(((pa1 - pa0) - (pb1 - pb0)) / sqrt(pa0*(1.0-pa0)/na0 + pa1*(1.0-pa1)/na1 + pb0*(1.0-pb0)/nb0 + pb1*(1.0-pb1)/nb1), 6) AS z
+FROM r"""
+  }
+
+  // --------------------------------------------------------------- q290
+  /** Two-way fixed-effects (within) regression of daily user spend on
+    * daily activity — the panel-econometrics workhorse q185's pooled
+    * OLS is not: demeaning y and x by BOTH user and day (ỹ = y − ȳ_u −
+    * ȳ_d + ȳ) absorbs every time-invariant user trait and every
+    * common daily shock, so β_fe = Σx̃ỹ/Σx̃² is identified only from
+    * WITHIN-user, within-day variation; reported beside the pooled
+    * slope — their gap is exactly the confounding the fixed effects
+    * absorb. The causal-adjustment sibling of q272 (CUPED uses one
+    * pre-period covariate; FE uses the full panel structure).
+    *
+    * Shape for 100 TB: ONE corpus pass collapses to the (user, day)
+    * panel (localCheckpoint'ed — it feeds both mean frames, the
+    * moments, and the demeaned pass); user/day mean frames are
+    * O(users)/O(days) partial aggs joined back by key; the demeaned
+    * products are 12dp-gridded DECIMAL sums; pooled moments are exact
+    * int64/DECIMAL until the final closed form. */
+  def q290FixedEffects(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec6 = DecimalType(38, 6)
+    val panel = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value"), 6).cast(dec6))), lit(0).cast(dec6)).as("y"))
+      .localCheckpoint())
+    val um = panel.groupBy(col("user_id")).agg(
+      (sum(col("x")).cast("double") / count(lit(1))).as("xu"),
+      (sum(col("y")).cast("double") / count(lit(1))).as("yu"))
+    val dm = panel.groupBy(col("day")).agg(
+      (sum(col("x")).cast("double") / count(lit(1))).as("xd"),
+      (sum(col("y")).cast("double") / count(lit(1))).as("yd"))
+    val gm = panel.agg(
+      (sum(col("x")).cast("double") / count(lit(1))).as("xg"),
+      (sum(col("y")).cast("double") / count(lit(1))).as("yg"),
+      count(lit(1)).as("n"), sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val xt = col("x") - col("xu") - col("xd") + col("xg")
+    val yt = col("y").cast("double") - col("yu") - col("yd") + col("yg")
+    val tw = panel.join(um, "user_id").join(dm, "day")
+      .crossJoin(broadcast(gm.select(col("xg"), col("yg"))))
+      .agg(dec12(xt * yt).as("sxy_w"), dec12(xt * xt).as("sxx_w"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"))
+    tw.crossJoin(broadcast(gm))
+      .select(col("n_cells"), col("n_users"), col("n_days"),
+        round((col("sxy") - col("n") * col("xg") * col("yg")) /
+          (col("sxx") - col("n") * col("xg") * col("xg")), 6).as("beta_pooled"),
+        round(col("sxy_w") / col("sxx_w"), 6).as("beta_fe"))
+  }
+
+  val q290Sql: String =
+    """WITH panel AS MATERIALIZED (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    count(*) AS x,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0) AS DECIMAL(38,6)) AS y
+  FROM events GROUP BY 1, 2),
+um AS MATERIALIZED (
+  SELECT user_id, CAST(sum(x) AS DOUBLE) / count(*) AS xu,
+    CAST(sum(y) AS DOUBLE) / count(*) AS yu
+  FROM panel GROUP BY 1),
+dm AS MATERIALIZED (
+  SELECT day, CAST(sum(x) AS DOUBLE) / count(*) AS xd,
+    CAST(sum(y) AS DOUBLE) / count(*) AS yd
+  FROM panel GROUP BY 1),
+gm AS (
+  SELECT CAST(sum(x) AS DOUBLE) / count(*) AS xg,
+    CAST(sum(y) AS DOUBLE) / count(*) AS yg,
+    count(*) AS n,
+    CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+    CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM panel),
+tw AS (
+  SELECT
+    CAST(sum(CAST(round((p.x - u.xu - d.xd + g.xg) * (CAST(p.y AS DOUBLE) - u.yu - d.yd + g.yg), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy_w,
+    CAST(sum(CAST(round((p.x - u.xu - d.xd + g.xg) * (p.x - u.xu - d.xd + g.xg), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx_w,
+    count(*) AS n_cells, count(DISTINCT p.user_id) AS n_users, count(DISTINCT p.day) AS n_days
+  FROM panel p JOIN um u USING (user_id) JOIN dm d USING (day) CROSS JOIN gm g)
+SELECT t.n_cells, t.n_users, t.n_days,
+  round((g.sxy - g.n * g.xg * g.yg) / (g.sxx - g.n * g.xg * g.xg), 6) AS beta_pooled,
+  round(t.sxy_w / t.sxx_w, 6) AS beta_fe
+FROM tw t CROSS JOIN gm g"""
+
+  // --------------------------------------------------------------- q292
+  /** GBM boosting stages and (dyadic) shrinkage. */
+  val GbmStages = 2
+  val GbmNu = 0.5
+
+  /** Gradient-boosting rounds (squared loss) on the conversion label —
+    * the STAGEWISE-additive mechanics q187's single stump and q235's
+    * AdaBoost reweighting sit beside: stage k fits a depth-1 regressor
+    * to the CURRENT residuals (split = argmax n_L·r̄_L² + n_R·r̄_R²,
+    * the exact SSE-gain identity), then updates F ← F + ν·γ_side with
+    * shrinkage ν = 1/2; the output is the model TRAJECTORY — one row
+    * per stage with its split, leaf deltas, and train MSE, whose
+    * monotone decrease (0.249 → 0.196 → 0.168 at sf0.001) is the
+    * boosting contract made visible.
+    *
+    * Shape for 100 TB: the corpus collapses ONCE to the O(distinct
+    * activity) histogram (localCheckpoint'ed); every stage is a
+    * 12dp-gridded DECIMAL prefix window + a 1-row TakeOrdered pick
+    * broadcast back — stage cost is O(histogram), never O(corpus),
+    * and the stage count is a fixed constant. */
+  def q292GbmRounds(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec12w(c: Column) = round(c, 12).cast(DecimalType(38, 12))
+    val hist = graft.Checkpoints.deferFree(labeledUsers(spark, sfDir)
+      .groupBy(col("x")).agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("p"))
+      .localCheckpoint())
+    val f0 = hist.agg((sum(col("p")).cast("double") / sum(col("n"))).as("f0"),
+      sum(col("n")).as("nt"))
+    var h = hist.crossJoin(broadcast(f0.select(col("f0"))))
+      .select(col("x"), col("n"), col("p"), col("f0").as("f"))
+      .localCheckpoint()
+    val ntF = broadcast(f0.select(col("nt")))
+    def mseOf(frame: DataFrame): DataFrame = frame
+      .agg(sum(dec12w(col("p") * (lit(1.0) - col("f")) * (lit(1.0) - col("f"))
+        + (col("n") - col("p")) * col("f") * col("f"))).cast("double").as("s"))
+      .crossJoin(ntF)
+      .select(round(col("s") / col("nt"), 6).as("mse"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each stage row materializes EAGERLY: its plan reads the stage's
+    // h snapshot, which the next rotate() frees — a lazy plan would
+    // chase freed checkpoint blocks at action time
+    val stages = scala.collection.mutable.ArrayBuffer(
+      graft.Checkpoints.deferFree(
+        mseOf(h).select(lit(0).as("stage"), lit(-1.0).as("split_x"),
+          lit(0.0).as("gamma_left"), lit(0.0).as("gamma_right"), col("mse"))
+          .localCheckpoint()))
+    for (k <- 1 to GbmStages) {
+      val cum = h
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("rl", sum(dec12w(col("p") - col("n") * col("f"))).over(w)
+          .cast("double"))
+      val tot = h.agg(sum(col("n")).as("nt2"),
+        sum(dec12w(col("p") - col("n") * col("f"))).cast("double").as("rt"))
+      val pick = cum.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nt2"))
+        .select(col("x"), col("nl"), col("rl"), col("nt2"), col("rt"),
+          (col("rl") * col("rl") / col("nl") + (col("rt") - col("rl")) *
+            (col("rt") - col("rl")) / (col("nt2") - col("nl"))).as("gain"))
+        .orderBy(col("gain").desc, col("x")).limit(1)
+        .select(col("x").as("sx"), (col("rl") / col("nl")).as("gl"),
+          ((col("rt") - col("rl")) / (col("nt2") - col("nl"))).as("gr"))
+        .localCheckpoint()
+      val nh = h.crossJoin(broadcast(pick))
+        .select(col("x"), col("n"), col("p"),
+          (col("f") + lit(GbmNu) * when(col("x") <= col("sx"), col("gl"))
+            .otherwise(col("gr"))).as("f"))
+      h = graft.Checkpoints.rotate(nh, h)
+      stages += graft.Checkpoints.deferFree(pick.crossJoin(mseOf(h))
+        .select(lit(k).as("stage"), col("sx").as("split_x"),
+          round(col("gl"), 6).as("gamma_left"), round(col("gr"), 6).as("gamma_right"),
+          col("mse"))
+        .localCheckpoint())
+      graft.Checkpoints.deferFree(pick)
+    }
+    graft.Checkpoints.deferFree(h)
+    stages.reduce(_ unionAll _).orderBy(col("stage"))
+  }
+
+  val q292Sql: String = {
+    def stage(k: Int): String =
+      s"""cum$k AS (
+  SELECT x, n, p, f,
+    CAST(sum(n) OVER w AS BIGINT) AS nl,
+    CAST(sum(CAST(round(p - n * f, 12) AS DECIMAL(38,12))) OVER w AS DOUBLE) AS rl
+  FROM hist${k - 1}
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot$k AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+    CAST(sum(CAST(round(p - n * f, 12) AS DECIMAL(38,12))) AS DOUBLE) AS rt
+  FROM hist${k - 1}),
+gain$k AS (
+  SELECT c.x, c.nl, c.rl, t.nt, t.rt,
+    c.rl * c.rl / c.nl + (t.rt - c.rl) * (t.rt - c.rl) / (t.nt - c.nl) AS gain
+  FROM cum$k c CROSS JOIN tot$k t WHERE c.nl < t.nt),
+pick$k AS (
+  SELECT x AS sx, rl / nl AS gl, (rt - rl) / (nt - nl) AS gr
+  FROM gain$k ORDER BY gain DESC, x LIMIT 1),
+hist$k AS MATERIALIZED (
+  SELECT h.x, h.n, h.p,
+    h.f + $GbmNu * (CASE WHEN h.x <= p.sx THEN p.gl ELSE p.gr END) AS f
+  FROM hist${k - 1} h CROSS JOIN pick$k p),
+mse$k AS (
+  SELECT round(CAST(sum(CAST(round(p * (1.0 - f) * (1.0 - f) + (n - p) * f * f, 12) AS DECIMAL(38,12))) AS DOUBLE)
+    / (SELECT nt FROM tot$k), 6) AS mse FROM hist$k)"""
+    s"""WITH $labeledUsersSql,
+hist AS MATERIALIZED (
+  SELECT x, count(*) AS n, CAST(sum(y) AS BIGINT) AS p FROM per_user GROUP BY x),
+f0 AS (SELECT CAST(sum(p) AS DOUBLE) / sum(n) AS f0,
+  CAST(sum(n) AS BIGINT) AS nt FROM hist),
+hist0 AS MATERIALIZED (
+  SELECT h.x, h.n, h.p, f.f0 AS f FROM hist h CROSS JOIN f0 f),
+mse0 AS (
+  SELECT round(CAST(sum(CAST(round(p * (1.0 - f) * (1.0 - f) + (n - p) * f * f, 12) AS DECIMAL(38,12))) AS DOUBLE)
+    / (SELECT nt FROM f0), 6) AS mse FROM hist0),
+${(1 to GbmStages).map(stage).mkString(",\n")}
+SELECT 0 AS stage, -1.0 AS split_x, 0.0 AS gamma_left, 0.0 AS gamma_right,
+  (SELECT mse FROM mse0) AS mse
+UNION ALL
+SELECT 1, (SELECT sx FROM pick1), round((SELECT gl FROM pick1), 6),
+  round((SELECT gr FROM pick1), 6), (SELECT mse FROM mse1)
+UNION ALL
+SELECT 2, (SELECT sx FROM pick2), round((SELECT gl FROM pick2), 6),
+  round((SELECT gr FROM pick2), 6), (SELECT mse FROM mse2)
+ORDER BY stage"""
+  }
+
+  // --------------------------------------------------------------- q293
+  /** Cliff's delta + common-language effect size between purchase and
+    * click values — the EFFECT-SIZE companion to q243's rank-sum TEST
+    * (a p-value says "detectable", not "big"; δ = P(X>Y) − P(X<Y)
+    * says how large the dominance actually is, scale-free and
+    * outlier-immune where Cohen's d is neither): computed EXACTLY on
+    * the q243/q257 rank-block engine — pool collapses to the O(distinct
+    * 6dp values) frame, one ordered prefix window yields, per value,
+    * the opposite-group mass strictly below, and gt/lt/eq are exact
+    * integer pair counts (the one float division is the final δ).
+    *
+    * Shape for 100 TB: identical to q243 — the corpus never sorts
+    * globally; value blocks partial-agg map-side, the window runs on
+    * the distinct-value frame, pair counts accumulate as DECIMAL(38,0)
+    * (int64-safe at any SF). */
+  def q293CliffsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value"), 6).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("grp"))
+    val byv = pool.groupBy(col("v")).agg(sum(col("grp")).as("c1"),
+      (count(lit(1)) - sum(col("grp"))).as("c2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byv
+      .withColumn("cum1", coalesce(sum(col("c1")).over(w), lit(0L)))
+      .withColumn("cum2", coalesce(sum(col("c2")).over(w), lit(0L)))
+    def decCnt(c: Column): Column =
+      sum(c.cast(DecimalType(38, 0))).cast("long")
+    ranked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        decCnt(col("c1") * col("cum2")).as("gt"),
+        decCnt(col("c2") * col("cum1")).as("lt"),
+        decCnt(col("c1") * col("c2")).as("eq"))
+      .select(col("n1"), col("n2"), col("gt"), col("lt"), col("eq"),
+        round((col("gt") - col("lt")) /
+          (col("n1").cast("double") * col("n2")), 6).as("cliffs_delta"),
+        round((col("gt") + lit(0.5) * col("eq")) /
+          (col("n1").cast("double") * col("n2")), 6).as("cles"))
+  }
+
+  val q293Sql: String =
+    """WITH pool AS (
+  SELECT round(value, 6) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+  FROM events WHERE event_type IN ('purchase', 'click')),
+byv AS (SELECT v, CAST(sum(grp) AS BIGINT) AS c1, CAST(count(*) - sum(grp) AS BIGINT) AS c2
+  FROM pool GROUP BY v),
+ranked AS (
+  SELECT v, c1, c2,
+    CAST(coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum1,
+    CAST(coalesce(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum2
+  FROM byv),
+agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+    CAST(sum(CAST(c1 * cum2 AS DECIMAL(38,0))) AS BIGINT) AS gt,
+    CAST(sum(CAST(c2 * cum1 AS DECIMAL(38,0))) AS BIGINT) AS lt,
+    CAST(sum(CAST(c1 * c2 AS DECIMAL(38,0))) AS BIGINT) AS eq
+  FROM ranked)
+SELECT n1, n2, gt, lt, eq,
+  round((gt - lt) / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta,
+  round((gt + 0.5 * eq) / (CAST(n1 AS DOUBLE) * n2), 6) AS cles
+FROM agg"""
+
+  // --------------------------------------------------------------- q294
+  /** Off-policy evaluation (IPS / SNIPS / ESS) of a uniform
+    * type-serving policy against the logged traffic — the
+    * counterfactual "what would mean event value be if every type
+    * were served equally?" that A/B tests answer only by running:
+    * importance weights w = π(t)/p̂(t|hour) with the LOGGING
+    * propensities Laplace-smoothed hourly type shares (the logging
+    * system's model — smoothing is what keeps unlogged actions
+    * non-fatal, and is exactly why SNIPS ≠ IPS: self-normalization
+    * refunds the weight mass smoothing removes; measured at sf0.001
+    * truth 50.05, IPS 49.39, SNIPS 49.88 — the textbook correction);
+    * ESS = (Σw)²/Σw² prices the variance cost of the reweighting
+    * before anyone trusts the number.
+    *
+    * Shape for 100 TB: ONE corpus pass collapses to the O(types×24)
+    * cell frame (localCheckpoint'ed); propensities, weights, and all
+    * four estimator sums are 12dp-gridded DECIMAL algebra on that
+    * tiny frame. */
+  def q294OffPolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n_c"),
+        sum(round(col("value"), 6).cast(DecimalType(38, 6))).cast("double").as("sv_c"))
+      .localCheckpoint())
+    val hods = cells.groupBy(col("hod")).agg(sum(col("n_c")).as("n_h"))
+    val tot = cells.agg(sum(col("n_c")).as("n"),
+      countDistinct(col("event_type")).as("n_types"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val w = (lit(1.0) / col("n_types")) /
+      ((col("n_c") + lit(1.0)) / (col("n_h") + col("n_types")))
+    val agg = cells.join(broadcast(hods), "hod").crossJoin(broadcast(tot))
+      .select(col("n_c"), col("sv_c"), w.as("w"))
+      .agg(sum(round(col("sv_c"), 6).cast(DecimalType(38, 6))).cast("double").as("sv"),
+        dec12(col("w") * col("sv_c")).as("swv"),
+        dec12(col("w") * col("n_c")).as("sw"),
+        dec12(col("w") * col("w") * col("n_c")).as("sww"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_types"),
+        round(col("sv") / col("n"), 6).as("naive_mean"),
+        round(col("swv") / col("n"), 6).as("ips"),
+        round(col("swv") / col("sw"), 6).as("snips"),
+        round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
+        round((col("sw") * col("sw") / col("sww")) / col("n"), 6).as("ess_share"))
+  }
+
+  val q294Sql: String =
+    """WITH cells AS MATERIALIZED (
+  SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+    count(*) AS n_c,
+    CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sv_c
+  FROM events GROUP BY 1, 2),
+hods AS (SELECT hod, CAST(sum(n_c) AS BIGINT) AS n_h FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, count(DISTINCT event_type) AS n_types FROM cells),
+wts AS (
+  SELECT c.event_type, c.hod, c.n_c, c.sv_c,
+    (1.0 / t.n_types) / ((c.n_c + 1.0) / (h.n_h + t.n_types)) AS w
+  FROM cells c JOIN hods h USING (hod) CROSS JOIN tot t),
+agg AS (
+  SELECT CAST(sum(CAST(round(sv_c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+    CAST(sum(CAST(round(w * sv_c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS swv,
+    CAST(sum(CAST(round(w * n_c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+    CAST(sum(CAST(round(w * w * n_c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sww
+  FROM wts)
+SELECT t.n, t.n_types,
+  round(a.sv / t.n, 6) AS naive_mean,
+  round(a.swv / t.n, 6) AS ips,
+  round(a.swv / a.sw, 6) AS snips,
+  round(a.sw * a.sw / a.sww, 6) AS ess,
+  round((a.sw * a.sw / a.sww) / t.n, 6) AS ess_share
+FROM agg a CROSS JOIN tot t"""
+
+  // --------------------------------------------------------------- q297
+  /** IPF (raking) round budget. */
+  val RakeRounds = 4
+
+  /** Iterative proportional fitting (raking; Deming–Stephan) of cell
+    * weights over the (event_type × hour-of-day) contingency table to
+    * UNIFORM type and hour margins — the survey-statistics reweighting
+    * that q294's single-margin importance weights generalize: each
+    * round divides by the current row margins then the column margins;
+    * geometric convergence leaves max row-margin error ≤ 1e-6 after
+    * [[RakeRounds]] rounds (reported — the convergence proof rides in
+    * the output). The canonical dataset-rebalancing tool when a
+    * training mix must hit TWO marginal targets at once.
+    *
+    * Shape for 100 TB: ONE corpus pass collapses to the O(types×24)
+    * cell frame; every round is two tiny margin aggregates joined
+    * back (12dp-gridded DECIMAL masses), rounds a fixed constant. */
+  def q297Raking(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val cells = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint())
+    val tot = broadcast(cells.agg(sum(col("n")).as("n_all"),
+      countDistinct(col("event_type")).as("n_t"),
+      countDistinct(col("hod")).as("n_h")))
+    var cur = cells.select(col("event_type"), col("hod"), col("n"),
+      lit(1.0).as("w")).localCheckpoint()
+    for (_ <- 1 to RakeRounds) {
+      val rowm = cur.groupBy(col("event_type"))
+        .agg(dec12(col("w") * col("n")).as("mass"))
+      val wrStep = cur.join(broadcast(rowm), "event_type").crossJoin(tot)
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("w") * ((col("n_all").cast("double") / col("n_t")) / col("mass")))
+            .as("w"))
+      val colm = wrStep.groupBy(col("hod"))
+        .agg(dec12(col("w") * col("n")).as("mass"))
+      val next = wrStep.join(broadcast(colm), "hod").crossJoin(tot)
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("w") * ((col("n_all").cast("double") / col("n_h")) / col("mass")),
+            12).as("w"))
+      cur = graft.Checkpoints.rotate(next, cur)
+    }
+    val err = cur.crossJoin(tot)
+      .groupBy(col("event_type"), col("n_all"), col("n_t"))
+      .agg(dec12(col("w") * col("n")).as("mass"))
+      .select(abs(col("mass") / (col("n_all").cast("double") / col("n_t")) - lit(1.0))
+        .as("rm"))
+      .agg(max(col("rm")).as("row_err_max"))
+    val out = cur.crossJoin(broadcast(err))
+      .select(col("event_type"), col("hod"), col("n"), round(col("w"), 6).as("w"),
+        round(col("row_err_max"), 6).as("row_err_max"))
+      .orderBy(col("event_type"), col("hod"))
+    graft.Checkpoints.deferFree(cur)
+    out
+  }
+
+  val q297Sql: String = {
+    def ds(t: String) = s"CAST(sum(CAST(round($t, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH cells AS MATERIALIZED (
+  SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+  count(DISTINCT event_type) AS n_t, count(DISTINCT hod) AS n_h FROM cells),
+w0 AS MATERIALIZED (SELECT event_type, hod, n, 1.0 AS w FROM cells),
+"""
+    for (r <- 1 to RakeRounds) {
+      sb ++= s"""rowm$r AS (
+  SELECT event_type, ${ds("w * n")} AS mass FROM w${r - 1} GROUP BY 1),
+wr$r AS MATERIALIZED (
+  SELECT c.event_type, c.hod, c.n,
+    c.w * ((CAST(t.n_all AS DOUBLE) / t.n_t) / m.mass) AS w
+  FROM w${r - 1} c JOIN rowm$r m USING (event_type) CROSS JOIN tot t),
+colm$r AS (
+  SELECT hod, ${ds("w * n")} AS mass FROM wr$r GROUP BY 1),
+w$r AS MATERIALIZED (
+  SELECT c.event_type, c.hod, c.n,
+    round(c.w * ((CAST(t.n_all AS DOUBLE) / t.n_h) / m.mass), 12) AS w
+  FROM wr$r c JOIN colm$r m USING (hod) CROSS JOIN tot t),
+"""
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+, err AS (
+  SELECT max(abs(rm - 1.0)) AS row_err_max FROM (
+    SELECT ${ds("w * n")}
+      / ((SELECT CAST(n_all AS DOUBLE) / n_t FROM tot)) AS rm
+    FROM w$RakeRounds GROUP BY event_type))
+SELECT f.event_type, f.hod, f.n, round(f.w, 6) AS w,
+  round((SELECT row_err_max FROM err), 6) AS row_err_max
+FROM w$RakeRounds f ORDER BY f.event_type, f.hod"""
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- q299
+  /** Qini / uplift curve over activity deciles — the targeting view
+    * of the A/B stack (q155 says "is there an effect", q270 "how many
+    * users", THIS says "WHOM to treat"): users ranked by activity
+    * (the q186/q226 propensity ranking), and per cumulative decile
+    * qini(d) = x_T(d) − x_C(d)·n_T(d)/n_C(d) — incremental
+    * conversions vs a control scaled to the treated volume
+    * (Radcliffe). On the null fixture the curve hovers around 0 with
+    * no systematic lift — the refuse-to-flatter read (q289/q287's
+    * discipline) a real uplift model would have to beat.
+    *
+    * Shape for 100 TB: one corpus pass → per-user frame; the decile
+    * rank is the only global exchange (ntile over a total order);
+    * cumulative cells are an O(10)-row window. */
+  def q299Qini(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("activity"),
+        max(when(col("event_type") === "purchase" &&
+          expr("ts div 86400000000000") === AbLastDay, 1L).otherwise(0L))
+          .as("conv"))
+      .withColumn("treated",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, 1L).otherwise(0L))
+    val ranked = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("activity").desc, col("user_id"))))
+    val byDec = ranked.groupBy(col("decile"))
+      .agg(sum(col("treated")).as("t"), sum(col("treated") * col("conv")).as("xt"),
+        sum(lit(1L) - col("treated")).as("c"),
+        sum((lit(1L) - col("treated")) * col("conv")).as("xc"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .select(col("decile"), sum(col("t")).over(w).as("n_t"),
+        sum(col("xt")).over(w).as("x_t"), sum(col("c")).over(w).as("n_c"),
+        sum(col("xc")).over(w).as("x_c"))
+      .select(col("decile"), col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+        round(col("x_t") - col("x_c") * (col("n_t").cast("double") / col("n_c")), 6)
+          .as("qini"))
+      .orderBy(col("decile"))
+  }
+
+  val q299Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH per_user AS MATERIALIZED (
+  SELECT user_id, count(*) AS activity,
+    max(CASE WHEN event_type = 'purchase'
+         AND epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = $AbLastDay
+         THEN 1 ELSE 0 END) AS conv,
+    CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT *, ntile(10) OVER (ORDER BY activity DESC, user_id) AS decile FROM per_user),
+cum AS (
+  SELECT decile,
+    CAST(sum(sum(treated)) OVER w AS BIGINT) AS n_t,
+    CAST(sum(sum(treated * conv)) OVER w AS BIGINT) AS x_t,
+    CAST(sum(sum(1 - treated)) OVER w AS BIGINT) AS n_c,
+    CAST(sum(sum((1 - treated) * conv)) OVER w AS BIGINT) AS x_c
+  FROM ranked GROUP BY decile
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT decile, n_t, x_t, n_c, x_c,
+  round(x_t - x_c * (CAST(n_t AS DOUBLE) / n_c), 6) AS qini
+FROM cum ORDER BY decile"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_raking" -> q297Raking,
+    "q299_qini" -> q299Qini,
+    "q294_offpolicy" -> q294OffPolicy,
+    "q292_gbm_rounds" -> q292GbmRounds,
+    "q293_cliffs_delta" -> q293CliffsDelta,
+    "q289_did" -> q289Did,
+    "q290_fixed_effects" -> q290FixedEffects,
+    "q287_cmh" -> q287Cmh,
+    "q283_fuzzy_cmeans" -> q283FuzzyCmeans,
     "q278_jackknife_ratio" -> q278JackknifeRatio,
     "q273_isotonic" -> q273Isotonic,
     "q271_conformal" -> q271Conformal,
@@ -2571,6 +3379,15 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     "q128_gini" -> q128Gini)
 
   val oracles: Map[String, String] = Map(
+    "q297_raking" -> q297Sql,
+    "q299_qini" -> q299Sql,
+    "q294_offpolicy" -> q294Sql,
+    "q292_gbm_rounds" -> q292Sql,
+    "q293_cliffs_delta" -> q293Sql,
+    "q289_did" -> q289Sql,
+    "q290_fixed_effects" -> q290Sql,
+    "q287_cmh" -> q287Sql,
+    "q283_fuzzy_cmeans" -> q283Sql,
     "q278_jackknife_ratio" -> q278Sql,
     "q273_isotonic" -> q273Sql,
     "q271_conformal" -> q271Sql,

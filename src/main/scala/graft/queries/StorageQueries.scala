@@ -615,7 +615,103 @@ object StorageQueries {
       |FROM census CROSS JOIN tot ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- q295
+  /** Bloom hash count and the bit-width sweep. */
+  val BloomFprK = 4
+  val BloomFprMs: Seq[Long] = Seq(1024L, 4096L, 16384L)
+
+  /** Bloom-filter false-positive calibration — measured FPR vs the
+    * (1 − (1−1/m)^{kn})^k theory across a bit-width sweep, the sizing
+    * audit that should run BEFORE anyone trusts a q126-style Bloom
+    * semi-join or q28-style decontamination pass at a new scale:
+    * members are customer keys, probes a disjoint key family (prefix
+    * namespacing), membership bits from the portable md5-based
+    * universal-hash family (Sql-twinned integer arithmetic — unlike
+    * q28's kernel sketch, every bit here replays in DuckDB, so this
+    * one IS hash-gated). Load factor and bits-set ride along; at
+    * sf0.01, m=1024 sits near saturation and the measured FPR visibly
+    * tracks the theory curve.
+    *
+    * Shape for 100 TB: members/probes each scan once; bit positions
+    * are map-side k-way explodes; the "filter" is the distinct
+    * (m, pos) frame — O(m) per width, joined 4× (hash semi-join per
+    * probe hash) — never a driver-side bitmap. */
+  def q295BloomFpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = spark.range(1).select(explode(
+      array(BloomFprMs.map(lit): _*)).as("m"))
+    val keys = Tables.customer(spark, sfDir)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("key"))
+    val probes = Tables.customer(spark, sfDir)
+      .select(concat(lit("p:"), col("c_custkey").cast("string")).as("key"))
+    val mpos = graft.Checkpoints.deferFree(keys.crossJoin(broadcast(ms))
+      .select(col("m"), explode(array((0 until BloomFprK).map { j =>
+        pmod(MF.universalHash(MF.hash32(col("key")), j), col("m"))
+      }: _*)).as("pos"))
+      .distinct()
+      .localCheckpoint())
+    val nmem = keys.agg(count(lit(1)).as("n_members"))
+    val ppos = probes.crossJoin(broadcast(ms))
+      .select(col("key") +: col("m") +: (0 until BloomFprK).map { j =>
+        pmod(MF.universalHash(MF.hash32(col("key")), j), col("m")).as(s"p$j")
+      }: _*)
+    val hits = (0 until BloomFprK).foldLeft(ppos) { (df, j) =>
+      val r = mpos.select(col("m").as("rm"), col("pos").as(s"b$j"))
+      df.join(r, df("m") === r("rm") && df(s"p$j") === r(s"b$j"), "left_semi")
+    }
+    // left_semi chain drops misses entirely — count survivors per m
+    val meas = ppos.groupBy(col("m")).agg(count(lit(1)).as("n_probes"))
+      .join(hits.groupBy(col("m")).agg(count(lit(1)).as("n_fp")), Seq("m"), "left")
+      .select(col("m"), col("n_probes"), coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+    val bits = mpos.groupBy(col("m")).agg(count(lit(1)).as("bits_set"))
+    meas.join(bits, "m").crossJoin(broadcast(nmem))
+      .select(col("m"), col("n_members"), col("bits_set"),
+        round(col("bits_set") / col("m").cast("double"), 6).as("load_factor"),
+        round(col("n_fp") / col("n_probes").cast("double"), 6).as("fpr_measured"),
+        round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / col("m"),
+          lit(BloomFprK) * col("n_members").cast("double")), lit(BloomFprK)), 6)
+          .as("fpr_theory"))
+      .orderBy(col("m"))
+  }
+
+  val q295Sql: String = {
+    val mlist = BloomFprMs.mkString("[", ", ", "]")
+    def uhm(k: Int): String =
+      s"${graft.oracle.Sql.universalHash(graft.oracle.Sql.hash32("key"), k)} % m"
+    val posUnion = (0 until BloomFprK).map { j =>
+      s"SELECT m, ${uhm(j)} AS pos FROM keys CROSS JOIN (SELECT unnest($mlist) AS m)"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH keys AS MATERIALIZED (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS key FROM customer),
+probes AS MATERIALIZED (
+  SELECT 'p:' || CAST(c_custkey AS VARCHAR) AS key FROM customer),
+mpos AS MATERIALIZED (
+  SELECT DISTINCT m, pos FROM ($posUnion)),
+nmem AS (SELECT count(*) AS n FROM keys),
+ppos AS MATERIALIZED (
+  SELECT key, m, ${uhm(0)} AS p0, ${uhm(1)} AS p1, ${uhm(2)} AS p2, ${uhm(3)} AS p3
+  FROM probes CROSS JOIN (SELECT unnest($mlist) AS m)),
+hits AS (
+  SELECT pp.key, pp.m,
+    (CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+           AND b2.pos IS NOT NULL AND b3.pos IS NOT NULL THEN 1 ELSE 0 END) AS fp
+  FROM ppos pp
+  LEFT JOIN mpos b0 ON b0.m = pp.m AND b0.pos = pp.p0
+  LEFT JOIN mpos b1 ON b1.m = pp.m AND b1.pos = pp.p1
+  LEFT JOIN mpos b2 ON b2.m = pp.m AND b2.pos = pp.p2
+  LEFT JOIN mpos b3 ON b3.m = pp.m AND b3.pos = pp.p3),
+meas AS (
+  SELECT m, count(*) AS n_probes, CAST(sum(fp) AS BIGINT) AS n_fp FROM hits GROUP BY m),
+bits AS (SELECT m, count(*) AS bits_set FROM mpos GROUP BY m)
+SELECT s.m, n.n AS n_members, b.bits_set,
+  round(b.bits_set / CAST(s.m AS DOUBLE), 6) AS load_factor,
+  round(s.n_fp / CAST(s.n_probes AS DOUBLE), 6) AS fpr_measured,
+  round(pow(1.0 - pow(1.0 - 1.0 / s.m, $BloomFprK * CAST(n.n AS DOUBLE)), $BloomFprK), 6) AS fpr_theory
+FROM meas s CROSS JOIN nmem n JOIN bits b ON s.m = b.m
+ORDER BY s.m"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_bloom_fpr" -> q295BloomFpr,
     "q238_partition_balance" -> q238PartitionBalance,
     "q194_malformed_csv" -> q194MalformedCsv,
     "q184_orc_io" -> q184OrcIo,
@@ -629,6 +725,7 @@ object StorageQueries {
     "q72_dynamic_pruning" -> q72DynamicPruning)
 
   val oracles: Map[String, String] = Map(
+    "q295_bloom_fpr" -> q295Sql,
     "q238_partition_balance" -> q238Sql,
     "q194_malformed_csv" -> q194Sql,
     "q184_orc_io" -> q184Sql,

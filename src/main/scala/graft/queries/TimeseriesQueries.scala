@@ -1473,7 +1473,243 @@ object TimeseriesQueries {
       |    - (3.0 * s1 - 2.0 * s2), 6) AS fc_err
       |FROM sm ORDER BY event_type, day, hr""".stripMargin
 
+  // --------------------------------------------------------------- q284
+  /** Shared twiddle tables: cos/sin(π·i/12) for i = 0..23, the 24th
+    * roots of unity the diurnal DFT needs — kept as decimal LITERAL
+    * strings so BOTH engines parse the exact same doubles and no libm
+    * trig ever runs at query time (the q258 erf-polynomial discipline
+    * taken one step further: the transcendental is precomputed once,
+    * here, not re-derived per engine). cos(2πk·t/24) = table[(k·t)%24]
+    * for every harmonic k, so ONE 24-entry table serves all four. */
+  val DftCos: Seq[String] = Seq(
+    "1.0", "0.9659258262890683", "0.8660254037844387", "0.7071067811865476",
+    "0.5000000000000001", "0.25881904510252074", "6.123233995736766e-17",
+    "-0.25881904510252063", "-0.4999999999999998", "-0.7071067811865475",
+    "-0.8660254037844387", "-0.9659258262890682", "-1.0",
+    "-0.9659258262890683", "-0.8660254037844388", "-0.7071067811865479",
+    "-0.5000000000000004", "-0.25881904510252063", "-1.8369701987210297e-16",
+    "0.2588190451025203", "0.5000000000000001", "0.7071067811865474",
+    "0.8660254037844384", "0.9659258262890681")
+  val DftSin: Seq[String] = Seq(
+    "0.0", "0.25881904510252074", "0.49999999999999994", "0.7071067811865475",
+    "0.8660254037844386", "0.9659258262890683", "1.0", "0.9659258262890683",
+    "0.8660254037844387", "0.7071067811865476", "0.49999999999999994",
+    "0.258819045102521", "1.2246467991473532e-16", "-0.2588190451025208",
+    "-0.4999999999999997", "-0.7071067811865471", "-0.8660254037844384",
+    "-0.9659258262890683", "-1.0", "-0.9659258262890684",
+    "-0.8660254037844386", "-0.7071067811865477", "-0.5000000000000004",
+    "-0.25881904510252157")
+  val DftHarmonics = 4
+
+  /** Diurnal DFT periodogram per event type — the frequency-domain
+    * seasonality detector beside q121's hour-of-day profile (q121 says
+    * WHICH hours are hot; this says HOW MUCH of the series' variance
+    * is periodic and at which harmonic of the 24 h cycle — period 24,
+    * 12, 8, 6 h): the mean-centered hourly series projects onto the
+    * k-th 24-hour Fourier pair, P_k = (Σx̃·cos)² + (Σx̃·sin)², with
+    * `share` = P_k / ΣP over the four harmonics (a pure-cosine daily
+    * cycle puts share ≈ 1 at k = 1; flat noise spreads it). The trig
+    * comes from [[DftCos]]/[[DftSin]] literals — cos(2πk·t/24) only
+    * ever needs the 24 values at index (k·t) mod 24 — so there is NO
+    * runtime libm and the projection terms are 12dp-gridded DECIMAL
+    * sums (association-free at any shuffle order).
+    *
+    * Shape for 100 TB: the stream collapses in ONE partial-agged pass
+    * to the O(types × hours) hourly frame (localCheckpoint'ed — it
+    * feeds the bounds scan and the gridded series); the dense grid,
+    * the 4-harmonic explode, and both projections stay on that frame;
+    * means are a per-type broadcast join. */
+  def q284Periodogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint())
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    // x feeds both the mean scan and the projection — checkpoint once
+    val x = graft.Checkpoints.deferFree(
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("cnt"))
+        .localCheckpoint())
+    val mu = x.groupBy(col("event_type"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1))).as("m"))
+    val cosArr = array(DftCos.map(s => lit(s.toDouble)): _*)
+    val sinArr = array(DftSin.map(s => lit(s.toDouble)): _*)
+    val idx = ((col("k") * (col("h") % 24)) % 24).cast("int") + 1
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val ctr = col("cnt").cast("double") - col("m")
+    val sums = x.join(broadcast(mu), "event_type")
+      .select(col("event_type"), col("h"), col("cnt"), col("m"),
+        explode(array((1 to DftHarmonics).map(lit): _*)).as("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(dec12(ctr * element_at(cosArr, idx)).as("cs"),
+        dec12(ctr * element_at(sinArr, idx)).as("ss"))
+    val pw = sums.select(col("event_type"), col("k"),
+      (col("cs") * col("cs") + col("ss") * col("ss")).as("power"))
+    pw.withColumn("total",
+        sum(round(col("power"), 6).cast(DecimalType(38, 6)))
+          .over(Window.partitionBy(col("event_type"))).cast("double"))
+      .select(col("event_type"), col("k"),
+        (lit(24.0) / col("k")).cast("int").as("period_h"),
+        round(col("power"), 6).as("power"),
+        round(col("power") / col("total"), 6).as("share"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
+  val q284Sql: String = {
+    val clist = DftCos.mkString("[", ", ", "]")
+    val slist = DftSin.mkString("[", ", ", "]")
+    s"""WITH hourly AS MATERIALIZED (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS h FROM bounds),
+x AS MATERIALIZED (
+  SELECT g.event_type, g.h, coalesce(hh.c, 0) AS cnt
+  FROM grid g LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h),
+mu AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS m FROM x GROUP BY 1),
+terms AS (
+  SELECT x.event_type, k.k,
+    round((CAST(x.cnt AS DOUBLE) - mu.m) * ($clist)[CAST((k.k * (x.h % 24)) % 24 AS INT) + 1], 12) AS tc,
+    round((CAST(x.cnt AS DOUBLE) - mu.m) * ($slist)[CAST((k.k * (x.h % 24)) % 24 AS INT) + 1], 12) AS ts
+  FROM x JOIN mu ON x.event_type = mu.event_type
+  CROSS JOIN (SELECT unnest(${(1 to DftHarmonics).mkString("[", ", ", "]")}) AS k) k),
+sums AS (
+  SELECT event_type, k,
+    CAST(sum(CAST(tc AS DECIMAL(38,12))) AS DOUBLE) AS cs,
+    CAST(sum(CAST(ts AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM terms GROUP BY 1, 2),
+pw AS (SELECT event_type, k, cs * cs + ss * ss AS power FROM sums)
+SELECT event_type, k, CAST(24 / k AS INT) AS period_h,
+  round(power, 6) AS power,
+  round(power / CAST(sum(CAST(round(power, 6) AS DECIMAL(38,6)))
+    OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+FROM pw ORDER BY event_type, k"""
+  }
+
+  // --------------------------------------------------------------- q296
+  /** Forecast evaluation suite — MAE / RMSE / MASE of q277's Brown
+    * one-step forecast against the two baselines every forecasting
+    * paper must beat (persistence x_t and seasonal-naïve x_{t,d−1}):
+    * MASE = MAE_model/MAE_snaive (Hyndman–Koehler), the scale-free
+    * verdict q173's raw backtest errors don't give. On the fixture's
+    * thin hourly counts the baselines WIN (MASE ≈ 1.1 — smoothing
+    * lags pure noise): the honest read a metrics op must be able to
+    * deliver, q272/q258's refuse-to-flatter discipline applied to
+    * forecasting.
+    *
+    * Shape for 100 TB: q277's shape exactly — one corpus pass to the
+    * hourly frame, exact-integer dyadic smoothing windows on the
+    * (types×days×24) grid, the seasonal join is (day−1, hr+1) against
+    * the same gridded frame, error sums 12dp-gridded DECIMAL. */
+  def q296ForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint())
+    val grid = hourly.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hr"))
+    val x = graft.Checkpoints.deferFree(
+      grid.join(hourly, Seq("event_type", "day", "hr"), "left")
+        .select(col("event_type"), col("day"), col("hr"),
+          coalesce(col("c"), lit(0L)).as("cnt"))
+        .localCheckpoint())
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = when(col("hr") === 0, col("cnt"))
+      .otherwise(col("cnt") * expr("shiftleft(1L, cast(hr - 1 as int))"))
+    val lw = Window.partitionBy(col("event_type"), col("day")).orderBy(col("hr"))
+    val fc = x.withColumn("x0", first(col("cnt")).over(w))
+      .withColumn("s1u", sum(u).over(w))
+      .withColumn("v", sum(when(col("hr") === 0, 0L).otherwise(col("s1u"))).over(w))
+      .withColumn("model_fc",
+        lit(3.0) * (col("s1u").cast("double") / expr("shiftleft(1L, cast(hr as int))"))
+          - lit(2.0) * (col("x0").cast("double") / expr("shiftleft(1L, cast(hr as int))")
+            + col("v").cast("double") / expr("shiftleft(1L, cast(hr + 1 as int))")))
+      .withColumn("actual", lead(col("cnt"), 1).over(lw))
+    val pd = x.select(col("event_type"), (col("day") + 1).as("day"),
+      (col("hr") - 1).as("hr"), col("cnt").as("snaive_fc"))
+    val evalRows = fc.filter(col("hr") < 23)
+      .join(pd, Seq("event_type", "day", "hr"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val err = evalRows.filter(col("actual").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        dec12(abs(col("actual") - col("model_fc"))).as("ae_m"),
+        dec12((col("actual") - col("model_fc")) *
+          (col("actual") - col("model_fc"))).as("se_m"),
+        sum(abs(col("actual") - col("cnt"))).as("ae_p"),
+        sum(abs(col("actual") - col("snaive_fc"))).as("ae_s"))
+    err.select(col("event_type"), col("n_eval"),
+        round(col("ae_m") / col("n_eval"), 6).as("mae_model"),
+        round(col("ae_p").cast("double") / col("n_eval"), 6).as("mae_persist"),
+        round(col("ae_s").cast("double") / col("n_eval"), 6).as("mae_snaive"),
+        round(sqrt(col("se_m") / col("n_eval")), 6).as("rmse_model"),
+        round(col("ae_m") / col("ae_s").cast("double"), 6).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  val q296Sql: String =
+    """WITH hourly AS MATERIALIZED (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+grid AS (
+  SELECT event_type, day, CAST(h AS BIGINT) AS hr
+  FROM (SELECT DISTINCT event_type, day FROM hourly)
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS h)),
+x AS MATERIALIZED (
+  SELECT g.event_type, g.day, g.hr, coalesce(h.c, 0) AS cnt
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.day = h.day AND g.hr = h.hr),
+s1f AS (
+  SELECT event_type, day, hr, cnt,
+    first_value(cnt) OVER w AS x0,
+    sum(CASE WHEN hr = 0 THEN cnt
+             ELSE cnt * (1::BIGINT << CAST(hr - 1 AS INT)) END) OVER w AS s1u
+  FROM x
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+fc AS (
+  SELECT event_type, day, hr, cnt,
+    3.0 * (CAST(s1u AS DOUBLE) / (1::BIGINT << CAST(hr AS INT)))
+      - 2.0 * (CAST(x0 AS DOUBLE) / (1::BIGINT << CAST(hr AS INT))
+               + CAST(sum(CASE WHEN hr = 0 THEN 0 ELSE s1u END) OVER
+                   (PARTITION BY event_type, day ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (1::BIGINT << CAST(hr + 1 AS INT))) AS model_fc,
+    lead(cnt) OVER (PARTITION BY event_type, day ORDER BY hr) AS actual
+  FROM s1f),
+evalrows AS MATERIALIZED (
+  SELECT f.event_type, f.day, f.hr, f.actual, f.model_fc, f.cnt,
+    pd.cnt AS snaive_fc
+  FROM fc f JOIN x pd
+    ON pd.event_type = f.event_type AND pd.day = f.day - 1 AND pd.hr = f.hr + 1
+  WHERE f.hr < 23),
+err AS (
+  SELECT event_type, count(*) AS n_eval,
+    CAST(sum(CAST(round(abs(actual - model_fc), 12) AS DECIMAL(38,12))) AS DOUBLE) AS ae_m,
+    CAST(sum(CAST(round((actual - model_fc) * (actual - model_fc), 12) AS DECIMAL(38,12))) AS DOUBLE) AS se_m,
+    CAST(sum(abs(actual - cnt)) AS BIGINT) AS ae_p,
+    CAST(sum(abs(actual - snaive_fc)) AS BIGINT) AS ae_s
+  FROM evalrows WHERE actual IS NOT NULL GROUP BY 1)
+SELECT event_type, n_eval,
+  round(ae_m / n_eval, 6) AS mae_model,
+  round(CAST(ae_p AS DOUBLE) / n_eval, 6) AS mae_persist,
+  round(CAST(ae_s AS DOUBLE) / n_eval, 6) AS mae_snaive,
+  round(sqrt(se_m / n_eval), 6) AS rmse_model,
+  round(ae_m / CAST(ae_s AS DOUBLE), 6) AS mase
+FROM err ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_forecast_eval" -> q296ForecastEval,
+    "q284_periodogram" -> q284Periodogram,
     "q277_double_smoothing" -> q277DoubleSmoothing,
     "q269_sprt" -> q269Sprt,
     "q253_cusum" -> q253Cusum,
@@ -1494,6 +1730,8 @@ object TimeseriesQueries {
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q296_forecast_eval" -> q296Sql,
+    "q284_periodogram" -> q284Sql,
     "q277_double_smoothing" -> q277Sql,
     "q269_sprt" -> q269Sql,
     "q253_cusum" -> q253Sql,

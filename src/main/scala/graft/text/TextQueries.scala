@@ -2764,7 +2764,93 @@ ranked AS (
 SELECT rank, w1, w2, n11, g2 FROM ranked WHERE rank <= $G2TopK ORDER BY rank"""
   }
 
+  // --------------------------------------------------------------- q286
+  /** Burrows' Delta stylometric distance between the 20 `source`
+    * registers (Burrows 2002, the standard authorship-attribution
+    * measure): per (source, term) relative frequencies of the shared
+    * vocabulary are z-scored ACROSS sources (so every term counts
+    * equally regardless of raw rate — the move that makes Delta a
+    * register fingerprint instead of a topic signal), and
+    * Delta(a,b) = mean_t |z_a(t) − z_b(t)|; all source pairs ranked
+    * most-similar-first. The corpus-level sibling of q82's
+    * distribution drift: q82 compares one split against another,
+    * this places ALL provenance groups in a common stylometric space.
+    *
+    * Shape for 100 TB: ONE tokenize pass collapses the corpus to the
+    * O(sources × vocab) count frame (localCheckpoint'ed); the dense
+    * rf grid, the per-term moments, the z-scores, and the
+    * O(sources²) pair distances all live on that tiny frame —
+    * vocabulary here is the top-frequency function words (the fixture
+    * vocab is already bounded), never the open vocabulary; per-term
+    * sums are 12dp-gridded DECIMAL. */
+  def q286BurrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    val cnts = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint())
+    val tot = cnts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocab = cnts.select(col("term")).distinct()
+    val rf = graft.Checkpoints.deferFree(cnts.select(col("source")).distinct()
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(tot), "source")
+      .join(cnts, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        (coalesce(col("c"), lit(0L)) / col("t").cast("double")).as("rf"))
+      .localCheckpoint())
+    val mom = rf.groupBy(col("term")).agg(
+      (dec12(col("rf")) / count(lit(1))).as("mu"),
+      (dec12(col("rf") * col("rf")) / count(lit(1))).as("m2"))
+    val z = rf.join(broadcast(mom), "term")
+      .filter(col("m2") - col("mu") * col("mu") > 0)
+      .select(col("source"), col("term"),
+        ((col("rf") - col("mu")) / sqrt(col("m2") - col("mu") * col("mu"))).as("z"))
+    val za = z.select(col("source").as("sa"), col("term"), col("z").as("za"))
+    val zb = z.select(col("source").as("sb"), col("term"), col("z").as("zb"))
+    val delta = za.join(zb, "term").filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg((dec12(abs(col("za") - col("zb"))) / count(lit(1))).as("delta"))
+    val wr = Window.orderBy(col("delta"), col("sa"), col("sb"))
+    delta.withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("sa"), col("sb"), round(col("delta"), 6).as("delta"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val q286Sql: String =
+    """WITH tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+cnts AS MATERIALIZED (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS t FROM cnts GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM cnts),
+rf AS MATERIALIZED (
+  SELECT s.source, v.term,
+    coalesce(c.c, 0) / CAST(t.t AS DOUBLE) AS rf
+  FROM (SELECT DISTINCT source FROM cnts) s
+  CROSS JOIN vocab v
+  JOIN tot t ON t.source = s.source
+  LEFT JOIN cnts c ON c.source = s.source AND c.term = v.term),
+mom AS MATERIALIZED (
+  SELECT term,
+    CAST(sum(CAST(round(rf, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu,
+    CAST(sum(CAST(round(rf * rf, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2
+  FROM rf GROUP BY 1),
+z AS MATERIALIZED (
+  SELECT r.source, r.term, (r.rf - m.mu) / sqrt(m.m2 - m.mu * m.mu) AS z
+  FROM rf r JOIN mom m USING (term) WHERE m.m2 - m.mu * m.mu > 0),
+delta AS (
+  SELECT a.source AS sa, b.source AS sb,
+    CAST(sum(CAST(round(abs(a.z - b.z), 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS delta
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT sa, sb, delta,
+    CAST(row_number() OVER (ORDER BY delta, sa, sb) AS BIGINT) AS rank
+  FROM delta)
+SELECT sa, sb, round(delta, 6) AS delta, rank FROM ranked ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_burrows_delta" -> q286BurrowsDelta,
     "q275_collocations" -> q275Collocations,
     "q260_rrf_fusion" -> q260RrfFusion,
     "q255_good_turing" -> q255GoodTuring,
@@ -2810,6 +2896,7 @@ SELECT rank, w1, w2, n11, g2 FROM ranked WHERE rank <= $G2TopK ORDER BY rank"""
     "q48_tfidf" -> q48Tfidf)
 
   val oracles: Map[String, String] = Map(
+    "q286_burrows_delta" -> q286Sql,
     "q275_collocations" -> q275Sql,
     "q260_rrf_fusion" -> q260Sql,
     "q255_good_turing" -> q255Sql,
