@@ -1707,7 +1707,234 @@ SELECT event_type, n_eval,
   round(ae_m / CAST(ae_s AS DOUBLE), 6) AS mase
 FROM err ORDER BY event_type"""
 
+  // --------------------------------------------------------------- q300
+  /** Log-rank (Mantel–Cox) test between the hash arms' time-to-first-
+    * purchase curves — the test that COMPLETES q234's Kaplan–Meier
+    * exactly the way q287's CMH completes q155's pooled z: at every
+    * death time the 2×2 of (at-risk × died) per arm contributes
+    * O − E and the hypergeometric V, χ² = (ΣO−ΣE)²/ΣV — censoring-
+    * aware arm comparison no naive conversion-rate cut gets right.
+    * Null fixture → χ² ≈ 0.32 < 3.84: no survival split to report.
+    *
+    * Shape for 100 TB: q234's subject collapse (one pass → per-user
+    * (t, death, arm)), then O(distinct times × 2) frames; at-risk
+    * counts are one DESCENDING integer prefix window per arm (exact),
+    * stratum algebra 12dp-gridded DECIMAL. */
+  def q300Logrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts) div 1000").as("f"),
+        expr("min(CASE WHEN event_type = 'purchase' THEN ts END) div 1000").as("p"))
+      .withColumn("g",
+        when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2)) === 0, 1L).otherwise(0L))
+    val end = Tables.events(spark, sfDir).agg(expr("max(ts) div 1000").as("corpus_end"))
+    val subj = graft.Checkpoints.deferFree(u.crossJoin(broadcast(end))
+      .select(col("g"),
+        when(col("p").isNotNull, expr(s"(p - f) div $KmHourUs"))
+          .otherwise(expr(s"(corpus_end - f) div $KmHourUs")).as("t"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("death"))
+      .localCheckpoint())
+    val gt = subj.groupBy(col("t"), col("g"))
+      .agg(count(lit(1)).as("n_here"), sum(col("death")).as("d_here"))
+    val grid = subj.select(col("t")).distinct()
+      .crossJoin(spark.range(1).select(explode(array(lit(0L), lit(1L))).as("g")))
+      .join(gt, Seq("t", "g"), "left")
+      .select(col("t"), col("g"), coalesce(col("n_here"), lit(0L)).as("n_here"),
+        coalesce(col("d_here"), lit(0L)).as("d_here"))
+    val wDesc = Window.partitionBy(col("g")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atrisk = grid.withColumn("n_risk", sum(col("n_here")).over(wDesc))
+    val wide = atrisk.groupBy(col("t")).agg(
+      max(when(col("g") === 1, col("n_risk"))).as("n1"),
+      max(when(col("g") === 1, col("d_here"))).as("d1"),
+      max(when(col("g") === 0, col("n_risk"))).as("n0"),
+      max(when(col("g") === 0, col("d_here"))).as("d0"))
+    val terms = wide.filter(col("d1") + col("d0") > 0 && col("n1") + col("n0") >= 2)
+      .select(col("d1"),
+        (col("n1") * (col("d1") + col("d0")) /
+          (col("n1") + col("n0")).cast("double")).as("e1"),
+        (col("n1") * col("n0").cast("double") * (col("d1") + col("d0")) *
+          ((col("n1") + col("n0")) - (col("d1") + col("d0"))) /
+          ((col("n1") + col("n0")).cast("double") * (col("n1") + col("n0")) *
+            (col("n1") + col("n0") - 1))).as("v"))
+    def dec12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
+    terms.agg(count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+        dec12(col("e1")).as("e1s"), dec12(col("v")).as("vs"))
+      .select(col("n_times"), col("o1"), round(col("e1s"), 6).as("e1"),
+        round(col("vs"), 6).as("v"),
+        round((col("o1") - col("e1s")) * (col("o1") - col("e1s")) / col("vs"), 6)
+          .as("chi2"))
+  }
+
+  val q300Sql: String = {
+    val h = graft.oracle.Sql.hash32OfHex("md5('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH u AS MATERIALIZED (
+  SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS f,
+    epoch_us(CAST(min(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP)) AS p,
+    CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id),
+endt AS (SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) AS corpus_end FROM events),
+subj AS MATERIALIZED (
+  SELECT g,
+    CASE WHEN p IS NOT NULL THEN (p - f) // $KmHourUs
+         ELSE (corpus_end - f) // $KmHourUs END AS t,
+    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS death
+  FROM u CROSS JOIN endt),
+gt AS MATERIALIZED (
+  SELECT t, g, CAST(count(*) AS BIGINT) AS n_here,
+    CAST(sum(death) AS BIGINT) AS d_here
+  FROM subj GROUP BY t, g),
+grid AS MATERIALIZED (
+  SELECT tm.t, gg.g,
+    coalesce(gt.n_here, 0) AS n_here, coalesce(gt.d_here, 0) AS d_here
+  FROM (SELECT DISTINCT t FROM subj) tm
+  CROSS JOIN (SELECT unnest([0, 1]) AS g) gg
+  LEFT JOIN gt ON gt.t = tm.t AND gt.g = gg.g),
+atrisk AS MATERIALIZED (
+  SELECT t, g, d_here,
+    CAST(sum(n_here) OVER (PARTITION BY g ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM grid),
+wide AS MATERIALIZED (
+  SELECT t,
+    max(CASE WHEN g = 1 THEN n_risk END) AS n1,
+    max(CASE WHEN g = 1 THEN d_here END) AS d1,
+    max(CASE WHEN g = 0 THEN n_risk END) AS n0,
+    max(CASE WHEN g = 0 THEN d_here END) AS d0
+  FROM atrisk GROUP BY t),
+terms AS (
+  SELECT t, d1,
+    n1 * (d1 + d0) / CAST(n1 + n0 AS DOUBLE) AS e1,
+    (n1 * CAST(n0 AS DOUBLE) * (d1 + d0) * ((n1 + n0) - (d1 + d0)))
+      / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1)) AS v
+  FROM wide WHERE d1 + d0 > 0 AND n1 + n0 >= 2),
+agg AS (
+  SELECT count(*) AS n_times, CAST(sum(d1) AS BIGINT) AS o1,
+    CAST(sum(CAST(round(e1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS e1s,
+    CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS vs
+  FROM terms)
+SELECT n_times, o1, round(e1s, 6) AS e1, round(vs, 6) AS v,
+  round((o1 - e1s) * (o1 - e1s) / vs, 6) AS chi2
+FROM agg"""
+  }
+
+  // --------------------------------------------------------------- q301
+  /** SAX breakpoints for alphabet 4 (Gaussian quartiles — the
+    * Lin–Keogh lookup row, shared as LITERAL strings so both engines
+    * parse identical doubles; q284's twiddle-table discipline). */
+  val SaxBreaks: Seq[String] =
+    Seq("-0.6744897501960817", "0.0", "0.6744897501960817")
+  val SaxSegments = 6
+
+  /** SAX (Symbolic Aggregate approXimation, Lin–Keogh) of each
+    * (type, day) hourly series — the symbolic representation that
+    * turns raw timeseries into JOINABLE words: per day z-normalize
+    * the 24-hour series, PAA-average into [[SaxSegments]] 4-hour
+    * segments, map each to an a-d symbol at the Gaussian-quartile
+    * breakpoints; `word_days` counts how many days of that type share
+    * the word — recurring words ARE the daily motifs, and equal words
+    * give a constant-time candidate filter for similarity search over
+    * days (the discrete sibling of q103's ACF and q284's spectrum).
+    *
+    * Shape for 100 TB: the corpus collapses to the (types×days×24)
+    * grid; normalization moments, PAA, and symbols are per-group
+    * algebra on that frame; the word assembles from a FIXED 6-column
+    * pivot (deterministic — no ordered string agg), and the motif
+    * count is one tiny self-aggregate. */
+  def q301Sax(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint())
+    val grid = hourly.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hr"))
+    val x = grid.join(hourly, Seq("event_type", "day", "hr"), "left")
+      .select(col("event_type"), col("day"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+    val mom = x.groupBy(col("event_type"), col("day"))
+      .agg((sum(col("cnt")).cast("double") / 24).as("mu"),
+        (sum(col("cnt") * col("cnt")).cast("double") / 24).as("m2"))
+    val seg = x.join(mom, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"), expr("hr div 4").as("seg"),
+        col("mu"), col("m2"))
+      .agg((sum(col("cnt")).cast("double") / 4).as("paa"))
+    val z = seg.select(col("event_type"), col("day"), col("seg"),
+      when(col("m2") - col("mu") * col("mu") > 0,
+        (col("paa") - col("mu")) / sqrt(col("m2") - col("mu") * col("mu")))
+        .otherwise(lit(0.0)).as("zseg"))
+    val symbol: Column =
+      expr(s"substr('abcd', 1 + (CASE WHEN zseg >= ${SaxBreaks(0)} THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN zseg >= ${SaxBreaks(1)} THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN zseg >= ${SaxBreaks(2)} THEN 1 ELSE 0 END), 1)")
+    val words = z.select(col("event_type"), col("day"), col("seg"),
+        symbol.as("sym"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(concat((0 until SaxSegments).map { i =>
+        max(when(col("seg") === i, col("sym")))
+      }: _*).as("word"))
+    val wd = graft.Checkpoints.deferFree(words.localCheckpoint())
+    val cnts = wd.groupBy(col("event_type"), col("word"))
+      .agg(count(lit(1)).as("word_days"))
+    wd.join(cnts, Seq("event_type", "word"))
+      .select(col("event_type"), col("day"), col("word"), col("word_days"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q301Sql: String = {
+    def sym(z: String): String =
+      s"substr('abcd', 1 + (CASE WHEN $z >= ${SaxBreaks(0)} THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $z >= ${SaxBreaks(1)} THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN $z >= ${SaxBreaks(2)} THEN 1 ELSE 0 END), 1)"
+    val segsyms = (0 until SaxSegments)
+      .map(i => s"max(CASE WHEN seg = $i THEN ${sym("zseg")} END) AS s$i")
+      .mkString(", ")
+    val wordcat = (0 until SaxSegments).map(i => s"s$i").mkString(" || ")
+    s"""WITH hourly AS MATERIALIZED (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+grid AS (
+  SELECT event_type, day, CAST(h AS BIGINT) AS hr
+  FROM (SELECT DISTINCT event_type, day FROM hourly)
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS h)),
+x AS MATERIALIZED (
+  SELECT g.event_type, g.day, g.hr, coalesce(h.c, 0) AS cnt
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.day = h.day AND g.hr = h.hr),
+mom AS MATERIALIZED (
+  SELECT event_type, day,
+    CAST(sum(cnt) AS DOUBLE) / 24 AS mu,
+    CAST(sum(CAST(cnt AS BIGINT) * cnt) AS DOUBLE) / 24 AS m2
+  FROM x GROUP BY 1, 2),
+seg AS MATERIALIZED (
+  SELECT x.event_type, x.day, x.hr // 4 AS seg, m.mu, m.m2,
+    CAST(sum(cnt) AS DOUBLE) / 4 AS paa
+  FROM x JOIN mom m USING (event_type, day)
+  GROUP BY x.event_type, x.day, x.hr // 4, m.mu, m.m2),
+z AS MATERIALIZED (
+  SELECT event_type, day, seg,
+    CASE WHEN m2 - mu * mu > 0 THEN (paa - mu) / sqrt(m2 - mu * mu) ELSE 0.0 END AS zseg
+  FROM seg),
+words AS MATERIALIZED (
+  SELECT event_type, day, $segsyms
+  FROM z GROUP BY event_type, day),
+wd AS MATERIALIZED (
+  SELECT event_type, day, ($wordcat) AS word FROM words),
+cnts AS (SELECT event_type, word, CAST(count(*) AS BIGINT) AS word_days
+  FROM wd GROUP BY 1, 2)
+SELECT w.event_type, w.day, w.word, c.word_days
+FROM wd w JOIN cnts c ON w.event_type = c.event_type AND w.word = c.word
+ORDER BY w.event_type, w.day"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_logrank" -> q300Logrank,
+    "q301_sax" -> q301Sax,
     "q296_forecast_eval" -> q296ForecastEval,
     "q284_periodogram" -> q284Periodogram,
     "q277_double_smoothing" -> q277DoubleSmoothing,
@@ -1730,6 +1957,8 @@ FROM err ORDER BY event_type"""
     "q63_anomaly" -> q63Anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q300_logrank" -> q300Sql,
+    "q301_sax" -> q301Sql,
     "q296_forecast_eval" -> q296Sql,
     "q284_periodogram" -> q284Sql,
     "q277_double_smoothing" -> q277Sql,
