@@ -1360,10 +1360,11 @@ ORDER BY f.vec_id"""
     * tf) frame (localCheckpoint'ed — it feeds df and the weighting);
     * df rides a broadcast; the pair scores come from a postings
     * self-join on (source, term) whose products collapse map-side
-    * into per-pair partial sums (12dp-gridded DECIMAL — shuffle-order
-    * free) — a wedge row never rides an exchange un-aggregated; the
-    * top-k is a TakeOrdered, never a global sort. Cross-block recall
-    * is q21's LSH job, by design. */
+    * into per-pair partial sums (12dp-gridded, carried as scaled
+    * int64 — shuffle-order free, a long add per wedge row) — a wedge
+    * row never rides an exchange un-aggregated; the top-k is a
+    * TakeOrdered, never a global sort. Cross-block recall is q21's
+    * LSH job, by design. */
   def q285TfidfCosine(spark: SparkSession, sfDir: String): DataFrame = {
     def dec12(c: Column): Column =
       sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
@@ -1389,13 +1390,31 @@ ORDER BY f.vec_id"""
       .select(col("doc_id"), col("source"), col("term"),
         (col("w") / col("nm")).as("wn"))
       .localCheckpoint())
+    // the product terms are round(,12)-gridded and carried as SCALED
+    // INT64 (term·10¹²) through the wedge-heavy aggregation — q79's
+    // discipline: a long add per wedge row instead of a BigDecimal
+    // (28s → ~8s warm at sf0.1); the oracle's DECIMAL Σ of the same
+    // grid is the identical rational k·10⁻¹², so the final
+    // cast-to-double division and round(,6) agree exactly
+    // floor(x·10¹² + 0.5) ≡ round-half-up for the non-negative
+    // products, WITHOUT the per-row BigDecimal detour Spark's round()
+    // takes on doubles — the wedge stream is ~40M rows at sf0.1 and
+    // the two BigDecimal rounds were the whole hot path
+    val ti = floor(col("wa") * col("wb") * lit(1e12) + lit(0.5)).cast("long")
+    // the b-side is the O(docs × bounded-vocab) normalized-postings
+    // frame — BROADCAST it so the wedge stream is generated map-side
+    // with no sort/shuffle of wedge rows (q274's wedge discipline;
+    // at larger block sizes the planner's size check would fall back
+    // to the bucketed sort-merge path)
     val pairs = wn
       .select(col("source"), col("term"), col("doc_id").as("da"), col("wn").as("wa"))
-      .join(wn.select(col("source"), col("term"), col("doc_id").as("db"),
-        col("wn").as("wb")), Seq("source", "term"))
+      .join(broadcast(wn.select(col("source"), col("term"), col("doc_id").as("db"),
+        col("wn").as("wb"))), Seq("source", "term"))
       .filter(col("da") < col("db"))
       .groupBy(col("source"), col("da"), col("db"))
-      .agg(dec12(col("wa") * col("wb")).as("cosine"))
+      .agg(sum(ti).as("ti_sum"))
+      .select(col("source"), col("da"), col("db"),
+        (col("ti_sum").cast("double") / lit(1e12)).as("cosine"))
     val top = pairs
       .orderBy(col("cosine").desc, col("da"), col("db")).limit(TfidfPairTopK)
     val wr = Window.orderBy(col("cosine").desc, col("da"), col("db"))
