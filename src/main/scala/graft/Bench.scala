@@ -8,37 +8,53 @@ import org.apache.spark.sql.SparkSession
   * EXCLUDED from timings — a broken query can never improve the total.
   * Prints exactly one JSON line.
   *
-  * Two timing regimes are reported side by side:
+  * Protocol (r10 — sized to the harness wall-clock budget after the r9
+  * full-cold pass alone overran it at 297 keys):
   *
-  *  - **cold** (`cold_queries` / `total_cold`): min of RUNS (default 2)
-  *    per query with SessionCache.clear before EVERY run — every run
-  *    pays the query's own one-time builds (edge derivation, rank loop,
-  *    minhash signatures), and the min strips co-tenant load spikes.
-  *    The r4 single-run cold pass produced a 5.7× noise-inflated
-  *    artifact on this shared host (709s driver vs 103.5s isolated,
-  *    same config); a min-of-N of STRUCTURALLY cold runs keeps the
-  *    "nothing hidden behind a memo" honesty while making the total
-  *    reproducible. This is the number a round-over-round or
-  *    cross-engine comparison of TOTALS should use.
-  *  - **warm** (`queries` / `value`): min of RUNS (default 2) with
-  *    session memos retained across queries and runs, as in a real
-  *    analytics session running the whole suite — the marginal cost of
-  *    each query once shared inputs exist. q01/q10 read the memoized
-  *    rank output here; q02 (full TrustRank loop) and q34 (GraphX, no
-  *    memo) remain full-loop timings in both regimes.
+  *  1. **warm** (`queries` / `value`): min of RUNS (default 2) per query
+  *     with session memos retained across queries and runs, as in a real
+  *     analytics session running the whole suite. This pass ALWAYS runs
+  *     to completion over every key — it is the artifact's contract.
+  *     While it runs, each query is tagged with whether it touched
+  *     [[SessionCache]] at all (hit or build).
+  *  2. **cold** (`cold_queries`): structurally-cold timings
+  *     (SessionCache.clear before every run, so the query pays its own
+  *     one-time builds). Default mode `auto` measures ONLY the
+  *     memo-touching keys found in (1) — for every other key cold ≡ warm
+  *     by construction (nothing is hidden behind a memo), so re-running
+  *     them cold was pure wall-clock with zero information; that
+  *     redundancy is what timed the r9 driver run out. `SPARK_GRAFT_COLD=all`
+  *     restores the full min-of-RUNS cold sweep; `=0` skips the pass.
+  *     In auto mode each key runs cold ONCE (a cold run is structurally
+  *     identical however often repeated; min-of-N only strips host
+  *     noise, which the budget no longer affords by default).
+  *     `total_cold` stays comparable across rounds: it sums the measured
+  *     cold timings plus the WARM timing of every key not measured cold
+  *     (= its structural cold cost).
+  *  3. **isolated re-measure** (`isolated_warm`): any key whose in-suite
+  *     warm min exceeds 1.5× its own cold min (the block-residency
+  *     inversion artifact — q79/q136 history), plus any key whose warm
+  *     regressed >2× against the previous committed artifact (read from
+  *     the output path before overwriting), is re-measured alone —
+  *     memos cleared, one warm-up run, then min-of-RUNS. The candidate
+  *     set is CAPPED (worst offenders first, default 6) so a noisy host
+  *     cannot inflate the pass without bound.
   *
-  * A third regime publishes itself only when needed: any query whose
-  * in-suite warm min exceeds 1.5× its own cold min (the block-residency
-  * inversion artifact — q79/q136 history) is automatically re-measured
-  * isolated and reported as `isolated_warm` in the full artifact
-  * (`n_inverted` in the compact line).
+  * Phases 2–3 are time-boxed: SPARK_GRAFT_BUDGET_S (default 1500) is the
+  * wall budget for the WHOLE run measured from main() entry; once spent,
+  * remaining cold/isolated measurements are skipped (counted in
+  * `n_cold_skipped`) and the artifact still lands complete — a partial
+  * cold map beats a timed-out rc with no artifact at all (r9's failure
+  * mode). The warm pass is never truncated, but once past 70% of the
+  * budget it degrades to single runs.
   *
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
-  * the query set (isolated re-measurement on a noisy host);
-  * SPARK_GRAFT_RUNS=3 raises the min-of-N (both regimes); SPARK_GRAFT_COLD=0
-  * skips the cold pass; SPARK_GRAFT_METRICS=1 adds per-query shuffle
-  * write volume (`shuffle_mb`, first warm run) — the number that
-  * decides whether an operator survives a 100× scale-up.
+  * the query set; SPARK_GRAFT_RUNS=3 raises the min-of-N;
+  * SPARK_GRAFT_COLD=auto|all|0 picks the cold mode (default auto);
+  * SPARK_GRAFT_BUDGET_S sets the wall budget; SPARK_GRAFT_ISO_CAP caps
+  * the isolated set; SPARK_GRAFT_METRICS=1 adds per-query shuffle write
+  * volume (`shuffle_mb`, first warm run) — the number that decides
+  * whether an operator survives a 100× scale-up.
   */
 object Bench {
 
@@ -49,14 +65,37 @@ object Bench {
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
+
+  /** Warm timings from a previous artifact's `"queries":{...}` object —
+    * regex-scoped to that one object so `cold_queries` keys are not
+    * swept in. Best-effort: any parse failure returns empty. */
+  private def priorWarm(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 11, txt.indexOf('}', start))
+        val kv = """"([^"]+)":([0-9.eE+-]+)""".r
+        kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
   def main(args: Array[String]): Unit = {
+    val t0Wall = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0Wall) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val doCold = sys.env.getOrElse("SPARK_GRAFT_COLD", "1") != "0"
+    val coldMode = sys.env.getOrElse("SPARK_GRAFT_COLD", "auto") // auto|all|0|1
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1500").toDouble
+    val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "6").toInt
     val doMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "0") == "1"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench.json")
+    val prior = priorWarm(outPath)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,60 +126,75 @@ object Bench {
       } finally Checkpoints.drain(spark) // session stays block-clean per run
     }
 
-    // Cold pass: memos dropped before every RUN, so each timing includes
-    // the query's own one-time builds; min-of-runs strips host noise
-    // (each run is structurally identical — same builds, same plan).
-    val cold = if (doCold) names.map { n =>
-      val rs = (1 to runs).map { _ =>
-        SessionCache.clear(spark)
-        once(n)
-      }
-      val oks = rs.collect { case Right(t) => t }
-      n -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
-    } else Seq.empty
-    if (doCold) SessionCache.clear(spark) // warm pass starts from scratch
-
-    // Warm pass: min of `runs` per query with memos retained — strips
-    // first-run codegen/JIT warmup and external-load spikes (this
-    // harness shares its host); the min is the query's structural
-    // marginal cost.
+    // ---- Phase 1: warm (always complete; memo-touch detection on run 1;
+    // past 70% of budget the remaining keys degrade to single runs).
     val meter = new ShuffleMeter
     if (doMetrics) spark.sparkContext.addSparkListener(meter)
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
       val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
+      val touchBefore = SessionCache.touches.get()
       val first = once(name)
+      if (SessionCache.touches.get() > touchBefore) touched += name
       if (doMetrics) { // listener events drain async; settle briefly
         // FIRST warm run only: later runs read session memos and would
         // average the build volume away
         Thread.sleep(200)
         shuffleMb(name) = (meter.bytes.get() - before) / 1048576.0
       }
-      val rs = first +: (2 to runs).map(_ => once(name))
+      val extra = if (elapsedS < 0.7 * budgetS) (2 to runs) else Seq.empty
+      val rs = first +: extra.map(_ => once(name))
       val oks = rs.collect { case Right(t) => t }
       name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
     }
+    val warmOk = results.collect { case (n, Right(t)) => n -> t }.toMap
 
-    // Self-diagnosing warm>cold inversion (r9): inside the full suite,
-    // ~200 queries of accumulated block residency ahead of a late heavy
-    // loop can inflate its in-suite warm timing past its own cold cost
-    // (q79 in r6/r8, q136 in r8 — every time an artifact, never a plan
-    // defect, but every time re-litigated by hand). Any query whose
-    // in-suite warm min exceeds 1.5x its cold min is now automatically
-    // re-measured ISOLATED — memos cleared, one warm-up run to rebuild
-    // its own memos, then min-of-RUNS — and published as
-    // `isolated_warm` in the artifact, so the inversion class carries
-    // its own counter-measurement instead of a verdict debt.
-    val coldOk = cold.collect { case (n, Right(t)) => n -> t }.toMap
-    val inverted = results.collect {
-      case (n, Right(t)) if coldOk.get(n).exists(c => t > 1.5 * c) => n
+    // ---- Phase 2: cold (mode-restricted, budget-boxed).
+    val coldNames = coldMode match {
+      case "0" => Seq.empty
+      case "all" | "1" => names
+      case _ => names.filter(touched) // auto: memo-touching keys only
     }
-    val isolated = inverted.map { n =>
-      SessionCache.clear(spark)
-      once(n) // warm-up: rebuild this query's own memos only
-      val rs = (1 to runs).map(_ => once(n))
-      val oks = rs.collect { case Right(t) => t }
-      n -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+    val coldRuns = if (coldMode == "all" || coldMode == "1") runs else 1
+    var coldSkipped = 0
+    val cold = coldNames.flatMap { n =>
+      if (elapsedS > budgetS) { coldSkipped += 1; None }
+      else {
+        val rs = (1 to coldRuns).map { _ =>
+          SessionCache.clear(spark)
+          once(n)
+        }
+        val oks = rs.collect { case Right(t) => t }
+        Some(n -> (if (oks.nonEmpty) Right(oks.min) else rs.head))
+      }
+    }
+    if (cold.nonEmpty) SessionCache.clear(spark)
+    val coldOk = cold.collect { case (n, Right(t)) => n -> t }.toMap
+
+    // ---- Phase 3: isolated re-measure — capped union of (a) in-suite
+    // warm>1.5×cold inversions and (b) >2× warm regressions vs the prior
+    // committed artifact; worst ratio first, budget-boxed.
+    val inverted = warmOk.collect {
+      case (n, t) if coldOk.get(n).exists(c => t > 1.5 * c) =>
+        n -> t / coldOk(n)
+    }
+    val regressed = warmOk.collect {
+      case (n, t) if prior.get(n).exists(p => p > 0 && t > 2.0 * p) =>
+        n -> t / prior(n)
+    }
+    val isoNames = (inverted ++ regressed).groupBy(_._1)
+      .map { case (n, rs) => n -> rs.values.max }
+      .toSeq.sortBy(-_._2).take(isoCap).map(_._1)
+    val isolated = isoNames.flatMap { n =>
+      if (elapsedS > budgetS) None
+      else {
+        SessionCache.clear(spark)
+        once(n) // warm-up: rebuild this query's own memos only
+        val rs = (1 to runs).map(_ => once(n))
+        val oks = rs.collect { case Right(t) => t }
+        Some(n -> (if (oks.nonEmpty) Right(oks.min) else rs.head))
+      }
     }
 
     def obj(xs: Seq[(String, Either[String, Double])]): (String, Double, Int) = {
@@ -149,7 +203,12 @@ object Bench {
         ok.map(_._2).sum, ok.size)
     }
     val (qs, total, nOk) = obj(results)
-    val (cqs, coldTotal, _) = obj(cold)
+    val (cqs, _, _) = obj(cold)
+    // total_cold: measured cold timings + the warm timing of every key
+    // not measured cold (cold ≡ warm for the memo-free; a budget-skipped
+    // memo key contributes its warm floor and is counted in
+    // n_cold_skipped so the reader knows the figure is a lower bound).
+    val coldTotal = names.map(n => coldOk.getOrElse(n, warmOk.getOrElse(n, 0.0))).sum
     // cold failures keyed distinctly: a query can fail cold yet succeed
     // warm (it stays in `queries`; the cold error is still reported),
     // and duplicate JSON keys would make n_err disagree with the parsed
@@ -157,14 +216,16 @@ object Bench {
     val errs = results.collect { case (n, Left(m)) => n -> m } ++
       cold.collect { case (n, Left(m)) => s"$n (cold)" -> m }
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val coldPart = if (doCold) s""""cold_queries":$cqs,"total_cold":$coldTotal,""" else ""
+    val coldPart = if (cold.nonEmpty || coldMode != "0")
+      s""""cold_queries":$cqs,"total_cold":$coldTotal,"cold_mode":"$coldMode","n_cold":${cold.size},"n_cold_skipped":$coldSkipped,"""
+    else ""
     val (isoQs, _, _) = obj(isolated)
     val isoPart = if (isolated.nonEmpty) s""""isolated_warm":$isoQs,""" else ""
     val metricsPart = if (doMetrics)
       shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$isoPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$isoPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir"}"""
     // Durability: the harness keeps only the LAST ~2000 chars of the log.
     // r6 lost the warm section to shutdown WARN spew; r7 quieted the
     // shutdown but the full line itself (warm + cold maps × 107 queries at
@@ -175,7 +236,6 @@ object Bench {
     // centisecond precision, cold pass reduced to its total. The
     // full-fidelity line (full names, full precision, per-query cold map,
     // shuffle metrics) goes to the file named in its "full" field.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -203,9 +263,10 @@ object Bench {
       }
     val qsCompact = kept2.map(_._2).mkString("{", ",", "}")
     val omitted = if (dropped > 0) s""""queries_omitted":$dropped,""" else ""
-    val coldCompact = if (doCold) s""""total_cold":${r2(coldTotal)},""" else ""
-    val isoCompact = if (isolated.nonEmpty) s""""n_inverted":${isolated.size},""" else ""
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$omitted$coldCompact$isoCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"sf":"$sfDir","full":"$outPath"}"""
+    val coldCompact = if (cold.nonEmpty)
+      s""""total_cold":${r2(coldTotal)},"n_cold":${cold.size},""" else ""
+    val isoCompact = if (isolated.nonEmpty) s""""n_isolated":${isolated.size},""" else ""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$omitted$coldCompact$isoCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir","full":"$outPath"}"""
     spark.sparkContext.setLogLevel("ERROR")
     println(compact)
     spark.stop()

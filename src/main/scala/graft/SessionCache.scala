@@ -35,6 +35,12 @@ object SessionCache {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Monotone count of [[cached]] calls (hits AND builds) — lets the
+    * bench detect which queries depend on session memos at all (for
+    * those, cold ≠ warm structurally; for the rest the cold regime is
+    * the warm regime by construction). */
+  private[graft] val touches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def maxEntries(spark: SparkSession): Int =
     try spark.conf.get("spark.graft.sessionCache.maxEntries", "32").toInt
     catch { case _: Throwable => 32 }
@@ -49,6 +55,7 @@ object SessionCache {
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
+      touches.incrementAndGet()
       val k = (spark, key)
       memo.get(k) match {
         case Some(df) =>

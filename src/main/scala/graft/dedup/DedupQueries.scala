@@ -672,17 +672,79 @@ SELECT da, db,
 FROM cand JOIN pre a ON da = a.doc_id JOIN pre b ON db = b.doc_id
 ORDER BY da, db"""
 
-  /** The Bloom path as a driver row. Deliberately ABSENT from
-    * `oracles`: the sketch's bit pattern isn't replayable in DuckDB,
-    * so the driver records its weaker rows-only check — the exact
-    * guarantees (no false negatives, ⊇-flagging vs q26) are spec-gated
-    * in DecontaminateBloomSpec instead. */
+  /** Portable-Bloom sketch size (bits) and hash count for q28. At the
+    * fixture's benchmark-slice load (~10⁵–10⁶ distinct shingles) the
+    * 8M-bit / 5-hash point sits in the classic ~8-bits-per-item regime
+    * (fpp ≈ 10⁻⁴–10⁻² — q295 audits the sizing theory); the sketch is
+    * 1 MB broadcast to every executor REGARDLESS of benchmark size. */
+  val PBloomBits: Long = 8L << 20
+  val PBloomK: Int = 5
+
+  /** Bloom decontamination over the PORTABLE sketch
+    * (plans.BloomKernelMath.pbloomBuild — bit positions are the repo's
+    * universal-hash family, public integer arithmetic): the benchmark's
+    * distinct shingle hashes fold into a fixed-size bitset built once
+    * driver-side (the element set rides the same [[MaxBenchShingles]]
+    * cap as q26's union set), embedded as a literal, and every training
+    * doc probes it map-only with the compiled O(k)-bit-test kernel.
+    * One-sided error: NO false negatives; false positives inflate
+    * `n_overlap` by ~fpp, so the contaminated flag is a SUPERSET of the
+    * exact one — the conservative direction train/eval hygiene wants.
+    * Because the positions are portable arithmetic, the DuckDB oracle
+    * replays every membership DECISION (false positives included)
+    * exactly — this row is hash-gated like any other, closing r9's one
+    * ungated key. */
+  private[graft] def decontaminatePortableBloomSets(
+      trainSets: DataFrame, benchSets: DataFrame,
+      numBits: Long = PBloomBits, k: Int = PBloomK): DataFrame = {
+    val elems = benchUnionSet(benchSets).first().getSeq[Long](0).toArray
+    val blob = graft.plans.BloomKernelMath.pbloomBuild(elems, numBits, k)
+    val frac = round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+    trainSets
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        call_function("graft_pbloom_hits", lit(blob), col("s")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("overlap_frac"), (frac > ContaminationMax).as("contaminated"))
+  }
+
+  /** The Bloom path as a DRIVER-GATED row (r10): q26's schema and
+    * threshold, n_overlap counted through the portable sketch. */
   def q28DecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("s"))
     val isBench = pmod(col("doc_id"), lit(BenchMod)) === 0
-    decontaminateBloomSets(sets.filter(!isBench), sets.filter(isBench))
+    decontaminatePortableBloomSets(sets.filter(!isBench), sets.filter(isBench))
       .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of the portable-Bloom probe: the benchmark's SET
+    * positions as a materialized table, a training shingle hits iff
+    * ALL k of its positions are present — identical integer arithmetic
+    * (Sql.universalHash), so false positives replay too. */
+  val q28Sql: String = {
+    def posOf(i: Int) = s"(${Sql.universalHash("h", i)} % $PBloomBits)"
+    val bposSelects = (1 to PBloomK)
+      .map(i => s"SELECT ${posOf(i)} AS pos FROM bset").mkString("\n    UNION ALL ")
+    val allSet = (1 to PBloomK)
+      .map(i => s"${posOf(i)} IN (SELECT pos FROM bpos)").mkString("\n    AND ")
+    s"""WITH sh AS (
+  SELECT doc_id, unnest(${shingleSql("text")}) AS g FROM documents),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, ${Sql.hash32OfHex("md5(g)")} AS h FROM sh),
+bset AS MATERIALIZED (SELECT DISTINCT h FROM shd WHERE doc_id % $BenchMod = 0),
+bpos AS MATERIALIZED (
+  SELECT DISTINCT pos FROM (
+    $bposSelects)),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_id, count(*) AS o FROM shd s
+  WHERE s.doc_id % $BenchMod <> 0
+    AND $allSet
+  GROUP BY s.doc_id)
+SELECT c.doc_id, c.n AS n_shingles, coalesce(o.o, 0) AS n_overlap,
+  round(CAST(coalesce(o.o, 0) AS DOUBLE) / c.n, 6) AS overlap_frac,
+  (round(CAST(coalesce(o.o, 0) AS DOUBLE) / c.n, 6) > $ContaminationMax) AS contaminated
+FROM cnt c LEFT JOIN ov o ON o.doc_id = c.doc_id
+ORDER BY c.doc_id"""
   }
 
   // --------------------------------------------- q104 containment
@@ -1390,16 +1452,14 @@ ORDER BY f.vec_id"""
       .select(col("doc_id"), col("source"), col("term"),
         (col("w") / col("nm")).as("wn"))
       .localCheckpoint())
-    // the product terms are round(,12)-gridded and carried as SCALED
-    // INT64 (term·10¹²) through the wedge-heavy aggregation — q79's
-    // discipline: a long add per wedge row instead of a BigDecimal
-    // (28s → ~8s warm at sf0.1); the oracle's DECIMAL Σ of the same
-    // grid is the identical rational k·10⁻¹², so the final
-    // cast-to-double division and round(,6) agree exactly
-    // floor(x·10¹² + 0.5) ≡ round-half-up for the non-negative
-    // products, WITHOUT the per-row BigDecimal detour Spark's round()
-    // takes on doubles — the wedge stream is ~40M rows at sf0.1 and
-    // the two BigDecimal rounds were the whole hot path
+    // the product terms are 1e-12-gridded via floor(x·10¹² + 0.5) and
+    // carried as SCALED INT64 through the wedge-heavy aggregation —
+    // q79's discipline: a long add per wedge row instead of a
+    // BigDecimal (28s → ~8s warm at sf0.1). The oracle computes the
+    // IDENTICAL floor expression (r10): the grid is the operator's
+    // definition on both sides, so agreement is exact by construction
+    // even within an ulp of a .5e-12 boundary — not merely empirical
+    // as when the oracle used decimal round(,12)
     val ti = floor(col("wa") * col("wb") * lit(1e12) + lit(0.5)).cast("long")
     // the b-side is the O(docs × bounded-vocab) normalized-postings
     // frame — BROADCAST it so the wedge stream is generated map-side
@@ -1442,8 +1502,12 @@ wn AS MATERIALIZED (
   SELECT w.doc_id, w.source, w.term, w.w / nrm.nm AS wn
   FROM w JOIN nrm USING (doc_id) WHERE nrm.nm > 0),
 pairs AS MATERIALIZED (
+  -- SAME grid expression as the engine's scaled-int64 hot path
+  -- (floor(x*1e12 + 0.5), r10 ADVICE): the grid is the operator's
+  -- DEFINITION on both sides, not an approximation of decimal round —
+  -- products within an ulp of a .5e-12 boundary can no longer diverge
   SELECT a.source, a.doc_id AS da, b.doc_id AS db,
-    CAST(sum(CAST(round(a.wn * b.wn, 12) AS DECIMAL(38,12))) AS DOUBLE) AS cosine
+    CAST(sum(CAST(floor(a.wn * b.wn * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS cosine
   FROM wn a JOIN wn b ON a.source = b.source AND a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3),
 ranked AS (
@@ -1636,5 +1700,6 @@ FROM g$LkEmRounds ORDER BY g1 DESC, g2 DESC, g3 DESC"""
     // the join shape computes the identical result; one oracle, two
     // physical strategies hash-pinned to it
     "q27_decontaminate_join" -> q26Sql,
+    "q28_decontaminate_bloom" -> q28Sql,
     "q54_edit_distance" -> q54Sql)
 }

@@ -9,7 +9,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Spectral {
 
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+  /** 1e-6 grid by explicit floor — `floor(x*1e6 + 0.5)`, the q285
+    * scaled-integer idiom. Spark's `round` and DuckDB's `round` can
+    * disagree by one grid step when a product lands within an ulp of a
+    * .5e-6 boundary (the r9 q205 half-ulp cell); `floor` of the SAME
+    * double expression is deterministic on both engines, so the grid is
+    * the operator's definition rather than an approximation of
+    * decimal rounding. */
+  private def g6(c: Column): Column = floor(c * lit(1e6) + lit(0.5))
+
+  /** Σ over the 1e-6 grid, exact (DECIMAL(38,0) of integer-valued
+    * terms — association-free), returned as double. */
+  private def gsum(c: Column): Column =
+    sum(g6(c).cast(DecimalType(38, 0))).cast("double") / lit(1e6)
 
   /** Top principal component of the uncentered second-moment matrix by
     * `rounds` power iterations; returns one row per round with the
@@ -24,32 +36,33 @@ object Spectral {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
         .select(col("vec_id"), col("j"), col("x").cast("double").as("x"))
         .localCheckpoint())
-    val trace = exploded.agg(
-      dsum(round(col("x") * col("x"), 6)).cast("double").as("trace"))
+    val trace = exploded.agg(gsum(col("x") * col("x")).as("trace"))
     val v0 = 1.0 / math.sqrt(dim.toDouble)
     var v = spark.range(dim).select(col("id").cast("int").as("j"),
-      lit(math.rint(v0 * 1e6) / 1e6).as("v"))
+      lit(math.floor(v0 * 1e6 + 0.5) / 1e6).as("v"))
     var out: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
       val dots = exploded.join(broadcast(v), "j")
         .groupBy(col("vec_id"))
-        .agg(dsum(round(col("x") * col("v"), 6)).cast("double").as("dot"))
+        .agg(gsum(col("x") * col("v")).as("dot"))
       // checkpoint the matvec result: the Rayleigh row, the norm
       // broadcast, and the next round's v would otherwise each re-run
       // the two corpus-scale joins (the q151 union lesson)
       val y = graft.Checkpoints.deferFree(exploded.join(dots, "vec_id")
         .groupBy(col("j"))
-        .agg(dsum(round(col("x") * col("dot"), 6)).cast("double").as("y"))
+        .agg(gsum(col("x") * col("dot")).as("y"))
         .localCheckpoint())
       val lamNorm = y.join(broadcast(v), "j")
-        .agg(dsum(round(col("v") * col("y"), 6)).cast("double").as("lambda"),
-          dsum(round(col("y") * col("y"), 6)).cast("double").as("ynorm2"))
+        .agg(gsum(col("v") * col("y")).as("lambda"),
+          gsum(col("y") * col("y")).as("ynorm2"))
       out = out :+ lamNorm.crossJoin(broadcast(trace))
         .select(lit(r).as("round"),
-          round(col("lambda"), 6).as("lambda"),
-          round(col("lambda") / col("trace"), 6).as("explained_share"))
+          // lambda is already ON the grid (an exact Σ of 6dp terms);
+          // re-rounding it was the r9 half-ulp cell
+          col("lambda"),
+          (g6(col("lambda") / col("trace")) / lit(1e6)).as("explained_share"))
       v = y.crossJoin(broadcast(lamNorm))
-        .select(col("j"), round(col("y") / sqrt(col("ynorm2")), 6).as("v"))
+        .select(col("j"), (g6(col("y") / sqrt(col("ynorm2"))) / lit(1e6)).as("v"))
         .localCheckpoint()
     }
     graft.Checkpoints.deferFree(v)

@@ -31,6 +31,70 @@ object BloomKernelMath {
     }
     acc
   }
+
+  // ------------------------------------------------------- portable Bloom
+  // A Bloom sketch whose bit positions are DEFINED by the repo's portable
+  // universal-hash family (MathFunctions.universalHash — identical integer
+  // arithmetic in graft.oracle.Sql.universalHash), so membership DECISIONS,
+  // false positives included, replay exactly in the DuckDB oracle: the
+  // sketch is public arithmetic, not an engine-private bit pattern. Blob
+  // layout: [numBits: long][k: long][bitset words: long...], big-endian
+  // via ByteBuffer defaults.
+
+  /** Bit positions of element `h` (already a 32-bit portable hash in
+    * [0, 2^32)): pos_i = universalHash(h, i) mod numBits, i = 1..k. */
+  private def pos(h: Long, i: Int, numBits: Long): Long = {
+    val p = graft.functions.MathFunctions.HashP
+    ((graft.functions.MathFunctions.hashA(i) * h +
+      graft.functions.MathFunctions.hashB(i)) % p) % numBits
+  }
+
+  /** Serialize a portable Bloom sketch of `elems`. Driver-side build:
+    * the element set is already capped by the caller (the q26
+    * MaxBenchShingles posture), so the O(n·k) loop is bounded. */
+  def pbloomBuild(elems: Array[Long], numBits: Long, k: Int): Array[Byte] = {
+    require(numBits > 0 && (numBits & 63) == 0, "numBits must be a positive multiple of 64")
+    val words = new Array[Long]((numBits / 64).toInt)
+    var j = 0
+    while (j < elems.length) {
+      var i = 1
+      while (i <= k) {
+        val p = pos(elems(j), i, numBits)
+        words((p >>> 6).toInt) |= (1L << (p & 63))
+        i += 1
+      }
+      j += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(16 + words.length * 8)
+    bb.putLong(numBits).putLong(k.toLong)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  /** Count of elements of `arr` whose k positions are ALL set — the
+    * per-row probe, O(k) bit tests per element. */
+  def pbloomHits(blob: Array[Byte], arr: ArrayData): Long = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val numBits = bb.getLong()
+    val k = bb.getLong().toInt
+    val n = arr.numElements()
+    var acc = 0L
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 1
+      var all = true
+      while (all && i <= k) {
+        val p = pos(h, i, numBits)
+        val word = bb.getLong(16 + (p >>> 6).toInt * 8)
+        all = (word & (1L << (p & 63))) != 0
+        i += 1
+      }
+      if (all) acc += 1L
+      j += 1
+    }
+    acc
+  }
 }
 
 /** (sketch: binary, elems: array<long>) → count of elements the Bloom
@@ -87,5 +151,59 @@ case class BloomCountContains(left: Expression, right: Expression)
     }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomCountContains =
+    copy(left = l, right = r)
+}
+
+/** (sketch: binary, elems: array<long>) → count of elements whose k
+  * portable-hash positions are all set in the sketch
+  * (BloomKernelMath.pbloomBuild's blob). Constant-sketch contract as
+  * [[BloomCountContains]]; decisions replay exactly in the oracle. */
+case class PBloomHits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pbloom_hits"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a constant (foldable) sketch argument")
+    else if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName sketch argument must be binary, got ${left.dataType}")
+    else right.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName elements argument must be array<long>, got $t")
+    }
+
+  @transient private lazy val blob: Array[Byte] =
+    left.eval(InternalRow.empty).asInstanceOf[Array[Byte]]
+
+  override def eval(input: InternalRow): Any =
+    if (blob == null) null
+    else {
+      val arr = right.eval(input)
+      if (arr == null) null
+      else BloomKernelMath.pbloomHits(blob, arr.asInstanceOf[ArrayData])
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (blob == null) {
+      ev.copy(isNull = TrueLiteral, value = JavaCode.defaultLiteral(dataType))
+    } else {
+      val bf = ctx.addReferenceObj("graftPBloom", blob, "byte[]")
+      val arrEval = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${arrEval.code}
+          boolean ${ev.isNull} = ${arrEval.isNull};
+          long ${ev.value} = -1L;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.plans.BloomKernelMath.pbloomHits($bf, ${arrEval.value});
+          }""")
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PBloomHits =
     copy(left = l, right = r)
 }

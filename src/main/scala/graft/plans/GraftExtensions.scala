@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomCountContains].getName, "graft_bloom_count_contains"),
       (args: Seq[Expression]) => BloomCountContains(args(0), Cast(args(1), longArr))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pbloom_hits"),
+      new ExpressionInfo(classOf[PBloomHits].getName, "graft_pbloom_hits"),
+      (args: Seq[Expression]) => PBloomHits(args(0), Cast(args(1), longArr))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

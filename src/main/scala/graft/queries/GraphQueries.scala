@@ -2146,11 +2146,18 @@ couple AS (
   SELECT e1.src AS a, e2.src AS b, count(*) AS coupling
   FROM hedges e1 JOIN hedges e2 ON e1.dst = e2.dst AND e1.src < e2.src
   GROUP BY 1, 2),
+merged AS (
+  -- FULL OUTER of the two wedge streams (r10, CoCitation.run's
+  -- semantics): coupled-but-never-co-cited pairs exist with
+  -- cocitation = 0 instead of being silently absent
+  SELECT coalesce(c.a, p.a) AS a, coalesce(c.b, p.b) AS b,
+    CAST(coalesce(c.cocitation, 0) AS BIGINT) AS cocitation,
+    CAST(coalesce(p.coupling, 0) AS BIGINT) AS coupling
+  FROM cocite c FULL OUTER JOIN couple p ON c.a = p.a AND c.b = p.b),
 ranked AS (
-  SELECT c.a, c.b, c.cocitation,
-    CAST(coalesce(p.coupling, 0) AS BIGINT) AS coupling,
-    row_number() OVER (ORDER BY c.cocitation DESC, c.a, c.b) AS rank
-  FROM cocite c LEFT JOIN couple p ON c.a = p.a AND c.b = p.b)
+  SELECT a, b, cocitation, coupling,
+    row_number() OVER (ORDER BY cocitation DESC, a, b) AS rank
+  FROM merged)
 SELECT rank, a, b, cocitation, coupling FROM ranked
 WHERE rank <= $CoCiteTopK ORDER BY rank"""
 

@@ -3281,9 +3281,18 @@ FROM w$RakeRounds f ORDER BY f.event_type, f.hod"""
     * no systematic lift — the refuse-to-flatter read (q289/q287's
     * discipline) a real uplift model would have to beat.
     *
-    * Shape for 100 TB: one corpus pass → per-user frame; the decile
-    * rank is the only global exchange (ntile over a total order);
-    * cumulative cells are an O(10)-row window. */
+    * Deciles are FROZEN ACTIVITY-VALUE deciles (q226/q192's
+    * percentile-broadcast binning, decile 1 = most active), not
+    * equal-count ntile ranks: ntile needs a total order of every user
+    * through one partition — the exact global-sort shape this repo
+    * bans — while value-threshold bins are map-side against a 9-value
+    * broadcast. Ties collapse into the same bin (an empty decile is
+    * possible), which is the honest read for targeting: users with
+    * identical activity are indistinguishable to the ranking.
+    *
+    * Shape for 100 TB: one corpus pass → per-user frame; a 9-value
+    * percentile broadcast; map-side binning; cumulative cells are an
+    * O(10)-row window. */
   def q299Qini(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
@@ -3294,8 +3303,13 @@ FROM w$RakeRounds f ORDER BY f.event_type, f.hod"""
       .withColumn("treated",
         when(pmod(MF.hash32(concat(lit("ab:"), col("user_id").cast("string"))),
           lit(2)) === 0, 1L).otherwise(0L))
-    val ranked = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("activity").desc, col("user_id"))))
+    val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val th = perUser.agg(percentile(col("activity"), qs).as("t"))
+    val ranked = perUser.crossJoin(broadcast(th))
+      .withColumn("decile",
+        lit(10) - (1 to 9).map(i =>
+          when(col("activity") > round(col("t")(i - 1), 6), 1)
+            .otherwise(0)).reduce(_ + _))
     val byDec = ranked.groupBy(col("decile"))
       .agg(sum(col("treated")).as("t"), sum(col("treated") * col("conv")).as("xt"),
         sum(lit(1L) - col("treated")).as("c"),
@@ -3321,8 +3335,15 @@ FROM w$RakeRounds f ORDER BY f.event_type, f.hod"""
          THEN 1 ELSE 0 END) AS conv,
     CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END AS treated
   FROM events GROUP BY user_id),
+th AS (
+  SELECT quantile_cont(activity, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+  FROM per_user),
 ranked AS (
-  SELECT *, ntile(10) OVER (ORDER BY activity DESC, user_id) AS decile FROM per_user),
+  SELECT treated, conv,
+    10 - (${(1 to 9).map(i =>
+        s"(CASE WHEN activity > round(t[$i], 6) THEN 1 ELSE 0 END)")
+        .mkString("\n      + ")}) AS decile
+  FROM per_user CROSS JOIN th),
 cum AS (
   SELECT decile,
     CAST(sum(sum(treated)) OVER w AS BIGINT) AS n_t,

@@ -401,7 +401,109 @@ object StreamBatchQueries {
       |FROM ranked WHERE rank <= $TrendTopK
       |ORDER BY ws, rank""".stripMargin
 
+  // --------------------------------------------------------------- q302
+  /** Session gap of the custom-state operator, in ms (the Scala
+    * handler's timeout arithmetic unit). */
+  val StateSessGapMs = 30L * 60 * 1000
+
+  /** Custom-state sessionization as a DRIVER row — the
+    * `flatMapGroupsWithState` operator class
+    * ([[graft.streaming.StreamingWindows.sessionize]]) under the oracle
+    * hash gate. r9 left this class ScalaTest-only (SURVEY §2.G): q111
+    * gates the ENGINE's `session_window`, this row gates the
+    * user-authored state machine — per-user fold, explicit
+    * EventTimeTimeout eviction, append emission of closed sessions.
+    *
+    * Emission contract the oracle replays: a session closes by GAP (a
+    * later event of the same user arrives >30 min after it — emitted
+    * whatever the watermark says) or by TIMEOUT (no later event, and
+    * the finalize batch's watermark passes last-event + gap:
+    * last_ms + gap_ms < wm_ms, Spark's strict
+    * `timeoutTimestamp < watermark` rule). Every non-final session of
+    * a user is gap-closed by construction; only the final one needs
+    * the timeout test.
+    *
+    * Determinism: availableNow drains the one source file in a single
+    * micro-batch (watermark 0 while it runs, so no timeout races), the
+    * handler folds each user's batch in (ts, value)-sorted order, and
+    * the session VALUE rides the 1e-6 grid as an integer-valued double
+    * (floor(value·1e6 + 0.5) stays exact in IEEE up to 2⁵³), so the
+    * left fold is exact and order-independent — the oracle sums
+    * BIGINTs.
+    *
+    * Scale shape: the production custom-state plan — ONE stateful
+    * shuffle on user_id; per-user state is the single live session
+    * (closed sessions are emitted and replaced, idle users evicted on
+    * timeout), so an unending 100 TB stream holds O(active users)
+    * state, never O(history). */
+  def q302StateSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val tsEventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q302_")
+    val outDir = tmp.resolve("out").toString
+    val cpDir = tmp.resolve("cp").toString
+    val src = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
+      .select(col("user_id").as("userId"),
+        unix_micros(tsEventTime).as("tsUs"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("double").as("value"))
+    val sp = spark
+    import sp.implicits._
+    val sess = graft.streaming.StreamingWindows.sessionize(
+      src.as[graft.streaming.StreamingWindows.Event],
+      gapMin = 30, watermarkDelay = "2 hours")
+    val out = sess.toDF().select(col("userId").as("user_id"),
+      col("startUs").as("session_start_us"),
+      col("endUs").as("session_end_us"),
+      col("nEvents").as("n_events"),
+      col("total").cast("long").as("value_micros"))
+    out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val res = spark.read.parquet(outDir)
+      .orderBy(col("user_id"), col("session_start_us"))
+      .localCheckpoint()
+    graft.Checkpoints.deferFree(res)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  val q302Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, vm,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, vm,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |wm AS (SELECT max(ts_us) // 1000 - $StreamDelayMs AS wms FROM ev),
+      |agg AS (
+      |  SELECT user_id, session_id, min(ts_us) AS session_start_us,
+      |    max(ts_us) AS session_end_us, count(*) AS n_events,
+      |    CAST(sum(vm) AS BIGINT) AS value_micros
+      |  FROM sessions GROUP BY user_id, session_id),
+      |lastsess AS (SELECT user_id, max(session_id) AS last_id FROM agg GROUP BY user_id)
+      |SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events, a.value_micros
+      |FROM agg a JOIN lastsess l ON a.user_id = l.user_id
+      |WHERE a.session_id < l.last_id
+      |   OR (a.session_end_us // 1000 + $StateSessGapMs < (SELECT wms FROM wm))
+      |ORDER BY a.user_id, a.session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_state_sessions" -> q302StateSessions,
     "q172_stream_trending" -> q172StreamTrending,
     "q142_stream_join" -> q142StreamJoin,
     "q132_stream_dedup" -> q132StreamDedup,
@@ -409,6 +511,7 @@ object StreamBatchQueries {
     "q98_stream_window" -> q98StreamWindow)
 
   val oracles: Map[String, String] = Map(
+    "q302_state_sessions" -> q302Sql,
     "q172_stream_trending" -> q172Sql,
     "q142_stream_join" -> q142Sql,
     "q132_stream_dedup" -> q132Sql,

@@ -156,19 +156,25 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), PcaDim, PcaRounds)
 
   val q205Sql: String = {
-    val v0 = s"round(1.0 / sqrt($PcaDim.0), 6)"
+    // the 1e-6 grid is floor(x*1e6 + 0.5) — the SAME double expression
+    // Spark compiles (operators.Spectral.g6), so grid decisions agree
+    // even within an ulp of a .5e-6 boundary (the r9 half-ulp cell;
+    // decimal `round` was only empirically identical)
+    def gsum(e: String): String =
+      s"CAST(sum(CAST(floor(($e) * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6"
+    val v0 = s"(floor((1.0 / sqrt($PcaDim.0)) * 1e6 + 0.5) / 1e6)"
     def round_(r: Int, prevV: String): String =
       s"""dots$r AS (
-         |  SELECT vec_id, CAST(sum(CAST(round(x * v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS dot
+         |  SELECT vec_id, ${gsum("x * v")} AS dot
          |  FROM exploded JOIN $prevV USING (j) GROUP BY vec_id),
          |y$r AS (
-         |  SELECT j, CAST(sum(CAST(round(x * dot, 6) AS DECIMAL(38,6))) AS DOUBLE) AS y
+         |  SELECT j, ${gsum("x * dot")} AS y
          |  FROM exploded JOIN dots$r USING (vec_id) GROUP BY j),
          |ln$r AS (
-         |  SELECT CAST(sum(CAST(round(v * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS lambda,
-         |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ynorm2
+         |  SELECT ${gsum("v * y")} AS lambda,
+         |    ${gsum("y * y")} AS ynorm2
          |  FROM y$r JOIN $prevV USING (j)),
-         |v$r AS (SELECT j, round(y / sqrt((SELECT ynorm2 FROM ln$r)), 6) AS v FROM y$r)""".stripMargin
+         |v$r AS (SELECT j, floor((y / sqrt((SELECT ynorm2 FROM ln$r))) * 1e6 + 0.5) / 1e6 AS v FROM y$r)""".stripMargin
     s"""WITH pos AS (
       |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS j
       |  FROM embeddings),
@@ -176,14 +182,14 @@ object PipelineQueries {
       |  SELECT vec_id, CAST(j - 1 AS INTEGER) AS j, CAST(embedding[j] AS DOUBLE) AS x
       |  FROM pos),
       |trace AS (
-      |  SELECT CAST(sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS trace
+      |  SELECT ${gsum("x * x")} AS trace
       |  FROM exploded),
       |v0 AS (SELECT j, $v0 AS v FROM (SELECT DISTINCT j FROM exploded)),
       |${round_(1, "v0")},
       |${round_(2, "v1")},
       |${round_(3, "v2")}
-      |SELECT r AS round, round(lambda, 6) AS lambda,
-      |  round(lambda / (SELECT trace FROM trace), 6) AS explained_share
+      |SELECT r AS round, lambda,
+      |  floor((lambda / (SELECT trace FROM trace)) * 1e6 + 0.5) / 1e6 AS explained_share
       |FROM (
       |  SELECT 1 AS r, lambda FROM ln1
       |  UNION ALL SELECT 2, lambda FROM ln2

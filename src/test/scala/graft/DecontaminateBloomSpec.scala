@@ -58,6 +58,38 @@ class DecontaminateBloomSpec extends GraftSpec {
     both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
   }
 
+  test("portable-Bloom q28 path: no false negatives, overlap superset of exact") {
+    // the r10 driver-gated path: positions are the universal-hash
+    // family, so the oracle replays decisions — but the Bloom
+    // guarantees themselves still hold and are pinned here
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getBoolean(4))).toMap
+    val exact = keyed(dedup.DedupQueries.q26Decontaminate(spark, sfDir))
+    val pb = keyed(dedup.DedupQueries.q28DecontaminateBloom(spark, sfDir))
+    assert(pb.keySet === exact.keySet)
+    exact.foreach { case (id, (nSh, nOv, contaminated)) =>
+      val (bSh, bOv, bCont) = pb(id)
+      assert(bSh === nSh, s"doc $id shingle count")
+      assert(bOv >= nOv, s"doc $id: portable-bloom overlap $bOv < exact $nOv")
+      if (contaminated) assert(bCont, s"doc $id: false negative")
+    }
+  }
+
+  test("pbloom kernel: every inserted element hits; blob is size-bounded") {
+    import graft.plans.BloomKernelMath._
+    val elems = Array.tabulate(5000)(i => (i.toLong * 2654435761L) & 0xffffffffL)
+    val blob = pbloomBuild(elems, numBits = 1L << 16, k = 5)
+    assert(blob.length === 16 + (1 << 16) / 8, "header + bitset words")
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(elems)
+    assert(pbloomHits(blob, arr) === elems.length.toLong,
+      "a Bloom filter never false-negatives its own elements")
+    // absent probes mostly miss at this load (5000*5/65536 bits)
+    val absent = Array.tabulate(5000)(i => 4294967295L - i)
+    val hits = pbloomHits(blob, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(absent))
+    assert(hits < 2500, s"fpp should be well under 0.5 at ~2.6 bits/elem, got $hits/5000")
+  }
+
   test("q52 JSON extraction parses every well-formed props payload") {
     val rows = StorageQueries.q52Json(spark, sfDir).collect()
     assert(rows.nonEmpty)

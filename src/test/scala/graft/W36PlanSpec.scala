@@ -89,4 +89,33 @@ class W36PlanSpec extends GraftSpec {
       assert(!plan.contains("CartesianProduct"), "no unbounded cartesian")
     }
   }
+
+  test("q299 has no global ntile; its windows run on the decile census only") {
+    // the r9 scale-killer was ntile(10) OVER (ORDER BY ...) on the
+    // per-user frame — a single-partition sort of every user. The r10
+    // shape bins map-side against a broadcast percentile row; the only
+    // window left must take an AGGREGATE (≤10-row census) as input.
+    val df = MlEvalQueries.q299Qini(spark, sfDir)
+    val plan = formatted(df)
+    assert("""(?i)\bntile\(""".r.findFirstIn(plan).isEmpty, "global ntile is banned")
+    assert(plan.contains("percentile"), "decile thresholds come from percentile")
+    val exec = df.queryExecution.executedPlan match {
+      // the AQE wrapper is a leaf to TreeNode.collect — unwrap it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "the cumulative-decile window still exists")
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.name == "decile") => a
+      }
+      assert(aggBelow.nonEmpty,
+        "every WindowExec input must be the decile census aggregate, not a per-row frame")
+    }
+  }
 }
