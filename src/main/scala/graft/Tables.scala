@@ -66,6 +66,56 @@ object Tables {
     * nothing and carries 4·|part| rows into whatever join consumes
     * it. The oracle replays the same derivation as a CTE
     * ([[graft.queries.PartsuppQueries.PsCte]]). */
+  /** DERIVED lineitem shipping columns (SURVEY §5 pattern, the
+    * partsupp precedent): the driver testdata ships no l_shipmode /
+    * l_shipinstruct / l_commitdate / l_receiptdate, which locked out
+    * TPC-H Q12's late-line census and Q19's full predicate. Each is an
+    * integer formula on (l_orderkey, l_linenumber) — deterministic,
+    * map-side over the scan, replayed verbatim by the oracle CTE
+    * ([[graft.queries.TpchQueries.ShipCte]]): mode/instruct index a
+    * literal array, commit = ship + (h mod 61 − 30) days (a promise
+    * within ±30 d of the ship date), receipt = ship + (h mod 30 + 1)
+    * days (delivery 1–30 d after shipping) — so "late" lines
+    * (commit < receipt) exist at every SF without skewing any base
+    * column. */
+  def lineitemShip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val modes = array(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK",
+      "MAIL", "FOB").map(lit): _*)
+    val instr = array(Seq("DELIVER IN PERSON", "COLLECT COD", "NONE",
+      "TAKE BACK RETURN").map(lit): _*)
+    lineitem(spark, sfDir)
+      .withColumn("l_shipmode", element_at(modes,
+        (pmod(col("l_orderkey") * 7L + col("l_linenumber"), lit(7L)) + 1L)
+          .cast("int")))
+      .withColumn("l_shipinstruct", element_at(instr,
+        (pmod(col("l_orderkey") + col("l_linenumber") * 3L, lit(4L)) + 1L)
+          .cast("int")))
+      .withColumn("l_commitdate", date_add(col("l_shipdate").cast("date"),
+        (pmod(col("l_orderkey") * 5L + col("l_linenumber") * 7L, lit(61L)) - 30L)
+          .cast("int")))
+      .withColumn("l_receiptdate", date_add(col("l_shipdate").cast("date"),
+        (pmod(col("l_orderkey") * 11L + col("l_linenumber") * 13L, lit(30L)) + 1L)
+          .cast("int")))
+  }
+
+  /** DERIVED p_container (same §5 pattern; Q19's container predicate
+    * needs it): TPC-H's 40-value domain reconstructed as
+    * size-class × container-type with independent integer hashes, so a
+    * brand×container×size bracket keeps the original's selectivity
+    * shape. Oracle twin: [[graft.queries.TpchQueries.ContainerCte]]. */
+  def partContainer(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sizes = array(Seq("SM", "MED", "LG", "JUMBO", "WRAP").map(lit): _*)
+    val kinds = array(Seq("CASE", "BOX", "BAG", "JAR", "PKG", "PACK",
+      "CAN", "DRUM").map(lit): _*)
+    part(spark, sfDir).withColumn("p_container",
+      concat(
+        element_at(sizes, (pmod(col("p_partkey") * 19L, lit(5L)) + 1L).cast("int")),
+        lit(" "),
+        element_at(kinds, (pmod(col("p_partkey") * 23L, lit(8L)) + 1L).cast("int"))))
+  }
+
   def partsupp(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val sc = supplier(spark, sfDir).agg(count(lit(1)).as("s"))

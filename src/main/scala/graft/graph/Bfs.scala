@@ -8,21 +8,38 @@ import org.apache.spark.sql.functions._
   * every page from the trusted set?), and the distance twin of
   * [[ConnectedComponents]]' min-label loop.
   *
-  * Scale shape (same audit as CC): each round is one
-  * groupBy(dst).min(dist+1) over the edge frame joined to the current
-  * distances — hash-partitioned equi-joins with partial aggregation,
-  * one checkpointed snapshot live at a time (Checkpoints.rotate).
-  * Early exit fires only at the fixed point, where further rounds are
-  * the identity — so a budget-K run is result-identical to exactly-K
-  * unrolled rounds whether or not the graph converged inside the
-  * budget (the q66 equality argument; the q69 oracle leans on it).
-  * Rounds needed = eccentricity of the seed set, so the budget is the
-  * caller's radius bound, not a correctness knob.
+  * Scale shape: FRONTIER-based (r10). In an unweighted graph the first
+  * round that reaches a vertex reaches it at its true distance (level-
+  * synchronous BFS invariant), so settled vertices never change — each
+  * round therefore expands only the vertices settled in the PREVIOUS
+  * round, not the whole settled set. Per round that is one equi-join
+  * of the cached edge frame to the (shrinking) frontier, a partial-
+  * agged min per dst, and a left-anti join against the settled union;
+  * total join work across the loop is O(edges), where the former
+  * full-state formulation re-pushed every settled vertex every round
+  * (O(rounds × edges)) and re-checkpointed the full O(n) state each
+  * round. State is append-only: each round checkpoints only its OWN
+  * fresh pairs, the settled set is a lazy union of those materialized
+  * segments, and the union is compacted every [[CompactEvery]]
+  * segments so the plan (and the anti-join's scan list) stays bounded
+  * on long-diameter graphs. Early exit fires only at the fixed point,
+  * where further rounds are the identity — so a budget-K run is
+  * result-identical to exactly-K unrolled rounds whether or not the
+  * graph converged inside the budget (the q66 equality argument; the
+  * q69 oracle leans on it). Rounds needed = eccentricity of the seed
+  * set, so the budget is the caller's radius bound, not a correctness
+  * knob.
   */
 object Bfs {
 
   /** Hop distance from the nearest seed, over `edges(src, dst)`
     * following edge direction, for every vertex in `vertices(id)`.
+    *
+    * PRECONDITION: `vertices` covers every edge endpoint (the
+    * [[WebGraph.vertices]] contract every caller uses) — the frontier
+    * loop propagates along `edges` unconditionally, so an endpoint
+    * missing from `vertices` would still conduct distance (it just
+    * would not appear in the output).
     *
     * @param seeds (id) — distance-0 sources (ids not in `vertices`
     *              are ignored by construction of the init join).
@@ -32,26 +49,57 @@ object Bfs {
           maxIters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val init = vertices.select(col("id"))
-      .join(seeds.select(col("id"), lit(0L).as("dist")), Seq("id"), "left")
-    var dist = init.localCheckpoint()
+    // one scan of the vertex frame, reused by the seed join and the
+    // final left join (a lazy `vertices` would be recomputed by each)
+    val verts = vertices.select(col("id")).localCheckpoint()
+    val seg0 = verts
+      .join(seeds.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    val segments = scala.collection.mutable.ListBuffer(seg0)
+    var settled = seg0 // lazy union of materialized segments
+    var frontier = seg0
     var rounds = 0
-    var converged = false
-    while (rounds < maxIters && !converged) {
-      val pulled = e.join(dist.filter(col("dist").isNotNull), col("src") === col("id"))
-        .groupBy(col("dst")).agg((min(col("dist")) + 1L).as("md"))
-      val next = dist.join(pulled, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("dist"), col("md")).as("dist"), // least skips nulls
-          (coalesce(col("md") < col("dist"), lit(false)) ||
-            (col("dist").isNull && col("md").isNotNull)).as("chg"))
-      dist = graft.Checkpoints.rotate(next, dist)
+    var done = false
+    while (rounds < maxIters && !done) {
+      val pulled = e.join(frontier, col("src") === col("id"))
+        .groupBy(col("dst")).agg((min(col("dist")) + 1L).as("dist"))
+        .select(col("dst").as("id"), col("dist"))
+      val fresh = pulled
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (fresh.isEmpty) {
+        graft.Checkpoints.free(fresh)
+        done = true
+      } else {
+        segments += fresh
+        settled = settled.unionByName(fresh)
+        frontier = fresh
+        // Long-diameter loops: an unbounded union grows the plan (and
+        // the per-round anti-join's scan list) linearly, turning total
+        // planning + scan cost quadratic in rounds. Compact every
+        // [[CompactEvery]] segments — one O(settled) copy per
+        // compaction keeps total copy cost at rounds/C full snapshots
+        // instead of the one-per-round the pre-r10 shape paid.
+        if (segments.size >= CompactEvery) {
+          val merged = settled.localCheckpoint()
+          segments.foreach { s =>
+            if (s ne fresh) graft.Checkpoints.free(s)
+            else graft.Checkpoints.deferFree(s) // still the live frontier
+          }
+          segments.clear()
+          segments += merged
+          settled = merged
+        }
+      }
       rounds += 1
-      // one limit-1 job on the already-materialized checkpoint
-      converged = dist.filter(col("chg")).isEmpty
     }
     e.unpersist()
-    graft.Checkpoints.deferFree(dist)
-    dist.select(col("id"), col("dist"))
+    segments.foreach(graft.Checkpoints.deferFree(_))
+    graft.Checkpoints.deferFree(verts)
+    verts.join(settled, Seq("id"), "left").select(col("id"), col("dist"))
   }
+
+  /** Segment-union compaction interval (see the loop comment). */
+  private val CompactEvery = 8
 }

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * agged min per (dst, seed), and a left-anti join against the pairs
   * already settled (first reach IS the min distance in an unweighted
   * graph, so settled pairs never change — the loop only APPENDS).
-  * One checkpointed snapshot live at a time (Checkpoints.rotate), and
-  * the early exit fires when a round settles nothing, which is the
+  * Because the state is append-only, each round checkpoints only its
+  * OWN fresh pairs and `reached` stays a lazy union of those
+  * materialized segments — re-checkpointing the full union every round
+  * (the former shape) copied the entire O(n·K) state once per round,
+  * turning total materialization cost from O(n·K) into O(rounds·n·K).
+  * The early exit fires when a round settles nothing, which is the
   * fixed point (the q66 equality argument: a budget-K run equals K
   * unrolled rounds).
   */
@@ -29,9 +33,11 @@ object MultiBfs {
   def run(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var reached = seeds.select(col("id"), col("id").as("seed"), lit(0L).as("dist"))
+    val seg0 = seeds.select(col("id"), col("id").as("seed"), lit(0L).as("dist"))
       .localCheckpoint()
-    var frontier = reached
+    val segments = scala.collection.mutable.ListBuffer(seg0)
+    var reached = seg0 // lazy union of materialized segments
+    var frontier = seg0
     var rounds = 0
     var done = false
     while (rounds < maxIters && !done) {
@@ -44,20 +50,35 @@ object MultiBfs {
       val fresh = pulled.join(reached.select(col("id"), col("seed")),
           Seq("id", "seed"), "left_anti")
         .localCheckpoint()
-      if (frontier ne reached) graft.Checkpoints.free(frontier)
       if (fresh.isEmpty) {
         graft.Checkpoints.free(fresh)
-        frontier = reached
         done = true
       } else {
-        reached = graft.Checkpoints.rotate(reached.unionByName(fresh), reached)
+        segments += fresh
+        reached = reached.unionByName(fresh)
         frontier = fresh
+        // Bound the union plan: past [[CompactEvery]] segments the
+        // per-round anti-join re-plans and re-scans a linearly growing
+        // scan list (quadratic in rounds) — compact to ONE snapshot,
+        // paying rounds/C full copies instead of one per round.
+        if (segments.size >= CompactEvery) {
+          val merged = reached.localCheckpoint()
+          segments.foreach { s =>
+            if (s ne fresh) graft.Checkpoints.free(s)
+            else graft.Checkpoints.deferFree(s) // still the live frontier
+          }
+          segments.clear()
+          segments += merged
+          reached = merged
+        }
       }
       rounds += 1
     }
-    if (frontier ne reached) graft.Checkpoints.free(frontier)
     e.unpersist()
-    graft.Checkpoints.deferFree(reached)
+    segments.foreach(graft.Checkpoints.deferFree(_))
     reached
   }
+
+  /** Segment-union compaction interval (see the loop comment). */
+  private val CompactEvery = 8
 }

@@ -602,7 +602,231 @@ object TpchQueries {
       |WHERE $brackets""".stripMargin
   }
 
+  /** The derived lineitem ship columns as a DuckDB CTE body — the
+    * oracle twin of [[graft.Tables.lineitemShip]] (same integer
+    * formulas; list literals are 1-indexed in DuckDB, matching
+    * element_at). Compose as `WITH $ShipCte ...`. */
+  val ShipCte: String =
+    """lineitem_ship AS (
+      |  SELECT l.*,
+      |    (['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'])[CAST((l_orderkey*7 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+      |    (['DELIVER IN PERSON','COLLECT COD','NONE','TAKE BACK RETURN'])[CAST((l_orderkey + l_linenumber*3) % 4 AS INT) + 1] AS l_shipinstruct,
+      |    CAST(l_shipdate AS DATE) + CAST((l_orderkey*5 + l_linenumber*7) % 61 - 30 AS INT) AS l_commitdate,
+      |    CAST(l_shipdate AS DATE) + CAST((l_orderkey*11 + l_linenumber*13) % 30 + 1 AS INT) AS l_receiptdate
+      |  FROM lineitem l)""".stripMargin
+
+  /** Oracle twin of [[graft.Tables.partContainer]]. */
+  val ContainerCte: String =
+    """part_container AS (
+      |  SELECT p.*,
+      |    (['SM','MED','LG','JUMBO','WRAP'])[CAST((p_partkey*19) % 5 AS INT) + 1] || ' ' ||
+      |    (['CASE','BOX','BAG','JAR','PKG','PACK','CAN','DRUM'])[CAST((p_partkey*23) % 8 AS INT) + 1] AS p_container
+      |  FROM part p)""".stripMargin
+
+  /** Q8 parameters: the ASIA market (shared with Q5), one of its five
+    * nations as the share subject, ECONOMY parts, a two-year window. */
+  val Q8Region = "ASIA"
+  val Q8Nation = "NATION_12"
+  val Q8Type = "ECONOMY"
+  val Q8From = "1996-01-01"
+  val Q8Until = "1998-01-01"
+
+  // --------------------------------------------------------------- q303
+  /** TPC-H Q8 — national market share: of all ECONOMY-part revenue
+    * sold into the ASIA market (market = the ordering CUSTOMER's
+    * region) in each order year, the fraction supplied by NATION_12's
+    * suppliers. The benchmark's "two nation roles" snowflake — nation
+    * joins the fact twice, once through customer (as a FILTER) and
+    * once through supplier (as a GROUP dimension) — which q13's
+    * region-share report does not exercise.
+    *
+    * Plan for 100 TB: the customer-side region restriction collapses
+    * to a ≤25-key nation allowlist riding the customer join;
+    * supplier⋈nation is a broadcast (SF·10k, the Q5 argument) so the
+    * supplier-nation tag never shuffles the fact; part is pruned to
+    * the type before its join; orders carries the pushed date window.
+    * Shuffles: lineitem⋈part, lineitem⋈orders, orders⋈customer — the
+    * three fact-sized equi-joins, nothing else; the share is a
+    * conditional sum inside ONE O(years) aggregate, never a self-join
+    * of two subtotals. */
+  def q303NationShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === Q8Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val custIn = Tables.customer(spark, sfDir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q8From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q8Until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(custIn, col("o_custkey") === col("c_custkey"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        rev.as("volume"))
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === Q8Type)
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === Q8Nation, col("volume"))
+          .otherwise(lit(0.0))).as("nrev"),
+        dsum(col("volume")).as("trev"))
+      .select(col("o_year"),
+        round(col("nrev").cast("double") / col("trev").cast("double"), 6)
+          .as("mkt_share"),
+        asD(col("nrev")).as("nation_rev"),
+        asD(col("trev")).as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  val q303Sql: String =
+    s"""SELECT year(o_orderdate) AS o_year,
+      |  round(CAST(sum(CASE WHEN n2.n_name = '$Q8Nation' THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6)) ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE)
+      |      / CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share,
+      |  round(CAST(sum(CASE WHEN n2.n_name = '$Q8Nation' THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6)) ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE), 6) AS nation_rev,
+      |  round(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_rev
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = '$Q8Type'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '$Q8Region'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '$Q8From' AND o_orderdate < TIMESTAMP '$Q8Until'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q12 parameters: two scrutinized ship modes, a two-year receipt
+    * window. */
+  val Q12Modes = Seq("MAIL", "SHIP")
+  val Q12From = "1996-01-01"
+  val Q12Until = "1998-01-01"
+
+  // --------------------------------------------------------------- q304
+  /** TPC-H Q12 — shipping-mode / order-priority census over LATE lines
+    * (commit date already missed when the goods arrived:
+    * l_commitdate < l_receiptdate), on the derived ship columns
+    * ([[graft.Tables.lineitemShip]], §5 fixture pattern — the r9
+    * verdict's last fixture-blocked TPC-H shape class). Tests the
+    * date-sandwich predicate (ship < commit < receipt, receipt in
+    * window) plus a conditional two-way census off a fact⋈fact join.
+    *
+    * Plan for 100 TB: every ship-column predicate is a map-side
+    * expression over the lineitem scan (the derivation is arithmetic
+    * on scan columns — nothing joins before the filter); the ~2/7 ×
+    * late × window survivor set joins orders on the orderkey, and the
+    * priority split is a conditional sum in ONE O(modes) aggregate. */
+  def q304ShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitemShip(spark, sfDir)
+      .filter(col("l_shipmode").isin(Q12Modes: _*) &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        col("l_shipdate").cast("date") < col("l_commitdate") &&
+        col("l_receiptdate") >= lit(Q12From).cast("date") &&
+        col("l_receiptdate") < lit(Q12Until).cast("date"))
+      .select(col("l_orderkey"), col("l_shipmode"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+  }
+
+  val q304Sql: String =
+    s"""WITH $ShipCte
+      |SELECT l_shipmode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem_ship JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipmode IN (${Q12Modes.map(m => s"'$m'").mkString(",")})
+      |  AND l_commitdate < l_receiptdate
+      |  AND CAST(l_shipdate AS DATE) < l_commitdate
+      |  AND l_receiptdate >= DATE '$Q12From' AND l_receiptdate < DATE '$Q12Until'
+      |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin
+
+  /** Q19 full brackets: (brand, container size-class, container kinds,
+    * qty lo..hi, size lo..hi). Bands are wider than TPC-H's (and
+    * Brand#24 stands in for the fixture-absent Brand#34) so sf0.01's
+    * 2000 parts keep every bracket populated. */
+  val Q19Full: Seq[(String, String, Seq[String], Double, Double, Int, Int)] = Seq(
+    ("Brand#12", "SM", Seq("CASE", "BOX", "PACK", "PKG"), 1.0, 15.0, 1, 10),
+    ("Brand#23", "MED", Seq("BAG", "BOX", "PKG", "PACK"), 10.0, 25.0, 1, 20),
+    ("Brand#24", "LG", Seq("CASE", "BOX", "PACK", "PKG"), 20.0, 35.0, 1, 30))
+
+  // --------------------------------------------------------------- q305
+  /** TPC-H Q19 — discounted revenue, the FULL predicate: q233 models
+    * the bracket-scan shape on native columns; this is the complete
+    * original over the derived p_container
+    * ([[graft.Tables.partContainer]]) and ship columns — three
+    * brand × container × quantity × size conjunctive brackets OR'd,
+    * under a common shipmode/shipinstruct restriction, per-brand
+    * census.
+    *
+    * Plan for 100 TB: the common restriction (mode ∈ {AIR, REG AIR},
+    * instruct = DELIVER IN PERSON, qty within the union band) is
+    * map-side over the lineitem scan BEFORE the join — ~7% of the fact
+    * survives; the part side prunes to OR(brand ∧ size ∧ container)
+    * (three brands — broadcastable at most SFs, AQE's call); the
+    * residual cross-side bracket predicate evaluates on the join
+    * output; ONE O(brands) aggregate. */
+  def q305ContainerRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val bracket = Q19Full.map { case (b, sz, kinds, qlo, qhi, slo, shi) =>
+      col("p_brand") === b &&
+        col("p_container").isin(kinds.map(k => s"$sz $k"): _*) &&
+        col("l_quantity") >= qlo && col("l_quantity") <= qhi &&
+        col("p_size") >= slo && col("p_size") <= shi
+    }.reduce(_ || _)
+    val qtyLo = Q19Full.map(_._4).min
+    val qtyHi = Q19Full.map(_._5).max
+    Tables.lineitemShip(spark, sfDir)
+      .filter(col("l_shipmode").isin("AIR", "REG AIR") &&
+        col("l_shipinstruct") === "DELIVER IN PERSON" &&
+        col("l_quantity") >= qtyLo && col("l_quantity") <= qtyHi)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("line_rev"))
+      .join(Tables.partContainer(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_container")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .groupBy(col("p_brand"))
+      .agg(asD(dsum(col("line_rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q305Sql: String = {
+    val brackets = Q19Full.map { case (b, sz, kinds, qlo, qhi, slo, shi) =>
+      s"(p_brand = '$b' AND p_container IN (${kinds.map(k => s"'$sz $k'").mkString(",")})" +
+        s" AND l_quantity >= $qlo AND l_quantity <= $qhi" +
+        s" AND p_size BETWEEN $slo AND $shi)"
+    }.mkString("\n    OR ")
+    s"""WITH $ShipCte,
+      |$ContainerCte
+      |SELECT p_brand,
+      |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem_ship JOIN part_container ON p_partkey = l_partkey
+      |WHERE l_shipmode IN ('AIR','REG AIR') AND l_shipinstruct = 'DELIVER IN PERSON'
+      |  AND ($brackets)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_nation_share" -> q303NationShare,
+    "q304_shipmode_priority" -> q304ShipmodePriority,
+    "q305_container_revenue" -> q305ContainerRevenue,
     "q233_bracket_scan" -> q233BracketScan,
     "q195_local_volume" -> q195LocalVolume,
     "q196_returned_items" -> q196ReturnedItems,
@@ -617,6 +841,9 @@ object TpchQueries {
     "q222_small_qty" -> q222SmallQty)
 
   val oracles: Map[String, String] = Map(
+    "q303_nation_share" -> q303Sql,
+    "q304_shipmode_priority" -> q304Sql,
+    "q305_container_revenue" -> q305Sql,
     "q233_bracket_scan" -> q233Sql,
     "q195_local_volume" -> q195Sql,
     "q196_returned_items" -> q196Sql,

@@ -76,8 +76,11 @@ class W57OpsSpec extends GraftSpec {
         .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val cocite = pairCounts(_._1, _._2)
     val couple = pairCounts(_._2, _._1)
-    val expect = cocite.toSeq
-      .map { case ((a, b), c) => (a, b, c, couple.getOrElse((a, b), 0L)) }
+    // FULL OUTER merge (r10): coupled-but-never-co-cited pairs appear
+    // with cocitation = 0 instead of being silently absent
+    val expect = (cocite.keySet ++ couple.keySet).toSeq
+      .map { case (a, b) => (a, b, cocite.getOrElse((a, b), 0L),
+        couple.getOrElse((a, b), 0L)) }
       .sortBy { case (a, b, c, _) => (-c, a, b) }
       .take(GraphQueries.CoCiteTopK)
     assert(out.length == expect.length)
@@ -107,10 +110,12 @@ class W57OpsSpec extends GraftSpec {
       }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val cc = cappedCounts(hedges.filter(e => keepS(e._1)), _._1, _._2)
     val cp = cappedCounts(hedges.filter(e => keepD(e._2)), _._2, _._1)
-    assert(cappedRows.length == cc.size, "capped pair set size")
+    assert(cappedRows.length == (cc.keySet ++ cp.keySet).size,
+      "capped pair set size (full outer)")
     cappedRows.foreach { r =>
       val k = (r.getString(0), r.getString(1))
-      assert(cc(k) == r.getLong(2) && cp.getOrElse(k, 0L) == r.getLong(3))
+      assert(cc.getOrElse(k, 0L) == r.getLong(2) &&
+        cp.getOrElse(k, 0L) == r.getLong(3))
     }
     assert(cc.size < cocite.size,
       "the cap must actually drop some hub wedges on this fixture")

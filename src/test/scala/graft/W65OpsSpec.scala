@@ -119,7 +119,8 @@ class W65OpsSpec extends GraftSpec {
   }
 
   test("q299: curve replays an independent-md5 cumulative recompute; null stays flat") {
-    val out = MlEvalQueries.q299Qini(spark, sfDir).collect().sortBy(_.getInt(0))
+    val out = MlEvalQueries.q299Qini(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
     val users = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("activity"),
@@ -127,21 +128,31 @@ class W65OpsSpec extends GraftSpec {
           expr("ts div 86400000000000") === MlEvalQueries.AbLastDay, 1L)
           .otherwise(0L)).as("conv"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(r => (-r._2, r._1))
-    val n = users.length
-    // ntile(10): first (n % 10) buckets get ceil(n/10)
-    val base = n / 10; val extra = n % 10
-    val bounds = (1 to 10).scanLeft(0) { (acc, d) =>
-      acc + base + (if (d <= extra) 1 else 0) }.tail
-    assert(out.length == 10)
-    out.zip(bounds).foreach { case (r, hi) =>
-      val cum = users.take(hi)
-      val t = cum.filter(u => arm(u._1))
-      val c = cum.filterNot(u => arm(u._1))
-      assert(r.getLong(1) == t.length && r.getLong(3) == c.length, s"decile sizes")
-      assert(r.getLong(2) == t.map(_._3).sum && r.getLong(4) == c.map(_._3).sum)
-      val qini = t.map(_._3).sum - c.map(_._3).sum *
-        (t.length.toDouble / c.length)
+    // FROZEN value deciles (r10): exact interpolated percentiles of
+    // activity, 6dp-gridded; decile = 10 − #{thresholds below activity}
+    val acts = users.map(_._2.toDouble).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (acts.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      val v = if (lo + 1 < acts.length) acts(lo) + (acts(lo + 1) - acts(lo)) * frac
+              else acts(lo)
+      math.floor(v * 1e6 + 0.5) / 1e6
+    }
+    val ths = (1 to 9).map(i => pct(i / 10.0))
+    def decile(a: Long): Int = 10 - ths.count(a.toDouble > _)
+    val byDec = users.groupBy(u => decile(u._2))
+    val present = byDec.keys.toSeq.sorted
+    assert(out.map(_.getInt(0)).toSeq == present, "decile key set")
+    var nT = 0L; var xT = 0L; var nC = 0L; var xC = 0L
+    out.foreach { r =>
+      val us = byDec(r.getInt(0))
+      val t = us.filter(u => arm(u._1))
+      val c = us.filterNot(u => arm(u._1))
+      nT += t.length; xT += t.map(_._3).sum
+      nC += c.length; xC += c.map(_._3).sum
+      assert(r.getLong(1) == nT && r.getLong(3) == nC, s"decile sizes")
+      assert(r.getLong(2) == xT && r.getLong(4) == xC)
+      val qini = xT - xC * (nT.toDouble / nC)
       assert(closeRel(r.getDouble(5), qini, 1e-5), s"qini@${r.getInt(0)}")
     }
     // null fixture: final cumulative uplift is a small fraction of conversions
