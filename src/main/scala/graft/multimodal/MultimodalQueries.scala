@@ -775,7 +775,97 @@ SELECT da, db, hamming, (hamming = 0) AS is_exact
 FROM verified WHERE hamming <= $PhashHammingMax ORDER BY da, db"""
   }
 
+  /** q306 image dims: w ∈ 4..16, h ∈ 4..10 (≤160 px per asset). */
+  val PngWMod = 13
+  val PngHMod = 7
+
+  // --------------------------------------------------------------- q306
+  /** REAL image codec round-trip — the decode stage q60 honestly stubs,
+    * closed for PNG with the JDK's own `javax.imageio` (zero new
+    * dependencies): each document becomes a w×h RGB image whose pixels
+    * are closed-form integer formulas of (doc_id, x, y), ENCODED to a
+    * real PNG byte stream, carried as a BinaryType column, then DECODED
+    * back by a second compiled expression into (width, height, ΣR, ΣG,
+    * ΣB). The engine therefore exercises a genuine codec both ways —
+    * one wrong byte in the chunk layout and the decode (and the hash
+    * gate) breaks — while the DuckDB oracle replays the expected sums
+    * purely arithmetically, never touching a codec
+    * ([[graft.plans.MediaMath]]).
+    *
+    * Scale shape: both codec stages are per-row compiled expressions —
+    * map-only over the documents scan, no shuffle, no driver; exactly
+    * the contract a production decode stage has (a JPEG/JNI/mapInPandas
+    * decoder slots into the same seam with the same schema). */
+  def q306ImageRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(4) + pmod(col("doc_id"), lit(PngWMod))).cast("int").as("w"),
+        (lit(4) + pmod(col("doc_id"), lit(PngHMod))).cast("int").as("h"))
+    dims
+      .withColumn("png", expr("graft_png_encode(doc_id, w, h)"))
+      .withColumn("s", expr("graft_png_stats(png)"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"),
+        round(col("s.sum_r").cast("double") / (col("w") * col("h")), 6)
+          .as("mean_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q306Sql: String =
+    s"""WITH d AS (
+  SELECT doc_id, CAST(4 + doc_id % $PngWMod AS INT) AS w,
+         CAST(4 + doc_id % $PngHMod AS INT) AS h
+  FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT))) AS x FROM d),
+xy AS (SELECT doc_id, w, h, x, unnest(range(0, CAST(h AS BIGINT))) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h,
+    CAST(sum((doc_id*31 + x*7 + y*3) % 256) AS BIGINT) AS sum_r,
+    CAST(sum((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS sum_g,
+    CAST(sum((doc_id*13 + x*19 + y*23) % 256) AS BIGINT) AS sum_b
+  FROM xy GROUP BY 1, 2, 3)
+SELECT doc_id, w AS width, h AS height, sum_r, sum_g, sum_b,
+  round(CAST(sum_r AS DOUBLE) / (w * h), 6) AS mean_r
+FROM px ORDER BY doc_id"""
+
+  /** q307 sample counts: n ∈ 100..499 per asset. */
+  val WavNBase = 100
+  val WavNMod = 400
+
+  // --------------------------------------------------------------- q307
+  /** REAL audio codec round-trip — PCM WAV via the JDK's
+    * `javax.sound.sampled` (q306's audio sibling): n deterministic
+    * signed 16-bit samples ((doc_id·7 + i·13) mod 65536 − 32768) are
+    * ENCODED through the real RIFF/WAVE writer, carried as binary,
+    * then DECODED back by the real parser into (n_samples, Σs, Σ|s|) —
+    * a byte-order or header error on either side fails the hash gate.
+    * The oracle replays the sample formula arithmetically. Same
+    * map-only per-row scale shape as q306. */
+  def q307AudioRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(WavNBase) + pmod(col("doc_id"), lit(WavNMod))).cast("int").as("n"))
+      .withColumn("wav", expr("graft_wav_encode(doc_id, n)"))
+      .withColumn("s", expr("graft_wav_stats(wav)"))
+      .select(col("doc_id"), col("s.n_samples").as("n_samples"),
+        col("s.sum_s").as("sum_s"), col("s.sum_abs").as("sum_abs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q307Sql: String =
+    s"""WITH d AS (
+  SELECT doc_id, CAST($WavNBase + doc_id % $WavNMod AS INT) AS n FROM documents),
+si AS (SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS i FROM d)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+  CAST(sum((doc_id*7 + i*13) % 65536 - 32768) AS BIGINT) AS sum_s,
+  CAST(sum(abs((doc_id*7 + i*13) % 65536 - 32768)) AS BIGINT) AS sum_abs
+FROM si GROUP BY 1, 2 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_image_roundtrip" -> q306ImageRoundtrip,
+    "q307_audio_roundtrip" -> q307AudioRoundtrip,
     "q288_phash_near" -> q288PhashNear,
     "q175_shot_chunks" -> q175ShotChunks,
     "q165_shots" -> q165Shots,
@@ -787,6 +877,8 @@ FROM verified WHERE hamming <= $PhashHammingMax ORDER BY da, db"""
     "q64_cdc_chunks" -> q64CdcChunks)
 
   val oracles: Map[String, String] = Map(
+    "q306_image_roundtrip" -> q306Sql,
+    "q307_audio_roundtrip" -> q307Sql,
     "q288_phash_near" -> q288Sql,
     "q175_shot_chunks" -> q175Sql,
     "q165_shots" -> q165Sql,

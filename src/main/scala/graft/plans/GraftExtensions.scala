@@ -122,6 +122,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pbloom_hits"),
       new ExpressionInfo(classOf[PBloomHits].getName, "graft_pbloom_hits"),
       (args: Seq[Expression]) => PBloomHits(args(0), Cast(args(1), longArr))))
+    // Real JDK media codecs (q306/q307): encode builds the asset from
+    // closed-form integer formulas, decode recovers them — both ends
+    // per-row compiled expressions (see plans/MediaCodec.scala).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_png_encode"),
+      new ExpressionInfo(classOf[PngEncodeExpr].getName, "graft_png_encode"),
+      (args: Seq[Expression]) => PngEncodeExpr(Cast(args(0), LongType),
+        Cast(args(1), IntegerType), Cast(args(2), IntegerType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_png_stats"),
+      new ExpressionInfo(classOf[PngStatsExpr].getName, "graft_png_stats"),
+      (args: Seq[Expression]) => PngStatsExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wav_encode"),
+      new ExpressionInfo(classOf[WavEncodeExpr].getName, "graft_wav_encode"),
+      (args: Seq[Expression]) => WavEncodeExpr(Cast(args(0), LongType),
+        Cast(args(1), IntegerType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_wav_stats"),
+      new ExpressionInfo(classOf[WavStatsExpr].getName, "graft_wav_stats"),
+      (args: Seq[Expression]) => WavStatsExpr(args.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
