@@ -40,7 +40,7 @@ import org.apache.spark.sql.SparkSession
   *     set is CAPPED (worst offenders first, default 6) so a noisy host
   *     cannot inflate the pass without bound.
   *
-  * Phases 2–3 are time-boxed: SPARK_GRAFT_BUDGET_S (default 1500) is the
+  * Phases 2–3 are time-boxed: SPARK_GRAFT_BUDGET_S (default 1200) is the
   * wall budget for the WHOLE run measured from main() entry; once spent,
   * remaining cold/isolated measurements are skipped (counted in
   * `n_cold_skipped`) and the artifact still lands complete — a partial
@@ -89,7 +89,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val coldMode = sys.env.getOrElse("SPARK_GRAFT_COLD", "auto") // auto|all|0|1
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1500").toDouble
+    // default sized ~20% under the r9 harness evidence (~1500 s before
+    // rc 124) so sbt/JVM startup and a loaded host fit inside the cap
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1200").toDouble
     val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "6").toInt
     val doMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "0") == "1"
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -10,13 +10,16 @@ import graft.oracle.Sql
   * `binary` payloads with a typed metadata struct, and run a decode /
   * feature-extract stage over them.
   *
-  * The real decode (image/audio libs) is STUBBED — `stubDecode` below
-  * derives deterministic pseudo-features from the payload bytes. The
-  * Spark-side plumbing is real: a BinaryType column, a metadata struct
-  * column, per-format partitioning, and a per-row feature stage that
-  * would become a Pandas UDF / mapInPandas batch stage in a Python
-  * deployment (or an mapPartitions JNI decoder in Scala). Swapping
-  * `stubDecode` for a real decoder changes no schema and no plan shape.
+  * The decode in q60 (whose payloads are text bytes, not real
+  * containers) is STUBBED — `stubDecode` below derives deterministic
+  * pseudo-features from the payload bytes. The Spark-side plumbing is
+  * real: a BinaryType column, a metadata struct column, per-format
+  * partitioning, and a per-row feature stage that would become a
+  * Pandas UDF / mapInPandas batch stage in a Python deployment (or a
+  * JNI decoder in Scala). Swapping `stubDecode` for a real decoder
+  * changes no schema and no plan shape — q306/q307 PROVE that seam
+  * with the JDK's real PNG and WAV codecs on genuine container bytes
+  * ([[graft.plans.MediaMath]]), hash-gated end to end.
   */
 object MultimodalQueries {
 
