@@ -1655,7 +1655,93 @@ FROM g$LkEmRounds ORDER BY g1 DESC, g2 DESC, g3 DESC"""
     sb.toString
   }
 
+  /** q308 knobs: accept threshold on the 6-dp grid, length-band block. */
+  val JwThreshold = 0.8
+  val JwLenBand = 1
+
+  // --------------------------------------------------------------- q308
+  /** Fuzzy dictionary lookup via Jaro–Winkler — the OOV-repair shape a
+    * text pipeline runs after tokenization (map noisy/typo'd tokens
+    * onto the known vocabulary): each document contributes one
+    * deterministically CORRUPTED token (position doc_id mod len
+    * substituted with letter (doc_id·7) mod 26 — the q288/q44
+    * deterministic-twin convention, since the synthetic corpus has no
+    * real typos), and the repair scores it against the frequent-token
+    * vocabulary with the compiled [[graft.plans.JaroWinklerExpr]]
+    * kernel, keeping the best match at jw ≥ [[JwThreshold]]. The
+    * oracle's scorer is DuckDB's NATIVE `jaro_winkler_similarity` —
+    * two independent implementations of the textbook algorithm must
+    * agree on every 6-dp-gridded score for the hash gate to pass
+    * (q54's edit-distance discipline, upgraded from a re-derivation to
+    * a native-function twin).
+    *
+    * Scale shape: the vocabulary census partial-aggs the corpus; the
+    * vocab frame is BROADCAST (a dictionary is bounded — Heaps' law,
+    * q247 — while the corpus is not) so the noisy→vocab candidate join
+    * is map-side, pre-filtered by the ±[[JwLenBand]] length band
+    * (jw ≥ 0.8 implies near-equal lengths); best-match is a per-doc
+    * window over ≤|vocab| candidates. No corpus-sized exchange
+    * anywhere: the only shuffles are the census and the final sort. */
+  def q308JwLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0)
+    val base = toks
+      .select(col("doc_id"),
+        element_at(col("ts"), (pmod(col("doc_id"), size(col("ts"))) + 1).cast("int"))
+          .as("tok"))
+      .filter(length(col("tok")) >= 4)
+    val noisy = base.select(col("doc_id"),
+      expr("concat(substr(tok, 1, cast(doc_id % length(tok) as int)), " +
+        "chr(97 + cast((doc_id * 7) % 26 as int)), " +
+        "substr(tok, cast(doc_id % length(tok) as int) + 2))").as("noisy"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("vtok"))
+      .filter(length(col("vtok")) >= 4)
+      .groupBy(col("vtok")).agg(count(lit(1)).as("match_n"))
+    val cand = noisy.join(broadcast(vocab),
+        abs(length(col("noisy")) - length(col("vtok"))) <= JwLenBand)
+      .withColumn("jw", round(expr("graft_jaro_winkler(noisy, vtok)"), 6))
+      .filter(col("jw") >= JwThreshold)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jw").desc, col("vtok"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("noisy"), col("vtok").as("match_tok"),
+        col("jw"), col("match_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q308Sql: String =
+    s"""WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+pick AS (
+  SELECT doc_id, ts[CAST(doc_id % len(ts) AS INT) + 1] AS tok
+  FROM toks WHERE len(ts) > 0),
+base AS (SELECT doc_id, tok FROM pick WHERE length(tok) >= 4),
+noisy AS (
+  SELECT doc_id,
+    substr(tok, 1, CAST(doc_id % length(tok) AS INT)) ||
+    chr(97 + CAST((doc_id * 7) % 26 AS INT)) ||
+    substr(tok, CAST(doc_id % length(tok) AS INT) + 2) AS noisy
+  FROM base),
+vocab AS (
+  SELECT tok AS vtok, count(*) AS match_n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 4 GROUP BY 1),
+cand AS (
+  SELECT n.doc_id, n.noisy, v.vtok, v.match_n,
+    round(jaro_winkler_similarity(n.noisy, v.vtok), 6) AS jw
+  FROM noisy n JOIN vocab v ON abs(length(n.noisy) - length(v.vtok)) <= $JwLenBand),
+hits AS (SELECT * FROM cand WHERE jw >= $JwThreshold),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jw DESC, vtok) AS rk
+  FROM hits)
+SELECT doc_id, noisy, vtok AS match_tok, jw, CAST(match_n AS BIGINT) AS match_n
+FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_jw_linkage" -> q308JwLinkage,
     "q298_linkage_em" -> q298LinkageEm,
     "q285_tfidf_cosine" -> q285TfidfCosine,
     "q242_shared_ngrams" -> q242SharedNgrams,
@@ -1679,6 +1765,7 @@ FROM g$LkEmRounds ORDER BY g1 DESC, g2 DESC, g3 DESC"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q308_jw_linkage" -> q308Sql,
     "q298_linkage_em" -> q298Sql,
     "q285_tfidf_cosine" -> q285Sql,
     "q242_shared_ngrams" -> q242Sql,

@@ -122,6 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pbloom_hits"),
       new ExpressionInfo(classOf[PBloomHits].getName, "graft_pbloom_hits"),
       (args: Seq[Expression]) => PBloomHits(args(0), Cast(args(1), longArr))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpr(Cast(args(0), StringType),
+        Cast(args(1), StringType))))
     // Real JDK media codecs (q306/q307): encode builds the asset from
     // closed-form integer formulas, decode recovers them — both ends
     // per-row compiled expressions (see plans/MediaCodec.scala).

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.DedupQueries
+import graft.plans.JwMath
+
+/** Wave-69: Jaro–Winkler fuzzy dictionary lookup (q308). The kernel is
+  * pinned two ways: the published standard vectors, and a
+  * formulation-independent recompute (matched-substring construction
+  * instead of flag-array index walking) over every candidate pair the
+  * fixture generates.
+  */
+class W69JwSpec extends GraftSpec {
+
+  /** Independent JW: build the two matched-character STRINGS, count
+    * positionwise mismatches — a different mechanism from the kernel's
+    * boolean-flag walk. */
+  private def jwRef(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    val w = math.max(math.max(a.length, b.length) / 2 - 1, 0)
+    val usedB = Array.fill(b.length)(false)
+    val sbA = new StringBuilder
+    for (i <- a.indices) {
+      val hit = (math.max(0, i - w) to math.min(b.length - 1, i + w))
+        .find(j => !usedB(j) && a(i) == b(j))
+      hit.foreach { j => usedB(j) = true; sbA += a(i) }
+    }
+    val sbB = new StringBuilder
+    for (j <- b.indices) if (usedB(j)) sbB += b(j)
+    val m = sbA.length
+    if (m == 0) return 0.0
+    val mis = sbA.toString.zip(sbB.toString).count { case (x, y) => x != y }
+    val j = (m.toDouble / a.length + m.toDouble / b.length +
+      (m - mis / 2) / m.toDouble) / 3.0
+    if (j > 0.7) {
+      val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+      j + l * 0.1 * (1.0 - j)
+    } else j
+  }
+
+  test("JW kernel reproduces the published standard vectors") {
+    def jw(a: String, b: String): Double = JwMath.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962963) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("a", "b") == 0.0)
+    // boost suppressed at jaro <= 0.7 (the DuckDB-probed threshold)
+    assert(math.abs(jw("abcdefgh", "abzyxwvu") - 0.5) < 1e-12)
+  }
+
+  test("kernel equals the formulation-independent recompute on every fixture pair") {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("v"))
+      .filter(length(col("v")) >= 4).distinct().collect().map(_.getString(0))
+    val noisy = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        element_at(col("ts"), (pmod(col("doc_id"), size(col("ts"))) + 1).cast("int"))
+          .as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .collect().map { r =>
+        val id = r.getLong(0); val t = r.getString(1)
+        val p = (id % t.length).toInt
+        t.substring(0, p) + (97 + (id * 7) % 26).toChar + t.substring(p + 1)
+      }
+    assert(vocab.nonEmpty && noisy.nonEmpty)
+    var pairs = 0
+    for (n <- noisy; v <- vocab if math.abs(n.length - v.length) <= DedupQueries.JwLenBand) {
+      val k = JwMath.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(n),
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      assert(k == jwRef(n, v), s"'$n' vs '$v'")
+      pairs += 1
+    }
+    assert(pairs > 100, s"only $pairs candidate pairs — blocking too tight")
+  }
+
+  test("q308: every emitted repair is its doc's argmax over the candidate set") {
+    val out = DedupQueries.q308JwLinkage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("v"))
+      .filter(length(col("v")) >= 4).distinct().collect().map(_.getString(0))
+    out.foreach { r =>
+      val noisy = r.getString(1)
+      val jw = r.getDouble(3)
+      assert(jw >= DedupQueries.JwThreshold)
+      val best = vocab
+        .filter(v => math.abs(noisy.length - v.length) <= DedupQueries.JwLenBand)
+        .map(v => (math.floor(jwRef(noisy, v) * 1e6 + 0.5) / 1e6, v))
+        .filter(_._1 >= DedupQueries.JwThreshold)
+        .sortBy { case (s, v) => (-s, v) }
+      assert(best.nonEmpty && best.head._2 == r.getString(2) &&
+        math.abs(best.head._1 - jw) < 1e-9,
+        s"doc ${r.getLong(0)}: engine (${r.getString(2)}, $jw) vs ${best.headOption}")
+    }
+  }
+}
