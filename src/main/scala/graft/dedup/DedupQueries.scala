@@ -1740,7 +1740,100 @@ ranked AS (
 SELECT doc_id, noisy, vtok AS match_tok, jw, CAST(match_n AS BIGINT) AS match_n
 FROM ranked WHERE rk = 1 ORDER BY doc_id"""
 
+  /** q309 accept threshold (edit operations). */
+  val DlMax = 2
+
+  // --------------------------------------------------------------- q309
+  /** Transposition-aware typo repair via FULL Damerau–Levenshtein —
+    * q308's integer-exact sibling, and the measured argument for why a
+    * dedup/linkage stack needs DL next to plain Levenshtein: half the
+    * corrupted tokens here are adjacent-swap typos ("teh" class, the
+    * commonest human error), which DL prices at 1 while Levenshtein
+    * says 2 — the emitted `transposed` flag (dl < lev) is the audit.
+    * Corruption alternates deterministically by doc parity (even →
+    * adjacent swap at position doc_id mod (len−1); odd → q308's
+    * substitution), the q288/q44 twin convention. Scoring is the
+    * compiled [[graft.plans.DamerauExpr]] kernel (Lowrance–Wagner,
+    * unrestricted — "CA"→"ABC" = 2, not OSA's 3) against DuckDB's
+    * NATIVE `damerau_levenshtein`; distances are integers, so the gate
+    * has no float grid at all.
+    *
+    * Scale shape: q308's exactly — census partial-agg, BROADCAST
+    * vocabulary, ±1 length-band prefilter, per-doc argmin window on
+    * ≤|vocab| candidates; only the census and final sort shuffle. */
+  def q309DlLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0)
+    val base = toks
+      .select(col("doc_id"),
+        element_at(col("ts"), (pmod(col("doc_id"), size(col("ts"))) + 1).cast("int"))
+          .as("tok"))
+      .filter(length(col("tok")) >= 4)
+    val noisy = base.select(col("doc_id"), expr(
+      """CASE WHEN doc_id % 2 = 0 THEN
+        |  concat(substr(tok, 1, cast(doc_id % (length(tok)-1) as int)),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 2, 1),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 1, 1),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 3))
+        |ELSE
+        |  concat(substr(tok, 1, cast(doc_id % length(tok) as int)),
+        |         chr(97 + cast((doc_id * 7) % 26 as int)),
+        |         substr(tok, cast(doc_id % length(tok) as int) + 2))
+        |END""".stripMargin).as("noisy"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("vtok"))
+      .filter(length(col("vtok")) >= 4)
+      .groupBy(col("vtok")).agg(count(lit(1)).as("match_n"))
+    val cand = noisy.join(broadcast(vocab),
+        abs(length(col("noisy")) - length(col("vtok"))) <= 1)
+      .withColumn("dl", expr("graft_damerau(noisy, vtok)"))
+      .withColumn("lev", levenshtein(col("noisy"), col("vtok")).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dl"), col("vtok"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("dl") <= DlMax)
+      .select(col("doc_id"), col("noisy"), col("vtok").as("match_tok"),
+        col("dl"), col("lev"), (col("dl") < col("lev")).as("transposed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q309Sql: String =
+    s"""WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+pick AS (
+  SELECT doc_id, ts[CAST(doc_id % len(ts) AS INT) + 1] AS tok
+  FROM toks WHERE len(ts) > 0),
+base AS (SELECT doc_id, tok FROM pick WHERE length(tok) >= 4),
+noisy AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      substr(tok, 1, CAST(doc_id % (length(tok)-1) AS INT)) ||
+      substr(tok, CAST(doc_id % (length(tok)-1) AS INT) + 2, 1) ||
+      substr(tok, CAST(doc_id % (length(tok)-1) AS INT) + 1, 1) ||
+      substr(tok, CAST(doc_id % (length(tok)-1) AS INT) + 3)
+    ELSE
+      substr(tok, 1, CAST(doc_id % length(tok) AS INT)) ||
+      chr(97 + CAST((doc_id * 7) % 26 AS INT)) ||
+      substr(tok, CAST(doc_id % length(tok) AS INT) + 2)
+    END AS noisy
+  FROM base),
+vocab AS (
+  SELECT tok AS vtok, count(*) AS match_n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 4 GROUP BY 1),
+cand AS (
+  SELECT n.doc_id, n.noisy, v.vtok,
+    CAST(damerau_levenshtein(n.noisy, v.vtok) AS BIGINT) AS dl,
+    CAST(levenshtein(n.noisy, v.vtok) AS BIGINT) AS lev
+  FROM noisy n JOIN vocab v ON abs(length(n.noisy) - length(v.vtok)) <= 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dl, vtok) AS rk
+  FROM cand)
+SELECT doc_id, noisy, vtok AS match_tok, dl, lev, (dl < lev) AS transposed
+FROM ranked WHERE rk = 1 AND dl <= $DlMax ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_dl_linkage" -> q309DlLinkage,
     "q308_jw_linkage" -> q308JwLinkage,
     "q298_linkage_em" -> q298LinkageEm,
     "q285_tfidf_cosine" -> q285TfidfCosine,
@@ -1765,6 +1858,7 @@ FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     "q27_decontaminate_join" -> q27DecontaminateJoin)
 
   val oracles: Map[String, String] = Map(
+    "q309_dl_linkage" -> q309Sql,
     "q308_jw_linkage" -> q308Sql,
     "q298_linkage_em" -> q298Sql,
     "q285_tfidf_cosine" -> q285Sql,

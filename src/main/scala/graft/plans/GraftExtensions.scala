@@ -127,6 +127,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinklerExpr(Cast(args(0), StringType),
         Cast(args(1), StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauExpr].getName, "graft_damerau"),
+      (args: Seq[Expression]) => DamerauExpr(Cast(args(0), StringType),
+        Cast(args(1), StringType))))
     // Real JDK media codecs (q306/q307): encode builds the asset from
     // closed-form integer formulas, decode recovers them — both ends
     // per-row compiled expressions (see plans/MediaCodec.scala).

@@ -81,6 +81,53 @@ class W69JwSpec extends GraftSpec {
     assert(pairs > 100, s"only $pairs candidate pairs — blocking too tight")
   }
 
+  test("DL kernel: standard vectors, full-DL (not OSA), and metamorphic properties") {
+    def dl(a: String, b: String): Long = graft.plans.DamerauMath.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(dl("CA", "ABC") == 2, "full DL, not OSA (OSA would say 3)")
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("ab", "ba") == 1 && dl("teh", "the") == 1 && dl("abc", "acb") == 1)
+    assert(dl("", "") == 0 && dl("abc", "") == 3 && dl("", "abcd") == 4)
+    assert(dl("same", "same") == 0)
+    // properties over the fixture vocabulary: symmetry, dl <= lev,
+    // identity-of-indiscernibles, unit cost for one adjacent swap
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("v"))
+      .filter(length(col("v")) >= 4).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (a <- vocab; b <- vocab) {
+      assert(dl(a, b) == dl(b, a))
+      assert(dl(a, b) <= lev(a, b))
+      assert((dl(a, b) == 0) == (a == b))
+    }
+    vocab.filter(_.length >= 5).take(10).foreach { v =>
+      val sw = v.substring(0, 1) + v.charAt(2) + v.charAt(1) + v.substring(3)
+      if (sw != v) assert(dl(v, sw) == 1, s"swap of '$v'")
+    }
+  }
+
+  test("q309: argmin repair replay; swaps cost 1 under DL and 2 under Levenshtein") {
+    val out = DedupQueries.q309DlLinkage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // even doc_ids are adjacent-swap corruptions: when the swap changed
+    // the token (dl>0), DL must beat Levenshtein (the flag is true)
+    val evens = out.filter(r => r.getLong(0) % 2 == 0 && r.getLong(3) > 0)
+    assert(evens.nonEmpty && evens.forall(r => r.getBoolean(5)),
+      "every non-degenerate swap must be transposition-priced")
+    // odd doc_ids are substitutions: dl == lev always
+    out.filter(_.getLong(0) % 2 == 1).foreach { r =>
+      assert(r.getLong(3) == r.getLong(4) && !r.getBoolean(5))
+    }
+    out.foreach(r => assert(r.getLong(3) <= DedupQueries.DlMax))
+  }
+
   test("q308: every emitted repair is its doc's argmax over the candidate set") {
     val out = DedupQueries.q308JwLinkage(spark, sfDir).collect()
     assert(out.nonEmpty)
