@@ -138,14 +138,22 @@ object Bench {
       val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
       val touchBefore = SessionCache.touches.get()
       val first = once(name)
-      if (SessionCache.touches.get() > touchBefore) touched += name
+      val touchedThis = SessionCache.touches.get() > touchBefore
+      if (touchedThis) touched += name
       if (doMetrics) { // listener events drain async; settle briefly
         // FIRST warm run only: later runs read session memos and would
         // average the build volume away
         Thread.sleep(200)
         shuffleMb(name) = (meter.bytes.get() - before) / 1048576.0
       }
-      val extra = if (elapsedS < 0.7 * budgetS) (2 to runs) else Seq.empty
+      // Past 70% of budget, keys degrade to single runs — EXCEPT keys
+      // whose first run just built session memos: their run-1 timing is
+      // build-polluted and min-of-1 would publish it as "warm", so they
+      // always get one build-free sample while any budget remains.
+      val extra =
+        if (elapsedS < 0.7 * budgetS) (2 to runs)
+        else if (touchedThis && elapsedS < budgetS) Seq(2)
+        else Seq.empty
       val rs = first +: extra.map(_ => once(name))
       val oks = rs.collect { case Right(t) => t }
       name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
