@@ -8,15 +8,31 @@ import org.apache.spark.sql.SparkSession
   * EXCLUDED from timings — a broken query can never improve the total.
   * Prints exactly one JSON line.
   *
-  * Protocol (r10 — sized to the harness wall-clock budget after the r9
-  * full-cold pass alone overran it at 297 keys):
+  * Protocol (r11 — re-sized after the r10 driver run spent the whole
+  * 1200 s budget on the min-of-2 warm pass and skipped all 53 cold
+  * measurements; the warm pass is now prior-guided so cold evidence
+  * fits the same budget):
   *
-  *  1. **warm** (`queries` / `value`): min of RUNS (default 2) per query
-  *     with session memos retained across queries and runs, as in a real
-  *     analytics session running the whole suite. This pass ALWAYS runs
-  *     to completion over every key — it is the artifact's contract.
-  *     While it runs, each query is tagged with whether it touched
-  *     [[SessionCache]] at all (hit or build).
+  *  1. **warm** (`queries` / `value`): per query, with session memos
+  *     retained across queries and runs, as in a real analytics session
+  *     running the whole suite. This pass ALWAYS runs to completion
+  *     over every key — it is the artifact's contract. Run 1 is tagged
+  *     with whether it TOUCHED [[SessionCache]] (hit or build — such
+  *     keys are memo-dependent, so cold ≠ warm structurally) and
+  *     whether it BUILT a memo (run 1 paid a one-time build, so its
+  *     timing is build-polluted). Extra runs are taken only where they
+  *     carry information:
+  *       - a key that BUILT gets one build-free sample (else min-of-1
+  *        would publish the build as "warm");
+  *       - a key whose run 1 is >1.3× its timing in the PREVIOUS
+  *         committed artifact looks noisy-or-regressed and gets the
+  *         remaining RUNS to strip host noise;
+  *       - a key with no prior gets the full min-of-RUNS (first round,
+  *         renames, new keys).
+  *     A clean run 1 within noise of the prior is accepted as-is —
+  *     re-measuring ~250 stable memo-free keys twice is what ate the
+  *     r10 budget. `SPARK_GRAFT_WARM=all` restores min-of-RUNS for
+  *     every key (local tuning runs where the budget is yours).
   *  2. **cold** (`cold_queries`): structurally-cold timings
   *     (SessionCache.clear before every run, so the query pays its own
   *     one-time builds). Default mode `auto` measures ONLY the
@@ -45,8 +61,10 @@ import org.apache.spark.sql.SparkSession
   * remaining cold/isolated measurements are skipped (counted in
   * `n_cold_skipped`) and the artifact still lands complete — a partial
   * cold map beats a timed-out rc with no artifact at all (r9's failure
-  * mode). The warm pass is never truncated, but once past 70% of the
-  * budget it degrades to single runs.
+  * mode). The warm pass is never truncated, but once past 55% of the
+  * budget it degrades to single runs (the build-free extra sample for
+  * keys whose run 1 BUILT memos survives until the full budget — a
+  * published build-as-warm number is worse than a skipped cold row).
   *
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
   * the query set; SPARK_GRAFT_RUNS=3 raises the min-of-N;
@@ -128,8 +146,9 @@ object Bench {
       } finally Checkpoints.drain(spark) // session stays block-clean per run
     }
 
-    // ---- Phase 1: warm (always complete; memo-touch detection on run 1;
-    // past 70% of budget the remaining keys degrade to single runs).
+    // ---- Phase 1: warm (always complete; memo-touch/build detection on
+    // run 1; extra runs only where they carry information — see scaladoc).
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARM", "auto") // auto|all
     val meter = new ShuffleMeter
     if (doMetrics) spark.sparkContext.addSparkListener(meter)
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -137,8 +156,12 @@ object Bench {
     val results = names.map { name =>
       val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
       val touchBefore = SessionCache.touches.get()
+      val buildBefore = SessionCache.builds.get()
       val first = once(name)
       val touchedThis = SessionCache.touches.get() > touchBefore
+      // builds-only (not touches): a run that merely HIT an
+      // already-built memo is a clean warm sample and needs no re-run
+      val builtThis = SessionCache.builds.get() > buildBefore
       if (touchedThis) touched += name
       if (doMetrics) { // listener events drain async; settle briefly
         // FIRST warm run only: later runs read session memos and would
@@ -146,13 +169,14 @@ object Bench {
         Thread.sleep(200)
         shuffleMb(name) = (meter.bytes.get() - before) / 1048576.0
       }
-      // Past 70% of budget, keys degrade to single runs — EXCEPT keys
-      // whose first run just built session memos: their run-1 timing is
-      // build-polluted and min-of-1 would publish it as "warm", so they
-      // always get one build-free sample while any budget remains.
+      val noisyVsPrior = first match {
+        case Right(t) => prior.get(name).forall(p => p <= 0 || t > 1.3 * p)
+        case Left(_) => false // errors re-run nothing
+      }
       val extra =
-        if (elapsedS < 0.7 * budgetS) (2 to runs)
-        else if (touchedThis && elapsedS < budgetS) Seq(2)
+        if (builtThis && elapsedS < budgetS) (2 to math.max(2, runs))
+        else if (warmMode == "all" && elapsedS < 0.7 * budgetS) (2 to runs)
+        else if (noisyVsPrior && first.isRight && elapsedS < 0.55 * budgetS) (2 to runs)
         else Seq.empty
       val rs = first +: extra.map(_ => once(name))
       val oks = rs.collect { case Right(t) => t }

@@ -41,6 +41,13 @@ object SessionCache {
     * the warm regime by construction). */
   private[graft] val touches = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Monotone count of memo BUILDS only (the miss branch) — lets the
+    * bench distinguish "this run PAID a one-time build" (its timing is
+    * build-polluted) from "this run merely read an already-built memo"
+    * (its timing is a clean warm sample). [[touches]] can't make that
+    * call: it increments on hits too. */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def maxEntries(spark: SparkSession): Int =
     try spark.conf.get("spark.graft.sessionCache.maxEntries", "32").toInt
     catch { case _: Throwable => 32 }
@@ -62,6 +69,7 @@ object SessionCache {
           stamps(k) = tick.incrementAndGet()
           df
         case None =>
+          builds.incrementAndGet()
           hooked.getOrElseUpdate(spark, {
             spark.sparkContext.addSparkListener(new SparkListener {
               override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =

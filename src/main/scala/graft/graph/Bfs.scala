@@ -44,7 +44,15 @@ object Bfs {
     * @param seeds (id) — distance-0 sources (ids not in `vertices`
     *              are ignored by construction of the init join).
     * @return (id, dist) — dist is NULL for vertices unreached within
-    *         `maxIters` hops. */
+    *         `maxIters` hops. CONSUME BEFORE DRAIN: the returned join
+    *         is lazy over localCheckpoint segments that are already
+    *         [[graft.Checkpoints.deferFree]]'d (and compaction defers
+    *         the then-live frontier segment the same way), so a caller
+    *         that calls `Checkpoints.drain` before materializing the
+    *         result would read unpersisted, lineage-truncated blocks —
+    *         unrecoverable by recompute. Materialize (count/collect/
+    *         write/localCheckpoint) first; the bench/Verify
+    *         drain-BETWEEN-queries contract does exactly that. */
   def run(edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
           maxIters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

@@ -14,6 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle twin is again an independent native implementation.
   * Transpositions are why this exists next to plain Levenshtein (q54):
   * the commonest human typo class ("teh") costs 1 here and 2 there.
+  *
+  * UNIT CAVEAT (same as [[JaroWinklerMath]]): distances are computed
+  * over UTF-16 CODE UNITS (`UTF8String.toString` + `charAt`), while
+  * DuckDB's native `damerau_levenshtein` counts Unicode CODEPOINTS —
+  * identical on ASCII/BMP text (the q309 fixture: lowercased
+  * [a-z ] tokens), divergent if a fixture ever gains astral-plane
+  * characters (a surrogate pair counts as 2 units here, 1 codepoint
+  * there). Gate fixtures must stay BMP-only, or this kernel must move
+  * to `codePointAt` iteration first.
   */
 object DamerauMath {
 

@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
   */
 object MediaMath {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp file per
+  // encode/decode call, i.e. per-ROW executor filesystem traffic and a
+  // hidden /tmp dependency. All our streams are in-memory byte arrays;
+  // cache in heap instead. (Class-load once, thread-safe static.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic RGB pixel of asset `docId` at (x, y) — the formulas
     * the DuckDB oracle replays. */
   @inline def pr(docId: Long, x: Int, y: Int): Int = ((docId * 31 + x * 7 + y * 3) % 256).toInt
@@ -49,13 +55,18 @@ object MediaMath {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // write() returns false when no PNG writer is registered — that
+    // would otherwise surface as silently empty bytes downstream
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no javax.imageio PNG writer registered in this JVM")
     bos.toByteArray
   }
 
   /** REAL PNG decode (javax.imageio) → (width, height, Σr, Σg, Σb). */
   def pngStats(bytes: Array[Byte]): InternalRow = {
+    // read() returns null (not an exception) on undecodable bytes
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes (len=${bytes.length})")
     val w = img.getWidth
     val h = img.getHeight
     var sr = 0L
