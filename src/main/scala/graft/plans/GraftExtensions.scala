@@ -132,6 +132,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DamerauExpr].getName, "graft_damerau"),
       (args: Seq[Expression]) => DamerauExpr(Cast(args(0), StringType),
         Cast(args(1), StringType))))
+    // SymSpell deletion neighborhood (q309's equi-join blocking key):
+    // deletes(a,k) ∩ deletes(b,k) ≠ ∅ whenever DL(a,b) ≤ k.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deletes"),
+      new ExpressionInfo(classOf[DeleteNeighborsExpr].getName, "graft_deletes"),
+      (args: Seq[Expression]) => DeleteNeighborsExpr(Cast(args(0), StringType),
+        Cast(args(1), IntegerType))))
     // Real JDK media codecs (q306/q307): encode builds the asset from
     // closed-form integer formulas, decode recovers them — both ends
     // per-row compiled expressions (see plans/MediaCodec.scala).

@@ -148,4 +148,96 @@ class W69JwSpec extends GraftSpec {
         s"doc ${r.getLong(0)}: engine (${r.getString(2)}, $jw) vs ${best.headOption}")
     }
   }
+
+  private def deletes(s: String, k: Int): Set[String] = {
+    val arr = graft.plans.SymSpellMath.deletes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toSet
+  }
+
+  test("SymSpell deletes kernel: exact small cases, sorted, self-inclusive") {
+    assert(deletes("abc", 0) === Set("abc"))
+    assert(deletes("abc", 1) === Set("abc", "ab", "ac", "bc"))
+    assert(deletes("abc", 2) === Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+    assert(deletes("aaa", 2) === Set("aaa", "aa", "a"), "duplicate variants collapse")
+    assert(deletes("", 2) === Set(""))
+    // deterministic ordering (the ArrayData is sorted)
+    val a = graft.plans.SymSpellMath.deletes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("dcba"), 1)
+    val seq = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    assert(seq === seq.sorted)
+  }
+
+  test("SymSpell blocking covers EVERY unrestricted-DL<=2 pair (exhaustive, transpositions included)") {
+    // exhaustive over a 2-letter alphabet, lengths 2..6 — transposition-
+    // dense by construction, the adversarial regime for delete blocking
+    def dl(a: String, b: String): Long = graft.plans.DamerauMath.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val words = (2 to 6).flatMap { l =>
+      (0 until (1 << l)).map(m =>
+        (0 until l).map(i => if (((m >> i) & 1) == 1) 'b' else 'a').mkString)
+    }
+    var checked = 0
+    for (x <- words; y <- words if x < y && math.abs(x.length - y.length) <= 1) {
+      if (dl(x, y) <= DedupQueries.DlMax) {
+        checked += 1
+        assert((deletes(x, DedupQueries.DlMax) & deletes(y, DedupQueries.DlMax)).nonEmpty,
+          s"blocking would miss ('$x','$y') at dl=${dl(x, y)}")
+      }
+    }
+    assert(checked > 1000, s"exhaustive sweep too small: $checked pairs")
+  }
+
+  test("q308/q309 plans: equi-join blocking, zero BroadcastNestedLoopJoin") {
+    Seq(DedupQueries.q308JwLinkage _, DedupQueries.q309DlLinkage _).foreach { q =>
+      val df = q(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"linkage candidate generation must be an equi-join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"size-gated vocab should broadcast-hash-join at fixture scale:\n$plan")
+    }
+  }
+
+  test("q309 blocked candidates equal the r10 full band scan (result replay)") {
+    // the SymSpell rewrite must be RESULT-identical to the inequality-
+    // join formulation it replaced — replay the r10 shape literally
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        element_at(col("ts"), (pmod(col("doc_id"), size(col("ts"))) + 1).cast("int"))
+          .as("tok"))
+      .filter(length(col("tok")) >= 4)
+    val noisy = toks.select(col("doc_id"), expr(
+      """CASE WHEN doc_id % 2 = 0 THEN
+        |  concat(substr(tok, 1, cast(doc_id % (length(tok)-1) as int)),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 2, 1),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 1, 1),
+        |         substr(tok, cast(doc_id % (length(tok)-1) as int) + 3))
+        |ELSE
+        |  concat(substr(tok, 1, cast(doc_id % length(tok) as int)),
+        |         chr(97 + cast((doc_id * 7) % 26 as int)),
+        |         substr(tok, cast(doc_id % length(tok) as int) + 2))
+        |END""".stripMargin).as("noisy"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("vtok"))
+      .filter(length(col("vtok")) >= 4).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dl"), col("vtok"))
+    val full = noisy.join(broadcast(vocab),
+        abs(length(col("noisy")) - length(col("vtok"))) <= 1)
+      .withColumn("dl", expr("graft_damerau(noisy, vtok)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("dl") <= DedupQueries.DlMax)
+      .select(col("doc_id"), col("noisy"), col("vtok"), col("dl"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val blocked = DedupQueries.q309DlLinkage(spark, sfDir)
+      .select(col("doc_id"), col("noisy"), col("match_tok"), col("dl"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(blocked.sorted.toSeq === full.sorted.toSeq)
+    assert(blocked.nonEmpty)
+  }
 }
