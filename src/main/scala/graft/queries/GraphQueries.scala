@@ -1287,35 +1287,42 @@ ORDER BY deg.community"""
     * anyway. The oracle replays the chain as a recursive CTE — each
     * (walk, step) has exactly ONE successor, so the recursion is
     * linear, not explosive. */
-  def q151RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
-    val hedges = WebGraph.cachedHostEdges(spark, sfDir)
-    val bysrc = Window.partitionBy(col("src"))
-    // checkpoint the ranked adjacency AND each step's frontier: the
-    // final union's plan would otherwise re-evaluate step k's whole
-    // join chain once per later step (steps 0..8 union = 36 join
-    // executions instead of 8 — measured 11.4s → ~3s at sf0.1)
-    val adj = graft.Checkpoints.deferFree(hedges
-      .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
-      .withColumn("deg", count(lit(1)).over(bysrc))
-      .localCheckpoint())
-    var cur = WebGraph.vertices(hedges)
-      .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
-      .localCheckpoint()
-    graft.Checkpoints.deferFree(cur)
-    val frames = Seq.newBuilder[DataFrame]
-    frames += cur
-    for (step <- 1 to WalkLen) {
-      val pick = pmod(graft.functions.MathFunctions.hash32(
-        concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
-      cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
-        .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+  /** The walk corpus (walk_id, host, step), memoized per session+dir:
+    * q151 presents it sorted and q240 derives its skip-gram pairs from
+    * the SAME corpus — the 8-step join chain runs once per session
+    * instead of once per consumer (the cachedEdges discipline). */
+  private def walkCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.SessionCache.cached(spark, s"walks:$sfDir") {
+      val hedges = WebGraph.cachedHostEdges(spark, sfDir)
+      val bysrc = Window.partitionBy(col("src"))
+      // checkpoint the ranked adjacency AND each step's frontier: the
+      // final union's plan would otherwise re-evaluate step k's whole
+      // join chain once per later step (steps 0..8 union = 36 join
+      // executions instead of 8 — measured 11.4s → ~3s at sf0.1)
+      val adj = graft.Checkpoints.deferFree(hedges
+        .withColumn("rn", row_number().over(bysrc.orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(bysrc))
+        .localCheckpoint())
+      var cur = WebGraph.vertices(hedges)
+        .select(col("id").as("walk_id"), col("id").as("host"), lit(0).as("step"))
         .localCheckpoint()
       graft.Checkpoints.deferFree(cur)
+      val frames = Seq.newBuilder[DataFrame]
       frames += cur
+      for (step <- 1 to WalkLen) {
+        val pick = pmod(graft.functions.MathFunctions.hash32(
+          concat(col("walk_id"), lit("#"), lit(step.toString))), col("deg")) + 1
+        cur = cur.join(adj, col("host") === col("src") && col("rn") === pick)
+          .select(col("walk_id"), col("dst").as("host"), lit(step).as("step"))
+          .localCheckpoint()
+        graft.Checkpoints.deferFree(cur)
+        frames += cur
+      }
+      frames.result().reduce(_ unionByName _)
     }
-    frames.result().reduce(_ unionByName _)
-      .orderBy(col("walk_id"), col("step"))
-  }
+
+  def q151RandomWalks(spark: SparkSession, sfDir: String): DataFrame =
+    walkCorpus(spark, sfDir).orderBy(col("walk_id"), col("step"))
 
   val q151Sql: String = {
     val pick = Sql.hash32OfHex("md5(w.walk_id || '#' || CAST(w.step + 1 AS VARCHAR))")
@@ -1362,8 +1369,8 @@ ORDER BY walk_id, step"""
     * partial-agg to O(hosts) and join back broadcast; the emitted
     * frame is the top-[[PmiTopK]] census. */
   def q240WalkPmi(spark: SparkSession, sfDir: String): DataFrame = {
-    val walks = graft.Checkpoints.deferFree(
-      q151RandomWalks(spark, sfDir).localCheckpoint())
+    // the memoized corpus is already persisted — no per-query checkpoint
+    val walks = walkCorpus(spark, sfDir)
     val a = walks.select(col("walk_id"), col("host").as("ha"), col("step").as("sa"))
     val b = walks.select(col("walk_id").as("wb"), col("host").as("hb"),
       col("step").as("sb"))
@@ -2286,14 +2293,20 @@ SELECT id, round(x, 6) AS katz FROM x$KatzRounds ORDER BY id"""
     * census scalars cross-join as 1-row broadcasts. */
   def q291Triads(spark: SparkSession, sfDir: String): DataFrame = {
     val e = WebGraph.cachedHostEdges(spark, sfDir).select(col("src"), col("dst"))
+    // Host graph = bounded (Triangles' broadcastEdges discipline): the
+    // memoized edge frame is a LogicalRDD with no size statistics, so
+    // the planner can't auto-broadcast it and both wedge-closing joins
+    // shuffle the O(edges·deg) wedge stream (measured 170 MB shuffle,
+    // 4 SortMergeJoins at sf0.1). Broadcasting the edge side closes
+    // wedges map-side; the wedge stream never rides an exchange.
     val cyc = e.select(col("src").as("a"), col("dst").as("b"))
-      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
-      .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
+      .join(broadcast(e.select(col("src").as("b"), col("dst").as("c"))), "b")
+      .join(broadcast(e.select(col("src").as("c"), col("dst").as("a"))), Seq("c", "a"))
       .filter(col("a") < col("b") && col("a") < col("c"))
       .agg(count(lit(1)).as("n_cyclic"))
     val tr = e.select(col("src").as("a"), col("dst").as("b"))
-      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
-      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .join(broadcast(e.select(col("src").as("b"), col("dst").as("c"))), "b")
+      .join(broadcast(e.select(col("src").as("a"), col("dst").as("c"))), Seq("a", "c"))
       .filter(col("a") =!= col("c"))
       .agg(count(lit(1)).as("n_transitive"))
     cyc.crossJoin(broadcast(tr))
