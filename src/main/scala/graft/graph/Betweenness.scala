@@ -29,7 +29,11 @@ object Betweenness {
     * @param rounds forward/backward level budget.
     * @return (id, betweenness) for every vertex of `edges`. */
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // partition once on src — the join key of BOTH the forward σ pulls
+    // and the backward δ joins (the Bfs discipline): per-level joins
+    // reuse the persisted partitioning instead of re-shuffling edges.
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // forward: (seed, id, lvl, sigma) — level-sliced shortest-path DAG
     var levels = Vector(

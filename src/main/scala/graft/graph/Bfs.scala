@@ -55,7 +55,13 @@ object Bfs {
     *         drain-BETWEEN-queries contract does exactly that. */
   def run(edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
           maxIters: Int): DataFrame = {
+    // hash-partition the edge side on the per-round join key ONCE: the
+    // persisted partitioning is reused by every round's frontier join,
+    // so only the (shrinking) frontier rides an exchange per round —
+    // without it each round re-shuffles the whole edge frame (guide
+    // §2.4 "two operations keyed the same way share one exchange").
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scan of the vertex frame, reused by the seed join and the
     // final left join (a lazy `vertices` would be recomputed by each)

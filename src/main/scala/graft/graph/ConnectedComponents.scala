@@ -59,9 +59,13 @@ object ConnectedComponents {
     * wider vertex universe into the result yourself if needed (q25
     * does exactly that with the full corpus as `init`). */
   def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // partition once on the per-round join key (b — the label pull
+    // side): the distinct leaves und partitioned on (a,b), which every
+    // propagation round would otherwise re-shuffle to align on b.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
+      .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))

@@ -36,9 +36,13 @@ object LabelPropagation {
     * every vertex incident to an edge; lbl = −1 where no labeled vertex
     * is reachable. */
   def run(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
+    // partition once on the per-round join key (b — the neighbor-label
+    // pull side), the ConnectedComponents discipline: rounds reuse the
+    // persisted partitioning instead of re-shuffling the edge frame.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
+      .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = und.select(col("a").as("id")).distinct()
     // Conflicting duplicate seed rows are resolved to min(lbl) BEFORE the

@@ -31,7 +31,11 @@ object MultiBfs {
     * @return (id, seed, dist) for reached pairs ONLY (dist 0 = the
     *         seed itself); unreached pairs are simply absent. */
   def run(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
+    // partition once on the per-round join key (the Bfs discipline):
+    // every round's frontier join reuses the persisted partitioning
+    // instead of re-shuffling the whole edge frame.
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seg0 = seeds.select(col("id"), col("id").as("seed"), lit(0L).as("dist"))
       .localCheckpoint()

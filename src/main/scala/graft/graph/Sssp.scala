@@ -32,7 +32,11 @@ object Sssp {
     *         `maxIters` relaxation rounds (= path-edge-count bound). */
   def run(edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
           maxIters: Int): DataFrame = {
+    // partition once on the per-round join key (the Bfs discipline):
+    // every relaxation round reuses the persisted partitioning instead
+    // of re-shuffling the whole edge frame.
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seeds are deduped defensively: duplicate ids would multiply rows
     // through this left join and ride every relaxation round after it.
