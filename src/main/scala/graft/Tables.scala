@@ -13,8 +13,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Spread a freshly-scanned frame to the session's parallelism when
+    * the scan itself cannot (guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read").
+    * The driver fixtures are SINGLE-ROW-GROUP parquet files — Spark
+    * cannot subdivide a row group, so every scan otherwise feeds its
+    * first map/partial-aggregate stage from ONE task while the other
+    * cores idle (measured: q255's gram hashing ran 5.3 s wall at
+    * 5.1 s task-time — one thread). A production corpus has thousands
+    * of splits, so the guard keeps this exchange OUT of the plan
+    * exactly when the scan parallelizes by itself; round-robin so no
+    * key skew can concentrate rows. Pushdown/pruning are unaffected
+    * (Catalyst pushes filters and projections through Repartition to
+    * the scan). */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
+  /** Fact tables whose scans feed compute-heavy map/partial-agg work;
+    * dimension tables stay un-spread — they ride broadcasts, where an
+    * exchange is pure tax. */
+  private val SpreadTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (SpreadTables(name)) spread(spark, raw) else raw
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -2564,9 +2564,16 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     * DECIMAL so membership normalizers are association-free), and an
     * O(c)-row aggregate; round count fixed, never data-dependent. */
   def q283FuzzyCmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    // the lattice feeds FcmRounds+1 map-side membership passes with no
+    // exchange of their own (the normalizer is in-row, below), so it is
+    // materialized at the session's full parallelism — an explicit
+    // count, because AQE's advisory-size coalescing would collapse this
+    // small-bytes/compute-heavy frame to one partition and serialize
+    // every round's decimal aggregation behind a single core
     val vals = graft.Checkpoints.deferFree(Tables.orders(spark, sfDir)
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cents"))
       .localCheckpoint())
     val mm = vals.agg((min(col("cents")) / 100.0).as("lo"),
       (max(col("cents")) / 100.0).as("hi"))
@@ -2581,13 +2588,38 @@ GROUP BY 1 ORDER BY n_points DESC, cluster"""
     // from ~1e-10 (where the 12dp grid keeps 2 significant digits)
     // to ~1e2 (12 significant digits); without it the gridded
     // normalizers visibly bias the centers (~3e-5 relative)
-    val d = col("cents") / 100.0 - col("c")
-    val wg = round(lit(1.0e12) / (d * d + lit(FcmDelta.toDouble)), 12)
-    def members(cs: DataFrame): DataFrame = vals.crossJoin(broadcast(cs))
-      .select(col("cents"), col("cnt"), col("j"), wg.as("wg"))
-      .withColumn("u", col("wg") /
-        sum(col("wg").cast(DecimalType(38, 12)))
-          .over(Window.partitionBy(col("cents"))).cast("double"))
+    def wgOf(c: Column): Column = {
+      val d = col("cents") / 100.0 - c
+      round(lit(1.0e12) / (d * d + lit(FcmDelta.toDouble)), 12)
+    }
+    // The centers collapse to ONE broadcast row (bounded: FcmClusters
+    // columns c1..ck), so the membership normalizer is an in-row exact
+    // decimal add chain over per-slot weight columns instead of a
+    // Window.partitionBy(cents) shuffle+sort of the vals×clusters frame
+    // on EVERY round — and every expression stays plain codegen (no
+    // interpreted higher-order functions in the hot per-row pass).
+    // Same math bit for bit: each slot weight is the identical
+    // 12dp-gridded double; DECIMAL(31,12) holds any single weight
+    // exactly (wg ≤ 1e12/δ = 1e18 → 19 integer digits) and the
+    // unrolled add widens precision per step (32,12 → 33,12 …), so the
+    // normalizer equals the old Window DECIMAL(38,12) sum exactly
+    // (decimal addition is exact and order-free). Holds to ~10^7
+    // clusters before the 38-digit cap.
+    def members(cs: DataFrame): DataFrame = {
+      val slotCols = (1 to FcmClusters)
+        .map(i => max(when(col("j") === i, col("c"))).as(s"c$i"))
+      val csRow = cs.agg(slotCols.head, slotCols.tail: _*)
+      val wgCols = (1 to FcmClusters).map(i => wgOf(col(s"c$i")).as(s"wg$i"))
+      val tot = (1 to FcmClusters)
+        .map(i => col(s"wg$i").cast(DecimalType(31, 12)))
+        .reduce(_ + _).cast("double")
+      vals.crossJoin(broadcast(csRow))
+        .select(col("cents") +: col("cnt") +: wgCols: _*)
+        .select(col("cents"), col("cnt"),
+          explode(array((1 to FcmClusters).map(i =>
+            struct(lit(i).as("j"), (col(s"wg$i") / tot).as("u"))): _*)).as("jw"))
+        .select(col("cents"), col("cnt"), col("jw.j").as("j"), col("jw.u").as("u"))
+    }
     def dec12(c: Column): Column =
       sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
     for (_ <- 1 to FcmRounds) {

@@ -314,7 +314,7 @@ object StorageQueries {
     * split; the aggregate is one partial-agged groupBy. */
   def q122CsvIo(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q122_")
+    val tmp = graft.TempDirs.ephemeral("graft_q122_")
     val dir = tmp.resolve("events_csv").toString
     // \N null sentinel: CSV can't otherwise distinguish null from ""
     ev.write.mode("overwrite")
@@ -368,7 +368,7 @@ object StorageQueries {
     * aggregate. */
   def q179SchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q179_").toString
+    val tmp = graft.TempDirs.ephemeral("graft_q179_").toString
     ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
       .write.mode("overwrite").parquet(s"$tmp/batch=1")
@@ -462,7 +462,7 @@ object StorageQueries {
     * read-back exactly as parquet's do. */
   def q184OrcIo(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q184_")
+    val tmp = graft.TempDirs.ephemeral("graft_q184_")
     val dir = tmp.resolve("events_orc").toString
     ev.write.mode("overwrite").orc(dir)
     val res = spark.read.orc(dir)
@@ -509,7 +509,7 @@ object StorageQueries {
   def q194MalformedCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q194_")
+    val tmp = graft.TempDirs.ephemeral("graft_q194_")
     val dir = tmp.resolve("orders_csv").toString
     // the corruption must be STRUCTURAL (wrong token count): a mere
     // type-cast failure nulls the field without flagging the record

@@ -61,7 +61,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_")
+    val tmp = graft.TempDirs.ephemeral("graft_q98_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     // events.parquet is a single FILE; the file stream source requires a
@@ -138,7 +138,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
+    val tmp = graft.TempDirs.ephemeral("graft_q111_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     val agg = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
@@ -211,7 +211,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q132_")
+    val tmp = graft.TempDirs.ephemeral("graft_q132_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     val deduped = spark.readStream.schema(raw.schema)
@@ -266,7 +266,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else c.cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q142_")
+    val tmp = graft.TempDirs.ephemeral("graft_q142_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     def src(): DataFrame =
@@ -345,7 +345,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q172_")
+    val tmp = graft.TempDirs.ephemeral("graft_q172_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     val agg = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")
@@ -443,7 +443,7 @@ object StreamBatchQueries {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q302_")
+    val tmp = graft.TempDirs.ephemeral("graft_q302_")
     val outDir = tmp.resolve("out").toString
     val cpDir = tmp.resolve("cp").toString
     val src = spark.readStream.schema(raw.schema).parquet(s"$sfDir/[e]vents.parquet")

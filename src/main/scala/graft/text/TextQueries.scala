@@ -938,7 +938,12 @@ WHERE rank <= $WsTopK ORDER BY lang, rank"""
     val term = round(log((col("c1") + col("v")).cast("double")
       / (col("c2") + lit(1)).cast("double")), 12)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
-    val scored = docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // attach c1 to the VOCAB-sized c2 frame first (model assembly), so
+    // the doc×bigram stream joins the finished model exactly once on
+    // its own (w1,w2) partitioning instead of crossing two more
+    // exchanges (w1,w2 then w1) itself.
+    val model = c2.join(c1, Seq("w1"))
+    val scored = docBg.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
@@ -1543,7 +1548,7 @@ ORDER BY n.doc_id"""
     * aggregate is one partial-agged groupBy(source). */
   def q106JsonlIo(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q106_")
+    val tmp = graft.TempDirs.ephemeral("graft_q106_")
     val dir = tmp.resolve("docs_jsonl").toString
     docs.write.mode("overwrite").json(dir)
     val res = spark.read.schema(docs.schema).json(dir)
