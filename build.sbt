@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract requires raw stdout: without this,
+// sbt's logger prefixes every forked-process line with "[info] " and the
+// driver's parser has never been able to read the artifact (r01–r11 all
+// landed parsed:null). StdoutOutput passes the forked JVM's stdout/stderr
+// through unwrapped.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

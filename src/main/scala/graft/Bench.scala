@@ -6,73 +6,62 @@ import org.apache.spark.sql.SparkSession
   * sink (a bare count() would let Catalyst prune the expensive
   * projection columns). Failures are reported in an "errors" object and
   * EXCLUDED from timings — a broken query can never improve the total.
-  * Prints exactly one JSON line.
   *
-  * Protocol (r11 — re-sized after the r10 driver run spent the whole
-  * 1200 s budget on the min-of-2 warm pass and skipped all 53 cold
-  * measurements; the warm pass is now prior-guided so cold evidence
-  * fits the same budget):
+  * Output contract (r12 — the r11 verdict's #1 item): exactly ONE JSON
+  * line containing the COMPLETE per-query map (every key, full names,
+  * no truncation, no `queries_omitted`), printed as the final stdout
+  * line AND written verbatim to SPARK_GRAFT_BENCH_OUT
+  * (default bench/last_bench.json). The printed line and the file are
+  * byte-identical; the file is the artifact of record if any log
+  * wrapper cuts the stdout line. build.sbt sets
+  * `outputStrategy := StdoutOutput` so the forked JVM's stdout reaches
+  * the caller raw, with no sbt `[info] ` prefix in front of the line.
   *
-  *  1. **warm** (`queries` / `value`): per query, with session memos
-  *     retained across queries and runs, as in a real analytics session
-  *     running the whole suite. This pass ALWAYS runs to completion
-  *     over every key — it is the artifact's contract. Run 1 is tagged
-  *     with whether it TOUCHED [[SessionCache]] (hit or build — such
-  *     keys are memo-dependent, so cold ≠ warm structurally) and
-  *     whether it BUILT a memo (run 1 paid a one-time build, so its
-  *     timing is build-polluted). Extra runs are taken only where they
-  *     carry information:
-  *       - a key that BUILT gets one build-free sample (else min-of-1
-  *        would publish the build as "warm");
-  *       - a key whose run 1 is >1.3× its timing in the PREVIOUS
-  *         committed artifact looks noisy-or-regressed and gets the
-  *         remaining RUNS to strip host noise;
-  *       - a key with no prior gets the full min-of-RUNS (first round,
-  *         renames, new keys).
-  *     A clean run 1 within noise of the prior is accepted as-is —
-  *     re-measuring ~250 stable memo-free keys twice is what ate the
-  *     r10 budget. `SPARK_GRAFT_WARM=all` restores min-of-RUNS for
-  *     every key (local tuning runs where the budget is yours).
+  * Protocol (r12 — re-simplified after the r11 prior-guided protocol
+  * proved unsound across hosts/core counts: a 32-core prior made every
+  * 8-core run-1 look "noisy". No cross-run priors of any kind now):
+  *
+  *  1. **warm** (`queries` / `value`): one pass over every key, session
+  *     memos retained across queries, as in a real analytics session
+  *     running the whole suite. This pass ALWAYS runs to completion —
+  *     it is the artifact's contract. A key whose run 1 BUILT a
+  *     [[SessionCache]] memo paid a one-time build, so it gets one
+  *     immediate build-free resample (min of the two) — publishing a
+  *     build as "warm" would overstate every memo-builder.
   *  2. **cold** (`cold_queries`): structurally-cold timings
-  *     (SessionCache.clear before every run, so the query pays its own
-  *     one-time builds). Default mode `auto` measures ONLY the
-  *     memo-touching keys found in (1) — for every other key cold ≡ warm
-  *     by construction (nothing is hidden behind a memo), so re-running
-  *     them cold was pure wall-clock with zero information; that
-  *     redundancy is what timed the r9 driver run out. `SPARK_GRAFT_COLD=all`
-  *     restores the full min-of-RUNS cold sweep; `=0` skips the pass.
-  *     In auto mode each key runs cold ONCE (a cold run is structurally
-  *     identical however often repeated; min-of-N only strips host
-  *     noise, which the budget no longer affords by default).
-  *     `total_cold` stays comparable across rounds: it sums the measured
-  *     cold timings plus the WARM timing of every key not measured cold
-  *     (= its structural cold cost).
-  *  3. **isolated re-measure** (`isolated_warm`): any key whose in-suite
-  *     warm min exceeds 1.5× its own cold min (the block-residency
-  *     inversion artifact — q79/q136 history), plus any key whose warm
-  *     regressed >2× against the previous committed artifact (read from
-  *     the output path before overwriting), is re-measured alone —
-  *     memos cleared, one warm-up run, then min-of-RUNS. The candidate
-  *     set is CAPPED (worst offenders first, default 6) so a noisy host
-  *     cannot inflate the pass without bound.
+  *     (SessionCache.clear before the run, so the query pays its own
+  *     one-time builds). Mode `auto` (default) measures ONLY the
+  *     memo-touching keys found in (1) — for every other key cold ≡
+  *     warm by construction. Each key runs cold once (repetition only
+  *     strips host noise, which the budget does not afford).
+  *     `total_cold` sums measured cold timings plus the WARM timing of
+  *     every key not measured cold (= its structural cold cost).
+  *     `SPARK_GRAFT_COLD=all` measures every key cold (min-of-RUNS);
+  *     `=0` skips the pass.
+  *  3. **resample** (min-of-2 floor, leftover budget): with whatever
+  *     budget remains, keys are re-run in descending warm-time order
+  *     and the min published — the slowest keys are where a single
+  *     noisy sample distorts the total most. Memo-touching keys are
+  *     excluded here (the cold pass cleared the session's memos; a
+  *     rebuild would pollute the sample and min() would just discard
+  *     it). `n_resampled` reports how many keys got the second sample.
   *
-  * Phases 2–3 are time-boxed: SPARK_GRAFT_BUDGET_S (default 1200) is the
-  * wall budget for the WHOLE run measured from main() entry; once spent,
-  * remaining cold/isolated measurements are skipped (counted in
-  * `n_cold_skipped`) and the artifact still lands complete — a partial
-  * cold map beats a timed-out rc with no artifact at all (r9's failure
-  * mode). The warm pass is never truncated, but once past 55% of the
-  * budget it degrades to single runs (the build-free extra sample for
-  * keys whose run 1 BUILT memos survives until the full budget — a
-  * published build-as-warm number is worse than a skipped cold row).
+  * Phases 2–3 are time-boxed: SPARK_GRAFT_BUDGET_S (default 1200) is
+  * the wall budget for the WHOLE run measured from main() entry. The
+  * warm pass is never truncated; the cold pass stops at 0.92·budget
+  * (skips counted in `n_cold_skipped`); the resample pass stops at
+  * 0.97·budget. A partial cold map beats a timed-out rc with no
+  * artifact at all.
   *
   * Env knobs: SPARK_GRAFT_ONLY=q23_ngram_jaccard,q32_ivf_knn restricts
-  * the query set; SPARK_GRAFT_RUNS=3 raises the min-of-N;
+  * the query set; SPARK_GRAFT_RUNS=3 sets min-of-N for the =all modes;
   * SPARK_GRAFT_COLD=auto|all|0 picks the cold mode (default auto);
-  * SPARK_GRAFT_BUDGET_S sets the wall budget; SPARK_GRAFT_ISO_CAP caps
-  * the isolated set; SPARK_GRAFT_METRICS=1 adds per-query shuffle write
-  * volume (`shuffle_mb`, first warm run) — the number that decides
-  * whether an operator survives a 100× scale-up.
+  * SPARK_GRAFT_WARM=all gives every key min-of-RUNS in the warm pass
+  * (local tuning runs where the budget is yours);
+  * SPARK_GRAFT_BUDGET_S sets the wall budget;
+  * SPARK_GRAFT_METRICS=1 adds per-query shuffle write volume
+  * (`shuffle_mb`, first warm run) — the number that decides whether an
+  * operator survives a 100× scale-up.
   */
 object Bench {
 
@@ -84,22 +73,6 @@ object Bench {
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
-  /** Warm timings from a previous artifact's `"queries":{...}` object —
-    * regex-scoped to that one object so `cold_queries` keys are not
-    * swept in. Best-effort: any parse failure returns empty. */
-  private def priorWarm(path: String): Map[String, Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      val start = txt.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = txt.substring(start + 11, txt.indexOf('}', start))
-        val kv = """"([^"]+)":([0-9.eE+-]+)""".r
-        kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty[String, Double] }
-
   def main(args: Array[String]): Unit = {
     val t0Wall = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0Wall) / 1e9
@@ -107,15 +80,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val coldMode = sys.env.getOrElse("SPARK_GRAFT_COLD", "auto") // auto|all|0|1
-    // default sized ~20% under the r9 harness evidence (~1500 s before
-    // rc 124) so sbt/JVM startup and a loaded host fit inside the cap
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARM", "auto") // auto|all
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1200").toDouble
-    val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "6").toInt
     val doMetrics = sys.env.getOrElse("SPARK_GRAFT_METRICS", "0") == "1"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench.json")
-    val prior = priorWarm(outPath)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,45 +116,38 @@ object Bench {
       } finally Checkpoints.drain(spark) // session stays block-clean per run
     }
 
-    // ---- Phase 1: warm (always complete; memo-touch/build detection on
-    // run 1; extra runs only where they carry information — see scaladoc).
-    val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARM", "auto") // auto|all
+    // ---- Phase 1: warm (always complete; memo builders get one
+    // build-free resample so no published warm number is build-polluted).
     val meter = new ShuffleMeter
     if (doMetrics) spark.sparkContext.addSparkListener(meter)
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val touched = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = names.map { name =>
+    val warm = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
+    names.foreach { name =>
       val before = if (doMetrics) { Thread.sleep(200); meter.bytes.get() } else 0L
       val touchBefore = SessionCache.touches.get()
       val buildBefore = SessionCache.builds.get()
       val first = once(name)
-      val touchedThis = SessionCache.touches.get() > touchBefore
+      if (SessionCache.touches.get() > touchBefore) touched += name
       // builds-only (not touches): a run that merely HIT an
       // already-built memo is a clean warm sample and needs no re-run
       val builtThis = SessionCache.builds.get() > buildBefore
-      if (touchedThis) touched += name
       if (doMetrics) { // listener events drain async; settle briefly
         // FIRST warm run only: later runs read session memos and would
         // average the build volume away
         Thread.sleep(200)
         shuffleMb(name) = (meter.bytes.get() - before) / 1048576.0
       }
-      val noisyVsPrior = first match {
-        case Right(t) => prior.get(name).forall(p => p <= 0 || t > 1.3 * p)
-        case Left(_) => false // errors re-run nothing
-      }
       val extra =
-        if (builtThis && elapsedS < budgetS) (2 to math.max(2, runs))
-        else if (warmMode == "all" && elapsedS < 0.7 * budgetS) (2 to runs)
-        else if (noisyVsPrior && first.isRight && elapsedS < 0.55 * budgetS) (2 to runs)
+        if (warmMode == "all" && elapsedS < 0.7 * budgetS) (2 to runs)
+        else if (builtThis && first.isRight) Seq(2) // one build-free sample
         else Seq.empty
       val rs = first +: extra.map(_ => once(name))
       val oks = rs.collect { case Right(t) => t }
-      name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+      warm(name) = if (oks.nonEmpty) Right(oks.min) else rs.head
     }
-    val warmOk = results.collect { case (n, Right(t)) => n -> t }.toMap
 
-    // ---- Phase 2: cold (mode-restricted, budget-boxed).
+    // ---- Phase 2: cold (mode-restricted, budget-boxed at 0.92·budget).
     val coldNames = coldMode match {
       case "0" => Seq.empty
       case "all" | "1" => names
@@ -193,7 +156,7 @@ object Bench {
     val coldRuns = if (coldMode == "all" || coldMode == "1") runs else 1
     var coldSkipped = 0
     val cold = coldNames.flatMap { n =>
-      if (elapsedS > budgetS) { coldSkipped += 1; None }
+      if (elapsedS > 0.92 * budgetS) { coldSkipped += 1; None }
       else {
         val rs = (1 to coldRuns).map { _ =>
           SessionCache.clear(spark)
@@ -206,42 +169,38 @@ object Bench {
     if (cold.nonEmpty) SessionCache.clear(spark)
     val coldOk = cold.collect { case (n, Right(t)) => n -> t }.toMap
 
-    // ---- Phase 3: isolated re-measure — capped union of (a) in-suite
-    // warm>1.5×cold inversions and (b) >2× warm regressions vs the prior
-    // committed artifact; worst ratio first, budget-boxed.
-    val inverted = warmOk.collect {
-      case (n, t) if coldOk.get(n).exists(c => t > 1.5 * c) =>
-        n -> t / coldOk(n)
-    }
-    val regressed = warmOk.collect {
-      case (n, t) if prior.get(n).exists(p => p > 0 && t > 2.0 * p) =>
-        n -> t / prior(n)
-    }
-    val isoNames = (inverted ++ regressed).groupBy(_._1)
-      .map { case (n, rs) => n -> rs.values.max }
-      .toSeq.sortBy(-_._2).take(isoCap).map(_._1)
-    val isolated = isoNames.flatMap { n =>
-      if (elapsedS > budgetS) None
-      else {
-        SessionCache.clear(spark)
-        once(n) // warm-up: rebuild this query's own memos only
-        val rs = (1 to runs).map(_ => once(n))
-        val oks = rs.collect { case Right(t) => t }
-        Some(n -> (if (oks.nonEmpty) Right(oks.min) else rs.head))
+    // ---- Phase 3: resample (min-of-2 floor with leftover budget,
+    // slowest first, memo-free keys only — the cold pass dropped the
+    // session's memos, so a memo key's re-run would pay a rebuild).
+    var resampled = 0
+    val resampleOrder = warm.collect {
+      case (n, Right(t)) if !touched(n) => n -> t
+    }.toSeq.sortBy(-_._2)
+    resampleOrder.foreach { case (n, t) =>
+      if (elapsedS < 0.97 * budgetS) {
+        once(n) match {
+          case Right(t2) =>
+            resampled += 1
+            if (t2 < t) warm(n) = Right(t2)
+          case Left(_) => () // keep the successful first sample
+        }
       }
     }
 
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Either[String, Double])]): (String, Double, Int) = {
       val ok = xs.collect { case (n, Right(t)) => n -> t }
-      (ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"),
+      (ok.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}"),
         ok.map(_._2).sum, ok.size)
     }
+    val results = warm.toSeq
     val (qs, total, nOk) = obj(results)
     val (cqs, _, _) = obj(cold)
     // total_cold: measured cold timings + the warm timing of every key
     // not measured cold (cold ≡ warm for the memo-free; a budget-skipped
     // memo key contributes its warm floor and is counted in
     // n_cold_skipped so the reader knows the figure is a lower bound).
+    val warmOk = results.collect { case (n, Right(t)) => n -> t }.toMap
     val coldTotal = names.map(n => coldOk.getOrElse(n, warmOk.getOrElse(n, 0.0))).sum
     // cold failures keyed distinctly: a query can fail cold yet succeed
     // warm (it stays in `queries`; the cold error is still reported),
@@ -251,58 +210,24 @@ object Bench {
       cold.collect { case (n, Left(m)) => s"$n (cold)" -> m }
     val es = errs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val coldPart = if (cold.nonEmpty || coldMode != "0")
-      s""""cold_queries":$cqs,"total_cold":$coldTotal,"cold_mode":"$coldMode","n_cold":${cold.size},"n_cold_skipped":$coldSkipped,"""
+      s""""cold_queries":$cqs,"total_cold":${r3(coldTotal)},"cold_mode":"$coldMode","n_cold":${cold.size},"n_cold_skipped":$coldSkipped,"""
     else ""
-    val (isoQs, _, _) = obj(isolated)
-    val isoPart = if (isolated.nonEmpty) s""""isolated_warm":$isoQs,""" else ""
     val metricsPart = if (doMetrics)
       shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$coldPart$isoPart$metricsPart"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir"}"""
-    // Durability: the harness keeps only the LAST ~2000 chars of the log.
-    // r6 lost the warm section to shutdown WARN spew; r7 quieted the
-    // shutdown but the full line itself (warm + cold maps × 107 queries at
-    // nanosecond precision, ~7 KB) no longer fits the window, so the head
-    // of the JSON was cut and the artifact still parsed as null. The
-    // contract line on stdout is therefore a COMPACT form sized to the
-    // window: keys shortened to their unique "qNN" prefix, timings at
-    // centisecond precision, cold pass reduced to its total. The
-    // full-fidelity line (full names, full precision, per-query cold map,
-    // shuffle metrics) goes to the file named in its "full" field.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$coldPart$metricsPart"n_resampled":$resampled,"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir"}"""
+    // The COMPLETE line is both the stdout contract and the file
+    // artifact, byte-identical — no compact/truncated variant exists
+    // any more (r01–r11 all parsed as null because the printed line was
+    // truncated to the slowest ~120 keys and wrapped by sbt's logger).
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file write is best-effort; stdout is the contract
-    def r2(v: Double): Double = math.round(v * 100) / 100.0
-    val shortUnique = names.map(_.takeWhile(_ != '_')).distinct.size == names.size
-    def key(n: String): String = if (shortUnique) n.takeWhile(_ != '_') else n
-    // The harness window keeps ~2000 log chars and sbt appends its own
-    // "[success] Total time" line after ours, so the compact line must
-    // stay under ~1800 chars AS THE SUITE GROWS. If the full per-query
-    // map would overflow, keep the slowest queries (the ones a perf
-    // comparison needs) up to the budget and say how many were dropped;
-    // the file artifact always has everything.
-    val entries = results.collect { case (n, Right(t)) => (t, s""""${key(n)}":${r2(t)}""") }
-      .sortBy(-_._1)
-    val fullLen = entries.map(_._2.length + 1).sum
-    val budget = 1450 // chars for the queries map body; wrapper+errors ~200
-    val (kept2, dropped) =
-      if (fullLen <= budget) (entries, 0)
-      else {
-        var acc = 0
-        val k = entries.takeWhile { e => acc += e._2.length + 1; acc <= budget }
-        (k, entries.size - k.size)
-      }
-    val qsCompact = kept2.map(_._2).mkString("{", ",", "}")
-    val omitted = if (dropped > 0) s""""queries_omitted":$dropped,""" else ""
-    val coldCompact = if (cold.nonEmpty)
-      s""""total_cold":${r2(coldTotal)},"n_cold":${cold.size},""" else ""
-    val isoCompact = if (isolated.nonEmpty) s""""n_isolated":${isolated.size},""" else ""
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,$omitted$coldCompact$isoCompact"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir","full":"$outPath"}"""
     spark.sparkContext.setLogLevel("ERROR")
-    println(compact)
+    println(line)
     spark.stop()
   }
 }

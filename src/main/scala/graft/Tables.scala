@@ -13,6 +13,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet row groups per table path — the EFFECTIVE split count of a
+    * scan (a row group is the atomic unit that can produce rows: Spark
+    * byte-range-splits a huge single-row-group file into many
+    * partitions of which only ONE emits rows, so `rdd.getNumPartitions`
+    * overstates parallelism exactly where it matters — r11 ADVICE).
+    * Footer reads are driver-side metadata, done once per path per JVM. */
+  private val rowGroupCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def rowGroups(spark: SparkSession, path: String): Int =
+    rowGroupCounts.getOrElseUpdate(path, try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rd.getRowGroups.size finally rd.close()
+      }.sum
+    } catch { case _: Throwable => Int.MaxValue }) // unknown ⇒ assume splittable
+
   /** Spread a freshly-scanned frame to the session's parallelism when
     * the scan itself cannot (guide §2.5 "input skew: one huge
     * unsplittable file … repartition immediately after the read").
@@ -20,30 +45,35 @@ object Tables {
     * cannot subdivide a row group, so every scan otherwise feeds its
     * first map/partial-aggregate stage from ONE task while the other
     * cores idle (measured: q255's gram hashing ran 5.3 s wall at
-    * 5.1 s task-time — one thread). A production corpus has thousands
-    * of splits, so the guard keeps this exchange OUT of the plan
-    * exactly when the scan parallelizes by itself; round-robin so no
-    * key skew can concentrate rows. Pushdown/pruning are unaffected
-    * (Catalyst pushes filters and projections through Repartition to
-    * the scan). */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    * 5.1 s task-time — one thread). OPT-IN per consumer since r12: the
+    * r11 blanket form levied a +0.1–0.6 s exchange on every fact scan
+    * of ~250 trivial keys to win seconds on ~10 compute-heavy ones
+    * (r11 verdict item 4) — only the heavy map/partial-agg consumers
+    * ask for it now. A production corpus has thousands of row groups,
+    * so the guard keeps this exchange OUT of the plan exactly when the
+    * scan parallelizes by itself (gated on FOOTER row groups, not RDD
+    * partitions — byte-range splits of one row group parallelize the
+    * plan, not the data); round-robin so no key skew can concentrate
+    * rows. Pushdown/pruning are unaffected (Catalyst pushes filters
+    * and projections through Repartition to the scan). */
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    if (rowGroups(spark, path) >= p) df else df.repartition(p)
   }
 
-  /** Fact tables whose scans feed compute-heavy map/partial-agg work;
-    * dimension tables stay un-spread — they ride broadcasts, where an
-    * exchange is pure tax. */
-  private val SpreadTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
-
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (SpreadTables(name)) spread(spark, raw) else raw
+  def load(spark: SparkSession, sfDir: String, name: String,
+           spreadScan: Boolean = false): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val raw = spark.read.parquet(path)
+    if (spreadScan) spread(spark, raw, path) else raw
   }
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String,
+               spreadScan: Boolean = false): DataFrame =
+    load(spark, sfDir, "lineitem", spreadScan)
+  def orders(spark: SparkSession, sfDir: String,
+             spreadScan: Boolean = false): DataFrame =
+    load(spark, sfDir, "orders", spreadScan)
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
@@ -62,8 +92,9 @@ object Tables {
     * inside the scan projection — column pruning and pushdown on every
     * OTHER column are unaffected. Under the session's UTC time zone the
     * NTZ→LTZ cast is value-preserving. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = load(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String,
+             spreadScan: Boolean = false): DataFrame = {
+    val raw = load(spark, sfDir, "events", spreadScan)
     raw.schema("ts").dataType match {
       case LongType => raw
       case _ => raw.withColumn(
@@ -74,8 +105,12 @@ object Tables {
   /** Raw, un-normalized events frame — the schema a file-stream source
     * over events.parquet must declare (q98/q111 readStream). */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String,
+                spreadScan: Boolean = false): DataFrame =
+    load(spark, sfDir, "documents", spreadScan)
+  def embeddings(spark: SparkSession, sfDir: String,
+                 spreadScan: Boolean = false): DataFrame =
+    load(spark, sfDir, "embeddings", spreadScan)
 
   /** DERIVED partsupp fixture (SURVEY §5 pattern — deterministic and
     * SQL-expressible on both engines; the driver testdata ships no

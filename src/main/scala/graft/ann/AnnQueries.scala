@@ -503,29 +503,91 @@ FROM allrows ORDER BY qid"""
     * any corpus size for the same bounded cost; the chosen operating
     * point is then a measured trade, not a guess. */
   def q99AnnFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val exact = graft.Checkpoints.deferUnpersist(
       q30KnnBrute(spark, sfDir).select(col("qid"), col("neighbor")).cache())
     val (cents, assigned) = ivfParts(spark, sfDir)
     // one cached vector base serves every config's scoring join
     val base = assigned.select(col("vec_id"), col("v"), col("nrm"))
-    def statsFor(cfg: String, cand0: DataFrame): DataFrame = {
-      val cand = graft.Checkpoints.deferUnpersist(cand0.cache())
-      val tot = exact.agg(count(lit(1)).as("total_exact"))
-      val hits = exact
-        .join(topKOf(base, cand).select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
-        .agg(count(lit(1)).as("hits"))
-      val cost = cand.agg(count(lit(1)).as("total_cand"))
-      tot.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
-        .select(lit(cfg).as("cfg"), col("total_exact"), col("hits"), col("total_cand"))
+    // r12 (verdict item 5): the r11 form built per-config stats plans —
+    // 10 configs × (hits + cost 1-row aggregates, each with its own
+    // broadcast exchange and cand cache) ran as ~148 overlapping jobs
+    // whose 53 s of stage wall packed into ~10 s only because the
+    // scheduler could overlap them; the scheduler floor dominated. ONE
+    // cfg-tagged candidate union now feeds a single top-K window
+    // (partitioned by (cfg, qid) — per-config partitions are
+    // independent, so ranks are bit-identical to the per-config
+    // windows), one hits groupBy(cfg) and one cost groupBy(cfg):
+    // a handful of jobs, same counts, same output rows.
+    //
+    // The configs themselves share work (this is the fusion that cuts
+    // the job count, not just the stats): band b of an n-band 4-bit
+    // code reads planes [4b, 4b+4) regardless of n (VectorKernelSpec
+    // pins lshBands ≡ per-band lshCode), so the (4,8)/(4,16)/(4,24)
+    // candidate sets are all derivable from ONE 24-band band join —
+    // a pair is a (4,B) candidate iff its MINIMAL matching band < B.
+    // Likewise the five IVF configs share one probe window at
+    // max(nprobe): a pair is an np-candidate iff its probe rank ≤ np.
+    def bandsOf(coded: DataFrame, idCol: String): DataFrame =
+      coded.select(col("vec_id").as(idCol), posexplode(col("bands")))
+        .select(col(idCol), col("pos").as("band"), col("col").as("key"))
+    val lshFrames = FrontierLsh.groupBy(_._1).toSeq.map {
+      case (bits, cfgs) =>
+        val bandCounts = cfgs.map(_._2)
+        val coded = codedFor(spark, sfDir, bits, bandCounts.max)
+        val qb = bandsOf(coded, "qid")
+          .filter(pmod(col("qid"), lit(QueryMod)) === 0 && col("qid") < QueryCap)
+        val minBand = qb.join(bandsOf(coded, "vec_id"), Seq("band", "key"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id")).agg(min(col("band")).as("minb"))
+        val cfgArr = array(bandCounts.map(bn =>
+          when(col("minb") < bn, lit(s"lsh_${bits}x$bn"))): _*)
+        minBand.select(explode(cfgArr).as("cfg"), col("qid"), col("vec_id"))
+          .filter(col("cfg").isNotNull)
     }
-    val frames =
-      FrontierLsh.map { case (bits, bands) =>
-        statsFor(s"lsh_${bits}x$bands",
-          lshPairs(codedFor(spark, sfDir, bits, bands), capQueries = true))
-      } ++
-        FrontierProbes.map(np =>
-          statsFor(f"ivf_np$np%02d", ivfCand(cents, assigned, np, capQueries = true)))
-    frames.reduce(_ unionAll _)
+    val maxNp = FrontierProbes.max
+    val probesAll = assigned.filter(pmod(col("vec_id"), lit(QueryMod)) === 0 &&
+        col("vec_id") < QueryCap)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(VF.cosineByNorm(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("ccos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("prank") <= maxNp)
+      .select(col("qid"), col("cid"), col("prank"))
+    val ivfCfgArr = array(FrontierProbes.map(np =>
+      when(col("prank") <= np, lit(f"ivf_np$np%02d"))): _*)
+    val ivfFrame = probesAll
+      .join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(explode(ivfCfgArr).as("cfg"), col("qid"), col("vec_id"))
+      .filter(col("cfg").isNotNull)
+    val candAll = graft.Checkpoints.deferUnpersist(
+      (lshFrames :+ ivfFrame).reduce(_ unionAll _).cache())
+    val q = base.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("cfg"), col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = candAll.join(q, "qid").join(base, "vec_id")
+      .select(col("cfg"), col("qid"), col("vec_id"),
+        round(VF.cosineByNorm(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("cfg"), col("qid"), col("vec_id").as("neighbor"))
+    val hits = topk.join(exact, Seq("qid", "neighbor"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("hits0"))
+    val cost = candAll.groupBy(col("cfg")).agg(count(lit(1)).as("cand0"))
+    val tot = exact.agg(count(lit(1)).as("total_exact"))
+    // a config with an empty candidate or hit set still gets its row
+    // (the r11 per-config 1-row aggregates could never be empty)
+    val cfgs = (FrontierLsh.map { case (bits, bands) => s"lsh_${bits}x$bands" } ++
+      FrontierProbes.map(np => f"ivf_np$np%02d")).toDF("cfg")
+    cfgs.join(hits, Seq("cfg"), "left").join(cost, Seq("cfg"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cfg"),
+        coalesce(col("hits0"), lit(0L)).as("hits"),
+        coalesce(col("cand0"), lit(0L)).as("total_cand"),
+        col("total_exact"))
       .select(col("cfg"), expr(s"total_exact div $K").as("n_queries"),
         round(col("hits").cast("double") / col("total_exact"), 6).as("recall_at_5"),
         round(col("total_cand").cast("double") * K / col("total_exact"), 6).as("avg_cand"),

@@ -1430,7 +1430,7 @@ ORDER BY f.vec_id"""
   def q285TfidfCosine(spark: SparkSession, sfDir: String): DataFrame = {
     def dec12(c: Column): Column =
       sum(round(c, 12).cast(DecimalType(38, 12))).cast("double")
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir, spreadScan = true)
       .select(col("doc_id"), col("source"), col("text"))
     val tf = graft.Checkpoints.deferFree(docs
       .select(col("doc_id"), col("source"),

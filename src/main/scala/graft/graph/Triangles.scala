@@ -33,7 +33,14 @@ object Triangles {
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().cache())
-    val hint = if (broadcastEdges) (df: DataFrame) => broadcast(df)
+    // SIZE-GATED even when the caller asks (r12, q308's discipline): a
+    // caller's "known-bounded" claim is not a plan property — past
+    // CoCitation.BroadcastMaxEdges the joins fall back to the planner's
+    // shuffle strategy instead of an executor-OOM broadcast. The frame
+    // is cached, so the gate count doubles as its materialization.
+    val hint = if (broadcastEdges &&
+                   und.count() <= CoCitation.BroadcastMaxEdges)
+                 (df: DataFrame) => broadcast(df)
                else (df: DataFrame) => df
     val e1 = und.select(col("u").as("a"), col("v").as("b"))
     val e2 = und.select(col("u").as("b"), col("v").as("c"))

@@ -1127,8 +1127,8 @@ ORDER BY round"""
     def g(c: Column) = round(c, 6).cast(DecimalType(38, 6))
     def asDbl(c: Column) = c.cast("double")
     val inter = graft.Checkpoints.deferUnpersist(
-      Tables.lineitem(spark, sfDir)
-        .join(Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir, spreadScan = true)
+        .join(Tables.orders(spark, sfDir, spreadScan = true),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
           col("l_quantity").as("r"))

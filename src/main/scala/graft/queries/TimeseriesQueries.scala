@@ -1101,7 +1101,7 @@ object TimeseriesQueries {
     * statistic is an exact integer sum, and the tie/variance terms are
     * DECIMAL sums of exact integers. */
   def q248MannKendall(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir)
+    val hourly = graft.Checkpoints.deferFree(Tables.events(spark, sfDir, spreadScan = true)
       .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
       .agg(round(sum(round(col("value"), 6).cast(DecimalType(38, 6)))
         .cast("double"), 6).as("v"))

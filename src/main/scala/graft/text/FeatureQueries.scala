@@ -342,7 +342,7 @@ object FeatureQueries {
     val w = split(col("text"), " ")
     val pairs = transform(sequence(lit(1), size(w) - 1),
       i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
-    val agg = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+    val agg = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir, spreadScan = true)
       .filter(size(w) >= 2)
       .select(
         (pmod(MF.hash32(concat(lit("lm:"), col("doc_id"))), lit(LmTrainMod))

@@ -925,13 +925,24 @@ WHERE rank <= $WsTopK ORDER BY lang, rank"""
     val w = split(col("text"), " ")
     val pairs = transform(sequence(lit(1), size(w) - 1),
       i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
-    val bg = Tables.documents(spark, sfDir)
+    val bg = Tables.documents(spark, sfDir, spreadScan = true)
       .select(col("doc_id"), col("text"))
       .filter(size(w) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
-    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+    // docBg feeds THREE consumers (c2's re-aggregation, the scoring
+    // join, and — through c2 → c1 — the V broadcast): materialized once
+    // (r12; profiled at sf0.1: the explode+partial-agg subtree ran as
+    // three ~3–5.4 s SINGLE-TASK broadcast-subquery stages — exchange
+    // reuse does not cross broadcast-job boundaries — and the stage was
+    // single-task because the single-row-group scan can't split, hence
+    // also spreadScan above). This was the one reproducible in-suite
+    // regression of r11 (verdict item 3): under a warm session the
+    // triple recompute amplified every block-manager stall.
+    val docBg = graft.Checkpoints.deferFree(bg
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint())
     val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
@@ -2521,7 +2532,7 @@ FROM res ORDER BY round"""
     val gramsArr = transform(sequence(lit(1), size(w) - 3),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
         element_at(w, i + 2), element_at(w, i + 3)))
-    val cnt = Tables.documents(spark, sfDir)
+    val cnt = Tables.documents(spark, sfDir, spreadScan = true)
       .filter(size(w) >= 4)
       .select(explode(gramsArr).as("g"))
       .select(MF.hash32(col("g")).as("hlo"), MF.hash32b(col("g")).as("hhi"))

@@ -1,10 +1,13 @@
 package graft
 
-/** r11 optimization-round contracts:
-  *  - Tables.load spreads single-row-group FACT scans to session
-  *    parallelism (the driver fixtures are one row group per file, so
-  *    the scan alone cannot parallelize) and leaves dimension tables
-  *    un-spread;
+/** r11/r12 optimization-round contracts:
+  *  - Tables.load spreads single-row-group scans to session parallelism
+  *    ONLY for consumers that opt in (`spreadScan = true`, r12: the r11
+  *    blanket spread taxed ~250 trivial keys per fact scan) and leaves
+  *    every default load un-spread;
+  *  - the spread gate reads parquet FOOTER row groups, not RDD
+  *    partitions (r11 ADVICE: byte-range splits of one huge row group
+  *    parallelize the plan, not the data);
   *  - the spread is transparent to predicate pushdown (filters still
   *    reach the parquet scan through the Repartition);
   *  - TempDirs.ephemeral yields a writable per-run scratch dir and
@@ -12,28 +15,33 @@ package graft
   */
 class R11OptSpec extends GraftSpec {
 
-  test("fact scans spread to defaultParallelism; dimensions untouched") {
+  test("opt-in scans spread to defaultParallelism; default loads untouched") {
     val p = spark.sparkContext.defaultParallelism
-    assert(Tables.lineitem(spark, sfDir).rdd.getNumPartitions >= p,
-      "single-row-group lineitem scan must be spread to session parallelism")
-    assert(Tables.documents(spark, sfDir).rdd.getNumPartitions >= p,
-      "single-row-group documents scan must be spread to session parallelism")
-    assert(Tables.nation(spark, sfDir).rdd.getNumPartitions < p ||
-      Tables.nation(spark, sfDir).queryExecution.executedPlan.toString
-        .contains("Scan parquet"),
-      "dimension tables are not spread (they ride broadcasts)")
-    val nationPlan = Tables.nation(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!nationPlan.toLowerCase.contains("roundrobin"),
-      "nation must not carry the spread exchange")
+    assert(Tables.lineitem(spark, sfDir, spreadScan = true)
+      .rdd.getNumPartitions >= p,
+      "single-row-group lineitem scan must be spread to session parallelism when asked")
+    assert(Tables.documents(spark, sfDir, spreadScan = true)
+      .rdd.getNumPartitions >= p,
+      "single-row-group documents scan must be spread to session parallelism when asked")
+    // default loads carry NO spread exchange (r12: the exchange is pure
+    // tax on trivial consumers and on dimension tables riding broadcasts)
+    for (t <- Seq("lineitem", "documents", "nation")) {
+      val plan = Tables.load(spark, sfDir, t)
+        .queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("roundrobin"),
+        s"default $t load must not carry the spread exchange")
+    }
   }
 
   test("pushdown and pruning survive the spread exchange") {
     import org.apache.spark.sql.functions._
-    val df = Tables.lineitem(spark, sfDir)
+    val df = Tables.lineitem(spark, sfDir, spreadScan = true)
       .filter(col("l_quantity") > 40).select(col("l_orderkey"))
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("Exchange roundrobinpartitioning") ||
+      plan.toLowerCase.contains("roundrobin"),
+      s"spreadScan=true must add the round-robin exchange on this fixture:\n$plan")
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThan(l_quantity,40"),
       s"quantity filter must reach the scan through Repartition:\n$plan")
