@@ -147,6 +147,26 @@ object Bench {
       warm(name) = if (oks.nonEmpty) Right(oks.min) else rs.head
     }
 
+    // ---- Phase 1.5: resample the memo-TOUCHING keys while their memos
+    // are still live (after the cold pass their re-runs would pay
+    // rebuilds, so this is their only chance at a second clean sample —
+    // without it each memo key publishes ONE unfiltered sample and a
+    // single host-noise window prints as a fake regression; r12a saw
+    // untouched q119 publish 16.4 s vs 3.9 s isolated this way).
+    // Slowest first, boxed at 0.5·budget so the cold pass always fits.
+    var memoResampled = 0
+    warm.collect { case (n, Right(t)) if touched(n) => n -> t }
+      .toSeq.sortBy(-_._2).foreach { case (n, t) =>
+        if (elapsedS < 0.5 * budgetS) {
+          once(n) match {
+            case Right(t2) =>
+              memoResampled += 1
+              if (t2 < t) warm(n) = Right(t2)
+            case Left(_) => ()
+          }
+        }
+      }
+
     // ---- Phase 2: cold (mode-restricted, budget-boxed at 0.92·budget).
     val coldNames = coldMode match {
       case "0" => Seq.empty
@@ -216,7 +236,7 @@ object Bench {
       shuffleMb.map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
         .mkString(""""shuffle_mb":{""", ",", "},")
     else ""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$coldPart$metricsPart"n_resampled":$resampled,"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$coldPart$metricsPart"n_resampled":${resampled + memoResampled},"errors":$es,"n_ok":$nOk,"n_err":${errs.size},"wall_s":${math.round(elapsedS)},"sf":"$sfDir"}"""
     // The COMPLETE line is both the stdout contract and the file
     // artifact, byte-identical — no compact/truncated variant exists
     // any more (r01–r11 all parsed as null because the printed line was

@@ -1466,7 +1466,17 @@ ORDER BY f.vec_id"""
     // with no sort/shuffle of wedge rows (q274's wedge discipline;
     // at larger block sizes the planner's size check would fall back
     // to the bucketed sort-merge path)
+    // the checkpointed postings frame lands in ~2 partitions (small
+    // bytes), so the wedge generation + scaled-int64 partial agg — the
+    // query's entire compute — ran on 2 cores (profiled 7.1 s wall at
+    // 11.6 s task-time, sf0.1). Spread the STREAM side BY doc_id so
+    // every core generates wedges AND every (da, db) pair stays inside
+    // one task — the partial agg fully collapses pairs before the
+    // exchange (round-robin was measured 26 → 164 MB shuffle because
+    // a pair's per-term products scattered across tasks).
     val pairs = wn
+      .repartition(wn.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("source"), col("term"), col("doc_id").as("da"), col("wn").as("wa"))
       .join(broadcast(wn.select(col("source"), col("term"), col("doc_id").as("db"),
         col("wn").as("wb"))), Seq("source", "term"))

@@ -28,18 +28,19 @@ object Triangles {
     * cannot inherit a broadcast OOM. Pass `true` when the canonical
     * edge set is known-bounded (host graphs, sampled subgraphs) — the
     * wedge generation and closure then run map-side. */
-  def run(edges: DataFrame, broadcastEdges: Boolean = false): DataFrame = {
+  def run(edges: DataFrame, broadcastEdges: Boolean = false,
+          maxBroadcastEdges: Long = CoCitation.BroadcastMaxEdges): DataFrame = {
     val und = graft.Checkpoints.deferUnpersist(edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().cache())
     // SIZE-GATED even when the caller asks (r12, q308's discipline): a
     // caller's "known-bounded" claim is not a plan property — past
-    // CoCitation.BroadcastMaxEdges the joins fall back to the planner's
-    // shuffle strategy instead of an executor-OOM broadcast. The frame
-    // is cached, so the gate count doubles as its materialization.
-    val hint = if (broadcastEdges &&
-                   und.count() <= CoCitation.BroadcastMaxEdges)
+    // maxBroadcastEdges (default CoCitation.BroadcastMaxEdges) the joins
+    // fall back to the planner's shuffle strategy instead of an
+    // executor-OOM broadcast. The frame is cached, so the gate count
+    // doubles as its materialization.
+    val hint = if (broadcastEdges && und.count() <= maxBroadcastEdges)
                  (df: DataFrame) => broadcast(df)
                else (df: DataFrame) => df
     val e1 = und.select(col("u").as("a"), col("v").as("b"))

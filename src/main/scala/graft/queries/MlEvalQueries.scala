@@ -738,7 +738,11 @@ FROM res ORDER BY channel"""
     * math. The k-feature generalization keeps the same shape (k²
     * moments, driver-bounded solve). */
   def q185Ols(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Glm.olsFit2(Tables.lineitem(spark, sfDir),
+    // spreadScan (r12): the whole query is one moment aggregate directly
+    // over the scan — profiled 5.1 s of task time in 3 tasks at sf0.1
+    // (single-row-group file), pure partial-agg compute that spreads to
+    // every core for a ~0.2 s exchange of three projected columns.
+    graft.operators.Glm.olsFit2(Tables.lineitem(spark, sfDir, spreadScan = true),
         col("l_quantity"), col("l_discount"), col("l_extendedprice"))
       .withColumnRenamed("b_x1", "b_quantity")
       .withColumnRenamed("b_x2", "b_discount")
@@ -1674,7 +1678,11 @@ FROM cnts c CROSS JOIN half h CROSS JOIN me m""".stripMargin
       .localCheckpoint())
     val wt = BootLadder.foldRight(lit(6): Column) { case ((thr, k), acc) =>
       when(col("u") < thr, lit(k)).otherwise(acc) }
-    val means = pool
+    // the checkpointed pool lands in few partitions (small filter
+    // output), so the ×B explode + per-row md5 draws — the query's
+    // entire compute — would run near-single-task; spread it first
+    // (r12, q244's fix; the pool is a few hundred KB to exchange)
+    val means = pool.repartition(spark.sparkContext.defaultParallelism)
       .select(col("event_id"), col("v"),
         explode(sequence(lit(1), lit(BootReplicates))).as("b"))
       .withColumn("u", MF.hash32(concat(lit("boot:"),

@@ -1042,7 +1042,12 @@ object TimeseriesQueries {
     require(n <= TheilSenMaxSample,
       s"q244: sample $n exceeds cap $TheilSenMaxSample — raise " +
         s"TheilSenSampleMod before the quadratic pair join, not after")
-    val a = samp.select(col("x").as("xa"), col("y").as("ya"))
+    // the checkpointed sample lands in ONE partition (tiny frame), so
+    // the quadratic pair explode below would run single-task; spread the
+    // stream side so every core generates slopes (r12 — profiled 2.2 s
+    // single-task at sf0.1; the frame itself is a few KB to exchange)
+    val aSide = samp.repartition(spark.sparkContext.defaultParallelism)
+    val a = aSide.select(col("x").as("xa"), col("y").as("ya"))
     val b = samp.select(col("x").as("xb"), col("y").as("yb"))
     val slopes = a.join(broadcast(b), col("xa") < col("xb"))
       .select(((col("yb") - col("ya")) / (col("xb") - col("xa")).cast("double")
@@ -1108,7 +1113,11 @@ object TimeseriesQueries {
       .localCheckpoint())
     val b = hourly.select(col("event_type").as("tb"),
       col("h").as("hb"), col("v").as("vb"))
-    val pairs = hourly.join(broadcast(b),
+    // the checkpointed hourly frame lands in few partitions (tiny), so
+    // the quadratic pair explode would run near-single-task; spread the
+    // stream side so every core generates pairs (r12, q244's fix)
+    val pairs = hourly.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(b),
       col("event_type") === col("tb") && col("h") < col("hb"))
       .select(col("event_type"),
         when(col("vb") > col("v"), 1L).when(col("vb") < col("v"), -1L)

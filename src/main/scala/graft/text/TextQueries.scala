@@ -2722,7 +2722,7 @@ FROM res ORDER BY round"""
     val w = split(col("text"), " ")
     val pairs = transform(sequence(lit(1), size(w) - 1),
       i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
-    val big = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir)
+    val big = graft.Checkpoints.deferFree(Tables.documents(spark, sfDir, spreadScan = true)
       .filter(size(w) >= 2)
       .select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))

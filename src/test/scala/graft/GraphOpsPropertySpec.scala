@@ -10,6 +10,7 @@ import graft.operators.Funnel
   * (isolated vertices, repeated edges, both directions present,
   * users with shuffled step orders, ties in timestamps).
   */
+@SlowSuite
 class GraphOpsPropertySpec extends GraftSpec {
   private lazy val sp = spark
   import sp.implicits._

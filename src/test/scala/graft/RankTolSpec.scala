@@ -9,6 +9,7 @@ import graft.queries.GraphQueries
   * budget, so the tolerance-halted result IS the full-budget result —
   * which is what the oracle unrolls.
   */
+@SlowSuite
 class RankTolSpec extends GraftSpec {
 
   private lazy val hedges = WebGraph.cachedHostEdges(spark, sfDir)

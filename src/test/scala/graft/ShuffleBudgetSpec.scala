@@ -56,6 +56,7 @@ object ShuffleMeter {
   * exactly zero. Regenerate after an intentional plan change with
   * SPARK_GRAFT_RECORD_BUDGETS=1 sbt "testOnly graft.ShuffleBudgetSpec".
   */
+@SlowSuite
 class ShuffleBudgetSpec extends GraftSpec {
 
   private val budgetPath = java.nio.file.Paths.get("bench/shuffle_budgets.json")

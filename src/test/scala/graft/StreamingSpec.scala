@@ -10,6 +10,7 @@ import graft.streaming.StreamingWindows.Event
   * transforms with MemoryStream and assert they agree with the batch
   * plan over the same data.
   */
+@SlowSuite
 class StreamingSpec extends GraftSpec {
   private lazy val sp = spark
   import sp.implicits._

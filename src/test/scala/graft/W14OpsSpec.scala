@@ -10,6 +10,7 @@ import graft.graph.{Bfs, MultiBfs, WebGraph}
   * recomputes the semantics independently (K single-seed BFS runs,
   * driver-side walks, closed forms).
   */
+@SlowSuite
 class W14OpsSpec extends GraftSpec {
 
   test("MultiBfs one-loop distances equal K independent single-seed Bfs runs") {

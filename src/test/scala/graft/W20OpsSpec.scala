@@ -5,6 +5,7 @@ import graft.graph.{LinkRank, WebGraph, WeightedRank}
 import graft.multimodal.MultimodalQueries
 
 /** Wave-10 operators (q152–q153): weighted rank and VAD segmentation. */
+@SlowSuite
 class W20OpsSpec extends GraftSpec {
 
   test("WeightedRank with uniform weights reproduces LinkRank's raw iterate") {

@@ -10,6 +10,7 @@ import graft.text.TextQueries
   * replays the operator's math independently on the driver (collect of
   * the small fixture) and checks the frame against it.
   */
+@SlowSuite
 class W24OpsSpec extends GraftSpec {
 
   test("q160 NDCG/MRR/P@k replay a driver-side computation of q30's run") {

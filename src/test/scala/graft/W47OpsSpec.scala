@@ -8,6 +8,7 @@ import graft.queries.{MlEvalQueries, TimeseriesQueries}
   * cross-validation (q237), each cross-checked by driver-side
   * recomputes independent of the Spark plans.
   */
+@SlowSuite
 class W47OpsSpec extends GraftSpec {
 
   test("q234: KM curve is a valid survival function with exact risk-set accounting") {
